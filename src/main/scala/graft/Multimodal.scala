@@ -1,0 +1,8 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+object Multimodal {
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def oracle: Map[String, String] = Map()
+}

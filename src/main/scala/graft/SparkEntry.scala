@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 + §7. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  import Tables.t
+
+  /** Flagship: full alert pipeline (rule → merge → suppress → correlate)
+    * on sf0.001 events; driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val flagship = queries.getOrElse("q_alert_correlate", queries("q_agg_pushdown"))
+    flagship(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreSql.queries ++ Engine.queries ++ Baselines.queries ++
+      Dedup.queries ++ Ann.queries ++ TextOps.queries ++
+      Multimodal.queries
+
+  /** DuckDB-equivalent ANSI SQL per query key (omitted → rows-only check). */
+  def oracleSql: Map[String, String] =
+    CoreSql.oracle ++ Engine.oracle ++ Baselines.oracle ++
+      Dedup.oracle ++ Ann.oracle ++ TextOps.oracle
 }
