@@ -1,8 +1,200 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.engine.{AlertRule, RuleEngine, ViolationRule}
+
+/** SURVEY.md §2 #1-6: the SnowAlert rule pipeline demonstrated over the
+  * `events` table, each stage with a DuckDB oracle.
+  */
 object Engine {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+  import Tables.t
+
+  private val From = "2024-01-01 00:00:00"
+  private val To = "2024-02-01 00:00:00"
+  private val AlertTimeS = 1706745600L // 2024-02-01T00:00:00Z
+
+  private def highValueError = AlertRule(
+    name = "high_value_error",
+    queryId = "gq001",
+    title = "High value error event",
+    predicate = col("event_type") === "error" && col("value") > 50.0,
+    actor = concat_ws("", lit("user:"), col("user_id")),
+    target = concat_ws("", lit("user:"), col("user_id")),
+    action = col("event_type"),
+    description = concat_ws("", lit("user:"), col("user_id"),
+      lit(" error band "), floor(col("value") / 100.0).cast("long")),
+    severity = when(col("value") > 200.0, "high").otherwise("medium"),
+    eventTime = col("ts"),
+    eventData = col("props"))
+
+  private def alerts(s: SparkSession, dir: String): DataFrame =
+    RuleEngine.runAlertRule(
+      t(s, dir, "events"), highValueError, col("event_id"),
+      From, To, AlertTimeS)
+
+  /** Shared oracle CTE mirroring `alerts`. */
+  private val AlertsCte =
+    """WITH alerts AS (
+      |  SELECT md5('high_value_error:' || event_id) AS alert_id,
+      |    'high_value_error' AS query_name, 'gq001' AS query_id,
+      |    'prod' AS environment, 'events' AS sources,
+      |    'user:' || user_id AS actor,
+      |    'user:' || user_id AS object,
+      |    event_type AS action,
+      |    'High value error event' AS title,
+      |    epoch_ns(ts) // 1000000000 AS event_time_s,
+      |    CAST(1706745600 AS BIGINT) AS alert_time_s,
+      |    'user:' || user_id || ' error band ' ||
+      |      CAST(floor(value / 100.0) AS BIGINT) AS description,
+      |    'graft' AS detector,
+      |    props AS event_data,
+      |    CASE WHEN value > 200.0 THEN 'high' ELSE 'medium' END AS severity,
+      |    CAST(1 AS BIGINT) AS counter
+      |  FROM events
+      |  WHERE event_type = 'error' AND value > 50.0
+      |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+      |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_alert_rule" -> ((s, dir) => alerts(s, dir).orderBy(col("alert_id"))),
+
+    "q_alert_merge" -> ((s, dir) =>
+      RuleEngine.mergeAlerts(alerts(s, dir))
+        .orderBy(col("object"), col("description"))),
+
+    "q_alert_suppress" -> ((s, dir) => {
+      val a = alerts(s, dir)
+      val noisy = a.groupBy(col("actor"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 8)
+        .select(col("actor"))
+      val supIds = a.join(broadcast(noisy), Seq("actor")).select("alert_id")
+      RuleEngine.suppress(a, supIds, "noisy_actor_squelch")
+        .select(col("alert_id"), col("actor"), col("suppressed"),
+          col("suppression_rule"))
+        .orderBy(col("alert_id"))
+    }),
+
+    "q_alert_correlate" -> ((s, dir) =>
+      RuleEngine.correlate(alerts(s, dir), gapMinutes = 60)
+        .select(col("alert_id"), col("actor"), col("action"),
+          col("event_time_s"), col("chain_seq"), col("correlation_id"))
+        .orderBy(col("actor"), col("event_time_s"), col("alert_id"))),
+
+    "q_violation_rule" -> ((s, dir) =>
+      violations(s, dir).orderBy(col("id"))),
+
+    "q_violation_suppress" -> ((s, dir) => {
+      val v = violations(s, dir)
+      val signupDays = t(s, dir, "events")
+        .filter(col("event_type") === "signup")
+        .select(
+          concat_ws("", lit("user:"), col("user_id")).as("object"),
+          col("ts").cast("date").as("violation_day"))
+        .distinct()
+      v.join(broadcast(signupDays.withColumn("__s", lit(1))),
+          Seq("object", "violation_day"), "left")
+        .withColumn("suppressed", col("__s").isNotNull)
+        .drop("__s")
+        .select(col("id"), col("object"), col("violation_day"),
+          col("suppressed"))
+        .orderBy(col("id"))
+    })
+  )
+
+  private def violations(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    RuleEngine.runViolationRule(daily, ViolationRule(
+      name = "daily_error_burst",
+      queryId = "gv001",
+      title = "Daily error burst",
+      predicate = col("n") >= 2,
+      target = concat_ws("", lit("user:"), col("user_id")),
+      owner = lit("secops"),
+      severity = when(col("n") >= 3, "high").otherwise("medium"),
+      day = col("day")))
+  }
+
+  private val ViolationsCte =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+      |), violations AS (
+      |  SELECT
+      |    md5('daily_error_burst|user:' || user_id ||
+      |        '|Daily error burst|' || CAST(day AS VARCHAR)) AS id,
+      |    'daily_error_burst' AS query_name, 'gv001' AS query_id,
+      |    'Daily error burst' AS title,
+      |    'user:' || user_id AS object,
+      |    'secops' AS owner,
+      |    CASE WHEN n >= 3 THEN 'high' ELSE 'medium' END AS severity,
+      |    day AS violation_day
+      |  FROM daily WHERE n >= 2
+      |)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q_alert_rule" ->
+      s"$AlertsCte\nSELECT * FROM alerts ORDER BY alert_id",
+
+    "q_alert_merge" ->
+      s"""$AlertsCte
+         |SELECT object, description,
+         |  min(alert_id) AS alert_id, min(query_name) AS query_name,
+         |  min(actor) AS actor, min(action) AS action,
+         |  min(title) AS title, min(severity) AS severity,
+         |  CAST(sum(counter) AS BIGINT) AS counter,
+         |  min(alert_time_s) AS alert_time_s,
+         |  min(event_time_s) AS event_time_s
+         |FROM alerts GROUP BY object, description
+         |ORDER BY object, description""".stripMargin,
+
+    "q_alert_suppress" ->
+      s"""$AlertsCte, noisy AS (
+         |  SELECT actor FROM alerts GROUP BY actor HAVING count(*) >= 8
+         |)
+         |SELECT alert_id, actor,
+         |  actor IN (SELECT actor FROM noisy) AS suppressed,
+         |  CASE WHEN actor IN (SELECT actor FROM noisy)
+         |       THEN 'noisy_actor_squelch' END AS suppression_rule
+         |FROM alerts ORDER BY alert_id""".stripMargin,
+
+    "q_alert_correlate" ->
+      s"""$AlertsCte, flagged AS (
+         |  SELECT alert_id, actor, object, action, event_time_s,
+         |    CASE WHEN event_time_s - lag(event_time_s) OVER win <= 3600
+         |           AND (object = lag(object) OVER win
+         |                OR action = lag(action) OVER win)
+         |         THEN 0 ELSE 1 END AS new_chain
+         |  FROM alerts
+         |  WINDOW win AS (PARTITION BY actor ORDER BY event_time_s, alert_id)
+         |), chained AS (
+         |  SELECT alert_id, actor, action, event_time_s,
+         |    CAST(sum(new_chain) OVER (
+         |      PARTITION BY actor ORDER BY event_time_s, alert_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chain_seq
+         |  FROM flagged
+         |)
+         |SELECT alert_id, actor, action, event_time_s, chain_seq,
+         |  md5(actor || ':' || chain_seq) AS correlation_id
+         |FROM chained ORDER BY actor, event_time_s, alert_id""".stripMargin,
+
+    "q_violation_rule" ->
+      s"$ViolationsCte\nSELECT * FROM violations ORDER BY id",
+
+    "q_violation_suppress" ->
+      s"""$ViolationsCte, signup_days AS (
+         |  SELECT DISTINCT 'user:' || user_id AS object,
+         |    CAST(ts AS DATE) AS violation_day
+         |  FROM events WHERE event_type = 'signup'
+         |)
+         |SELECT v.id, v.object, v.violation_day,
+         |  EXISTS (SELECT 1 FROM signup_days s
+         |          WHERE s.object = v.object
+         |            AND s.violation_day = v.violation_day) AS suppressed
+         |FROM violations v ORDER BY v.id""".stripMargin
+  )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Test-table loader: each table is one parquet file under the sf dir. */
 object Tables {
@@ -8,5 +9,15 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read
+      // natively; read the raw int64 nanos and truncate to a µs
+      // TimestampType (Spark's native precision — floor, matching how
+      // whole-second comparisons behave in ns engines).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 }

@@ -1,0 +1,167 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** An alert rule: a declarative predicate + field mapping over an event
+  * table, the Spark re-expression of a SnowAlert rule view
+  * (reference: src/runners/alert_queries_runner.py:38-62, packs SQL).
+  * All fields are Columns so the whole rule stays inside Catalyst —
+  * pushdown/pruning reach the scan, nothing runs on the driver.
+  */
+final case class AlertRule(
+    name: String,
+    queryId: String,
+    title: String,
+    predicate: Column,
+    actor: Column,
+    target: Column,
+    action: Column,
+    description: Column,
+    severity: Column,
+    eventTime: Column,
+    eventData: Column,
+    environment: String = "prod",
+    sources: String = "events",
+    detector: String = "graft")
+
+/** A violation rule: daily compliance SELECT with a deterministic
+  * identity hash (reference: src/runners/helpers/db.py:458-493). */
+final case class ViolationRule(
+    name: String,
+    queryId: String,
+    title: String,
+    predicate: Column,
+    target: Column,
+    owner: Column,
+    severity: Column,
+    day: Column)
+
+/** The SnowAlert pipeline re-expressed as DataFrame transforms:
+  * rule → merge(dedup) → suppress → correlate. Each step is one
+  * declarative plan; at 100 TB each is a single keyed shuffle (or a
+  * broadcast) — no driver-side iteration anywhere (the reference's
+  * alert_processor loops rows on a client; correlation here is a
+  * window computation).
+  */
+object RuleEngine {
+
+  /** Run an alert rule over a time window. `alert_id` is a
+    * deterministic md5 of (rule, event id) rather than UUID_STRING so
+    * results are replayable/idempotent; times emitted as epoch seconds.
+    * Ref: alert_queries_runner.py RUN_ALERT_QUERY. */
+  def runAlertRule(
+      events: DataFrame,
+      rule: AlertRule,
+      idCol: Column,
+      fromTs: String,
+      toTsExclusive: String,
+      alertTimeS: Long): DataFrame =
+    events
+      .filter(
+        rule.predicate &&
+          rule.eventTime >= lit(fromTs).cast("timestamp") &&
+          rule.eventTime < lit(toTsExclusive).cast("timestamp"))
+      .select(
+        md5(concat_ws(":", lit(rule.name), idCol)).as("alert_id"),
+        lit(rule.name).as("query_name"),
+        lit(rule.queryId).as("query_id"),
+        lit(rule.environment).as("environment"),
+        lit(rule.sources).as("sources"),
+        rule.actor.as("actor"),
+        rule.target.as("object"),
+        rule.action.as("action"),
+        lit(rule.title).as("title"),
+        rule.eventTime.cast("long").as("event_time_s"),
+        lit(alertTimeS).as("alert_time_s"),
+        rule.description.as("description"),
+        lit(rule.detector).as("detector"),
+        rule.eventData.as("event_data"),
+        rule.severity.as("severity"),
+        lit(1L).as("counter"))
+
+  /** Merge/dedup new alerts: one row per (object, description) with
+    * summed counter and earliest times; body columns taken as min for
+    * determinism (reference uses ANY_VALUE).
+    * Ref: alert_queries_runner.py MERGE_ALERTS (lines 66-97).
+    * Scale: single shuffle on the group key with partial aggregation. */
+  def mergeAlerts(alerts: DataFrame): DataFrame =
+    alerts
+      .groupBy(col("object"), col("description"))
+      .agg(
+        min(col("alert_id")).as("alert_id"),
+        min(col("query_name")).as("query_name"),
+        min(col("actor")).as("actor"),
+        min(col("action")).as("action"),
+        min(col("title")).as("title"),
+        min(col("severity")).as("severity"),
+        sum(col("counter")).as("counter"),
+        min(col("alert_time_s")).as("alert_time_s"),
+        min(col("event_time_s")).as("event_time_s"))
+
+  /** Suppression: mark alerts matched by a suppression-rule output
+    * (a set of alert ids). Suppression sets are tiny relative to the
+    * alert stream → broadcast join, no shuffle of the big side.
+    * Ref: alert_suppressions_runner.py:15-38. */
+  def suppress(
+      alerts: DataFrame,
+      suppressedIds: DataFrame,
+      ruleName: String): DataFrame = {
+    val sup = broadcast(
+      suppressedIds.select(col("alert_id").as("__sup_id")).distinct())
+    alerts
+      .join(sup, alerts("alert_id") === sup("__sup_id"), "left")
+      .withColumn("suppressed", col("__sup_id").isNotNull)
+      .withColumn(
+        "suppression_rule",
+        when(col("__sup_id").isNotNull, lit(ruleName)))
+      .drop("__sup_id")
+  }
+
+  /** Correlation: alerts from the same actor whose event times chain
+    * within `gapMinutes` (and share object or action with the previous
+    * alert in the chain) get one correlation_id. The reference
+    * (alert_processor.py:11-40) loops alerts on a client and issues
+    * point UPDATEs; here it is gap-based sessionization — one shuffle
+    * on actor, then window functions, fully parallel. */
+  def correlate(alerts: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col("actor"))
+      .orderBy(col("event_time_s"), col("alert_id"))
+    val boundary = when(
+      col("event_time_s") - lag(col("event_time_s"), 1).over(w) <= gapMinutes * 60L &&
+        (col("object") === lag(col("object"), 1).over(w) ||
+          col("action") === lag(col("action"), 1).over(w)),
+      0L).otherwise(1L)
+    alerts
+      .withColumn("__new_chain", boundary)
+      .withColumn(
+        "chain_seq",
+        sum(col("__new_chain"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn(
+        "correlation_id",
+        md5(concat_ws(":", col("actor"), col("chain_seq"))))
+      .drop("__new_chain")
+  }
+
+  /** Run a violation rule: one row per violating (target, day) with the
+    * reference's identity-hash id: md5 of the canonical identity fields
+    * (db.py INSERT_VIOLATIONS_WITH_ID_QUERY). */
+  def runViolationRule(
+      grouped: DataFrame,
+      rule: ViolationRule): DataFrame =
+    grouped
+      .filter(rule.predicate)
+      .select(
+        md5(concat_ws("|",
+          lit(rule.name), rule.target, lit(rule.title), rule.day))
+          .as("id"),
+        lit(rule.name).as("query_name"),
+        lit(rule.queryId).as("query_id"),
+        lit(rule.title).as("title"),
+        rule.target.as("object"),
+        rule.owner.as("owner"),
+        rule.severity.as("severity"),
+        rule.day.as("violation_day"))
+}
