@@ -1,8 +1,226 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** SURVEY.md §2 #9-15: statistical baselines, the Spark re-expression of
+  * the reference's percentile/temporal/login/summary/regression modules
+  * (src/baselines/percentiles.py, src/baseline_modules/...). All are
+  * two-level aggregations: partial per (group, slice) counts first —
+  * map-side combined, one shuffle — then a small per-group profile agg.
+  */
 object Baselines {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+  import Tables.t
+
+  /** Hourly event counts per type — shared base for 9/10. */
+  private def hourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+
+  /** #9 percentile profile of hourly counts per group.
+    * Ref: src/baselines/percentiles.py (p2.5..p97.5 profile). */
+  def baselinePercentiles(s: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(
+      "p025" -> 0.025, "p05" -> 0.05, "p10" -> 0.10, "p25" -> 0.25,
+      "p50" -> 0.50, "p75" -> 0.75, "p95" -> 0.95, "p975" -> 0.975)
+    val aggs = Seq(
+      count(lit(1)).as("n_hours"),
+      round(avg(col("n")), 4).as("avg_n"),
+      min(col("n")).as("min_n"),
+      max(col("n")).as("max_n")) ++
+      ps.map { case (name, p) =>
+        round(percentile(col("n"), lit(p)), 4).as(name)
+      }
+    hourly(s, dir)
+      .groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("event_type"))
+  }
+
+  /** #10 outlier detection: trailing-window hourly counts vs the p95 of
+    * the history window (the alerting use of the percentile baseline). */
+  def baselineOutliers(s: SparkSession, dir: String): DataFrame = {
+    val h = hourly(s, dir)
+    val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+    val profile = h.filter(col("h") < cutoff)
+      .groupBy(col("event_type"))
+      .agg(round(percentile(col("n"), lit(0.95)), 4).as("p95"))
+    h.filter(col("h") >= cutoff)
+      .join(broadcast(profile), Seq("event_type"))
+      .withColumn("outlier", col("n") > col("p95"))
+      .select(col("event_type"), col("h").cast("long").as("h_s"),
+        col("n"), col("p95"), col("outlier"))
+      .orderBy(col("event_type"), col("h_s"))
+  }
+
+  /** #11 hour-of-day activity profile. Ref: baseline_modules/temporal_by_day. */
+  def temporalByDay(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("value_avg"),
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"))
+      .orderBy(col("event_type"), col("hod"))
+
+  /** #12 per-entity activity stats. Ref: baseline_modules/login/module.R
+    * (num_logins, num_days, percent_of_days, average_per_day_when_active). */
+  def loginBaseline(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val totals = e.agg(
+      countDistinct(col("ts").cast("date")).as("total_days"))
+    e.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("ts").cast("date")).as("active_days"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pct_days",
+        round(col("active_days") / col("total_days"), 4))
+      .withColumn("avg_per_active_day",
+        round(col("n_events") / col("active_days"), 4))
+      .orderBy(col("user_id"))
+  }
+
+  /** #13 first-seen/new-entity detection per (user, event_type). */
+  def firstSeen(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).cast("long").as("first_seen_s"))
+      .withColumn("is_new", col("first_seen_s") >= lit(1706054400L)) // 2024-01-24Z
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** #14 per-group summary statistics. Ref: baseline_modules/summary_stats. */
+  def summaryStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("mean_value"),
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        round(percentile(col("value"), lit(0.5)), 4).as("median_value"))
+      .orderBy(col("event_type"))
+
+  /** #15 linear trend of daily counts + day-30 prediction.
+    * Ref: baseline_modules/violations_linear_prediction. */
+  def linearPrediction(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        round(regr_slope(col("n"), col("day_idx")), 4).as("slope"),
+        round(regr_intercept(col("n"), col("day_idx")), 4).as("icept"))
+      .withColumn("predicted_day30",
+        round(col("slope") * 30 + col("icept"), 4))
+      .orderBy(col("event_type"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_baseline_percentiles" -> baselinePercentiles _,
+    "q_baseline_outliers" -> baselineOutliers _,
+    "q_temporal_by_day" -> temporalByDay _,
+    "q_login_baseline" -> loginBaseline _,
+    "q_first_seen" -> firstSeen _,
+    "q_summary_stats" -> summaryStats _,
+    "q_linear_prediction" -> linearPrediction _
+  )
+
+  private val HourlyCte =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q_baseline_percentiles" ->
+      s"""$HourlyCte
+         |SELECT event_type,
+         |  count(*) AS n_hours,
+         |  round(avg(n), 4) AS avg_n,
+         |  min(n) AS min_n, max(n) AS max_n,
+         |  round(quantile_cont(n, 0.025), 4) AS p025,
+         |  round(quantile_cont(n, 0.05), 4) AS p05,
+         |  round(quantile_cont(n, 0.10), 4) AS p10,
+         |  round(quantile_cont(n, 0.25), 4) AS p25,
+         |  round(quantile_cont(n, 0.50), 4) AS p50,
+         |  round(quantile_cont(n, 0.75), 4) AS p75,
+         |  round(quantile_cont(n, 0.95), 4) AS p95,
+         |  round(quantile_cont(n, 0.975), 4) AS p975
+         |FROM hourly GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_baseline_outliers" ->
+      s"""$HourlyCte, profile AS (
+         |  SELECT event_type, round(quantile_cont(n, 0.95), 4) AS p95
+         |  FROM hourly WHERE h < TIMESTAMP '2024-01-25'
+         |  GROUP BY event_type
+         |)
+         |SELECT h.event_type, epoch_ns(h.h) // 1000000000 AS h_s,
+         |  h.n, p.p95, h.n > p.p95 AS outlier
+         |FROM hourly h JOIN profile p USING (event_type)
+         |WHERE h.h >= TIMESTAMP '2024-01-25'
+         |ORDER BY h.event_type, h_s""".stripMargin,
+
+    "q_temporal_by_day" ->
+      """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+        |  count(*) AS n,
+        |  round(avg(value), 4) AS value_avg,
+        |  min(value) AS value_min,
+        |  max(value) AS value_max
+        |FROM events GROUP BY event_type, hod
+        |ORDER BY event_type, hod""".stripMargin,
+
+    "q_login_baseline" ->
+      """WITH totals AS (
+        |  SELECT count(DISTINCT CAST(ts AS DATE)) AS total_days FROM events
+        |)
+        |SELECT user_id,
+        |  count(*) AS n_events,
+        |  count(DISTINCT CAST(ts AS DATE)) AS active_days,
+        |  max(t.total_days) AS total_days,
+        |  round(count(DISTINCT CAST(ts AS DATE)) * 1.0 / max(t.total_days), 4)
+        |    AS pct_days,
+        |  round(count(*) * 1.0 / count(DISTINCT CAST(ts AS DATE)), 4)
+        |    AS avg_per_active_day
+        |FROM events CROSS JOIN totals t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_first_seen" ->
+      """SELECT user_id, event_type,
+        |  min(epoch_ns(ts) // 1000000000) AS first_seen_s,
+        |  min(epoch_ns(ts) // 1000000000) >= 1706054400 AS is_new
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_summary_stats" ->
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  round(avg(value), 4) AS mean_value,
+        |  round(stddev_samp(value), 4) AS sd_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value,
+        |  round(quantile_cont(value, 0.5), 4) AS median_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_linear_prediction" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), fit AS (
+        |  SELECT event_type,
+        |    round(regr_slope(n, day_idx), 4) AS slope,
+        |    round(regr_intercept(n, day_idx), 4) AS icept
+        |  FROM daily GROUP BY event_type
+        |)
+        |SELECT event_type, slope, icept,
+        |  round(slope * 30 + icept, 4) AS predicted_day30
+        |FROM fit ORDER BY event_type""".stripMargin
+  )
 }

@@ -28,8 +28,117 @@ object CoreSql {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** #17 3-way join with broadcast dims; Catalyst plans customer as a
+    * BroadcastHashJoin — no shuffle of the fact table for that side. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(c("c_mktsegment"), o("o_orderpriority"))
+      .agg(
+        round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2)
+          .as("revenue"),
+        countDistinct(o("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+  }
+
+  /** #18 semi/anti joins (EXISTS / NOT EXISTS surface). */
+  def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders").select(col("o_custkey"))
+    val without = cust
+      .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("customers_without_orders"))
+    val withO = cust
+      .join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("customers_with_orders"))
+    without.crossJoin(withO)
+  }
+
+  /** #19 top-k per group via ranking window (deterministic tiebreak). */
+  def topkWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** #20 tumbling daily time slices (TIME_SLICE re-expression). */
+  def timeSlice(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("value_sum"),
+        round(avg(col("value")), 4).as("value_avg"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** #21 JSON extraction from a VARIANT-style string column. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("k") > 50, 1)).as("n_high"),
+        round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** #22 regex + LIKE predicates over text. */
+  def regexLike(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("text").rlike("[0-9]{2,}"), 1)).as("n_numeric"),
+        count(when(col("text").like("%the%"), 1)).as("n_the"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  /** #23 rollup totals (GROUPING SETS surface) over broadcast dims. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("c_acctbal")), 2).as("acctbal_sum"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** #24 running-frame window: cumulative sum + lag delta per user. */
+  def runningWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("running_value",
+        round(sum(col("value"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+      .withColumn("delta",
+        round(col("value") - lag(col("value"), 1).over(w), 4))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_pushdown" -> aggPushdown _
+    "q_agg_pushdown" -> aggPushdown _,
+    "q_join_broadcast" -> joinBroadcast _,
+    "q_semi_anti_join" -> semiAntiJoin _,
+    "q_topk_window" -> topkWindow _,
+    "q_time_slice" -> timeSlice _,
+    "q_json_extract" -> jsonExtract _,
+    "q_regex_like" -> regexLike _,
+    "q_rollup" -> rollupAgg _,
+    "q_running_window" -> runningWindow _
   )
 
   def oracle: Map[String, String] = Map(
@@ -44,6 +153,82 @@ object CoreSql {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT c.c_mktsegment, o.o_orderpriority,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |  count(DISTINCT o.o_orderkey) AS n_orders,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment, o.o_orderpriority
+        |ORDER BY c.c_mktsegment, o.o_orderpriority""".stripMargin,
+
+    "q_semi_anti_join" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        |    AS customers_without_orders,
+        |  (SELECT count(*) FROM customer c WHERE EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        |    AS customers_with_orders""".stripMargin,
+
+    "q_topk_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_time_slice" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |  count(*) AS n,
+        |  round(sum(value), 4) AS value_sum,
+        |  round(avg(value), 4) AS value_avg
+        |FROM events
+        |GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin,
+
+    "q_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  count(CASE WHEN k > 50 THEN 1 END) AS n_high,
+        |  round(avg(k), 4) AS avg_k,
+        |  max(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_regex_like" ->
+      """SELECT lang,
+        |  count(*) AS n_docs,
+        |  count(CASE WHEN regexp_matches(text, '[0-9]{2,}') THEN 1 END)
+        |    AS n_numeric,
+        |  count(CASE WHEN text LIKE '%the%' THEN 1 END) AS n_the,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT r.r_name, n.n_name,
+        |  round(sum(c.c_acctbal), 2) AS acctbal_sum,
+        |  count(*) AS n_customers
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r.r_name, n.n_name)
+        |ORDER BY r.r_name NULLS FIRST, n.n_name NULLS FIRST""".stripMargin,
+
+    "q_running_window" ->
+      """SELECT user_id, event_id, value,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS UNBOUNDED PRECEDING), 4) AS running_value,
+        |  round(value - lag(value, 1) OVER (PARTITION BY user_id
+        |    ORDER BY event_id), 4) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin
   )
 }
