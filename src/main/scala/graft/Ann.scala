@@ -1,8 +1,169 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** SURVEY.md §2 #32-34: similarity search over the embedding column.
+  * Brute-force is the exact baseline (probe broadcast, per-partition
+  * top-k via TakeOrdered — no global sort); random-hyperplane LSH is the
+  * scale path (bucket prune → exact rerank within bucket); centroids are
+  * the IVF coarse-quantizer building block.
+  */
 object Ann {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+  import Tables.t
+
+  private def withV(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+
+  private val dot =
+    "aggregate(zip_with(v, pv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private val norm2 =
+    "aggregate(transform(%s, x -> x * x), 0D, (acc, x) -> acc + x)"
+
+  /** #32 exact top-10 cosine neighbors of probe vector vec_id=0. */
+  def bruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = withV(t(s, dir, "embeddings"))
+    val probe = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("v").as("pv")))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(probe)
+      .withColumn("dot", expr(dot))
+      .withColumn("qa", expr(norm2.format("v")))
+      .withColumn("qb", expr(norm2.format("pv")))
+      .withColumn("cosine",
+        Num.r4(col("dot") / (sqrt(col("qa")) * sqrt(col("qb")))))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Deterministic md5-seeded random-hyperplane signature: plane p,
+    * dim d has coefficient strpos(hex, md5('p:d')[0]) - 8.5 ∈ ±7.5. */
+  private def buckets(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("d", col("pos") + 1)
+      .select(col("vec_id"), col("d"), col("x"),
+        explode(expr("sequence(0, 7)")).as("p"))
+      .withColumn("coef", expr(
+        "instr('0123456789abcdef', substr(md5(concat(p, ':', d)), 1, 1)) - 8.5"))
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("coef") * col("x")).as("proj"))
+      .withColumn("bit", when(col("proj") > 0, 1L).otherwise(0L))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("bit * cast(power(2, p) as bigint)")).as("bucket"))
+
+  /** #33 LSH-bucketed ANN: candidates share the probe's 8-bit
+    * hyperplane bucket; exact cosine rerank only within the bucket. */
+  def lshAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = withV(t(s, dir, "embeddings"))
+    val b = buckets(e)
+    val probeBucket = broadcast(
+      b.filter(col("vec_id") === 0).select(col("bucket")))
+    val probe = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("v").as("pv")))
+    e.join(b, Seq("vec_id"))
+      .join(probeBucket, Seq("bucket"))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(probe)
+      .withColumn("dot", expr(dot))
+      .withColumn("qa", expr(norm2.format("v")))
+      .withColumn("qb", expr(norm2.format("pv")))
+      .withColumn("cosine",
+        Num.r4(col("dot") / (sqrt(col("qa")) * sqrt(col("qb")))))
+      .select(col("vec_id"), col("bucket"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** #34 per-label centroids (IVF coarse quantizer). */
+  def centroids(s: SparkSession, dir: String): DataFrame =
+    withV(t(s, dir, "embeddings"))
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(Num.r4(avg(col("x"))).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_bruteforce" -> bruteForce _,
+    "q_ann_lsh" -> lshAnn _,
+    "q_embedding_centroids" -> centroids _
+  )
+
+  private val CosineCte =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding AS v FROM embeddings
+      |), probe AS (
+      |  SELECT v AS pv FROM e WHERE vec_id = 0
+      |), expanded AS (
+      |  SELECT e.vec_id, e.v, p.pv,
+      |    unnest(generate_series(1, len(e.v))) AS i
+      |  FROM e CROSS JOIN probe p WHERE e.vec_id <> 0
+      |), comp AS (
+      |  SELECT vec_id,
+      |    sum(v[i]::DOUBLE * pv[i]::DOUBLE) AS dot,
+      |    sum(v[i]::DOUBLE * v[i]::DOUBLE) AS qa,
+      |    sum(pv[i]::DOUBLE * pv[i]::DOUBLE) AS qb
+      |  FROM expanded GROUP BY vec_id
+      |)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q_ann_bruteforce" ->
+      s"""$CosineCte
+         |SELECT vec_id, round(dot / (sqrt(qa) * sqrt(qb)), 4) AS cosine
+         |FROM comp
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding AS v FROM embeddings
+        |), dims AS (
+        |  SELECT vec_id, v, unnest(generate_series(1, len(v))) AS d FROM e
+        |), planes AS (
+        |  SELECT vec_id, v, d, v[d]::DOUBLE AS x,
+        |    unnest(generate_series(0, 7)) AS p
+        |  FROM dims
+        |), projs AS (
+        |  SELECT vec_id, p,
+        |    sum((strpos('0123456789abcdef',
+        |      substr(md5(p || ':' || d), 1, 1)) - 8.5) * x) AS proj
+        |  FROM planes GROUP BY vec_id, p
+        |), bucketed AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN proj > 0 THEN 1 ELSE 0 END
+        |      * CAST(power(2, p) AS BIGINT)) AS BIGINT) AS bucket
+        |  FROM projs GROUP BY vec_id
+        |), probe_bucket AS (
+        |  SELECT bucket FROM bucketed WHERE vec_id = 0
+        |), probe AS (
+        |  SELECT v AS pv FROM e WHERE vec_id = 0
+        |), cands AS (
+        |  SELECT e.vec_id, b.bucket, e.v, p.pv,
+        |    unnest(generate_series(1, len(e.v))) AS i
+        |  FROM e
+        |  JOIN bucketed b ON b.vec_id = e.vec_id
+        |  JOIN probe_bucket pb ON pb.bucket = b.bucket
+        |  CROSS JOIN probe p
+        |  WHERE e.vec_id <> 0
+        |), comp AS (
+        |  SELECT vec_id, bucket,
+        |    sum(v[i]::DOUBLE * pv[i]::DOUBLE) AS dot,
+        |    sum(v[i]::DOUBLE * v[i]::DOUBLE) AS qa,
+        |    sum(pv[i]::DOUBLE * pv[i]::DOUBLE) AS qb
+        |  FROM cands GROUP BY vec_id, bucket
+        |)
+        |SELECT vec_id, bucket,
+        |  round(dot / (sqrt(qa) * sqrt(qb)), 4) AS cosine
+        |FROM comp ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
+
+    "q_embedding_centroids" ->
+      """WITH expanded AS (
+        |  SELECT label, embedding AS v,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings
+        |)
+        |SELECT label, CAST(i AS INTEGER) AS dim,
+        |  round(avg(v[i]::DOUBLE), 4) AS centroid
+        |FROM expanded GROUP BY label, i ORDER BY label, dim""".stripMargin
+  )
 }

@@ -26,11 +26,11 @@ object Baselines {
       "p50" -> 0.50, "p75" -> 0.75, "p95" -> 0.95, "p975" -> 0.975)
     val aggs = Seq(
       count(lit(1)).as("n_hours"),
-      round(avg(col("n")), 4).as("avg_n"),
+      Num.r4(avg(col("n"))).as("avg_n"),
       min(col("n")).as("min_n"),
       max(col("n")).as("max_n")) ++
       ps.map { case (name, p) =>
-        round(percentile(col("n"), lit(p)), 4).as(name)
+        Num.r4(percentile(col("n"), lit(p))).as(name)
       }
     hourly(s, dir)
       .groupBy(col("event_type"))
@@ -45,7 +45,7 @@ object Baselines {
     val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
     val profile = h.filter(col("h") < cutoff)
       .groupBy(col("event_type"))
-      .agg(round(percentile(col("n"), lit(0.95)), 4).as("p95"))
+      .agg(Num.r4(percentile(col("n"), lit(0.95))).as("p95"))
     h.filter(col("h") >= cutoff)
       .join(broadcast(profile), Seq("event_type"))
       .withColumn("outlier", col("n") > col("p95"))
@@ -60,7 +60,7 @@ object Baselines {
       .groupBy(col("event_type"), hour(col("ts")).as("hod"))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("value")), 4).as("value_avg"),
+        Num.r4(avg(col("value"))).as("value_avg"),
         min(col("value")).as("value_min"),
         max(col("value")).as("value_max"))
       .orderBy(col("event_type"), col("hod"))
@@ -77,9 +77,9 @@ object Baselines {
         countDistinct(col("ts").cast("date")).as("active_days"))
       .crossJoin(broadcast(totals))
       .withColumn("pct_days",
-        round(col("active_days") / col("total_days"), 4))
+        Num.r4(col("active_days") / col("total_days")))
       .withColumn("avg_per_active_day",
-        round(col("n_events") / col("active_days"), 4))
+        Num.r4(col("n_events") / col("active_days")))
       .orderBy(col("user_id"))
   }
 
@@ -97,11 +97,11 @@ object Baselines {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("value")), 4).as("mean_value"),
-        round(stddev_samp(col("value")), 4).as("sd_value"),
+        Num.r4(avg(col("value"))).as("mean_value"),
+        Num.r4(stddev_samp(col("value"))).as("sd_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
-        round(percentile(col("value"), lit(0.5)), 4).as("median_value"))
+        Num.r4(percentile(col("value"), lit(0.5))).as("median_value"))
       .orderBy(col("event_type"))
 
   /** #15 linear trend of daily counts + day-30 prediction.
@@ -114,10 +114,10 @@ object Baselines {
       .agg(count(lit(1)).as("n"))
     daily.groupBy(col("event_type"))
       .agg(
-        round(regr_slope(col("n"), col("day_idx")), 4).as("slope"),
-        round(regr_intercept(col("n"), col("day_idx")), 4).as("icept"))
+        Num.r4(regr_slope(col("n"), col("day_idx"))).as("slope"),
+        Num.r4(regr_intercept(col("n"), col("day_idx"))).as("icept"))
       .withColumn("predicted_day30",
-        round(col("slope") * 30 + col("icept"), 4))
+        Num.r4(col("slope") * 30 + col("icept")))
       .orderBy(col("event_type"))
   }
 

@@ -19,12 +19,12 @@ object CoreSql {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        Num.r4(sum(col("l_quantity"))).as("sum_qty"),
+        Num.r4(sum(col("l_extendedprice"))).as("sum_base_price"),
+        Num.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
           .as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        Num.r4(avg(col("l_quantity"))).as("avg_qty"),
+        Num.r4(avg(col("l_discount"))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -38,7 +38,7 @@ object CoreSql {
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(c("c_mktsegment"), o("o_orderpriority"))
       .agg(
-        round(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))), 2)
+        Num.r2(sum(l("l_extendedprice") * (lit(1.0) - l("l_discount"))))
           .as("revenue"),
         countDistinct(o("o_orderkey")).as("n_orders"),
         count(lit(1)).as("n_lines"))
@@ -76,8 +76,8 @@ object CoreSql {
       .groupBy(col("ts").cast("date").as("day"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("value")), 4).as("value_sum"),
-        round(avg(col("value")), 4).as("value_avg"))
+        Num.r4(sum(col("value"))).as("value_sum"),
+        Num.r4(avg(col("value"))).as("value_avg"))
       .orderBy(col("day"), col("event_type"))
 
   /** #21 JSON extraction from a VARIANT-style string column. */
@@ -87,7 +87,7 @@ object CoreSql {
       .groupBy(col("event_type"))
       .agg(
         count(when(col("k") > 50, 1)).as("n_high"),
-        round(avg(col("k")), 4).as("avg_k"),
+        Num.r4(avg(col("k"))).as("avg_k"),
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
@@ -99,7 +99,7 @@ object CoreSql {
         count(lit(1)).as("n_docs"),
         count(when(col("text").rlike("[0-9]{2,}"), 1)).as("n_numeric"),
         count(when(col("text").like("%the%"), 1)).as("n_the"),
-        round(avg(col("n_chars")), 4).as("avg_chars"))
+        Num.r4(avg(col("n_chars"))).as("avg_chars"))
       .orderBy(col("lang"))
 
   /** #23 rollup totals (GROUPING SETS surface) over broadcast dims. */
@@ -111,7 +111,7 @@ object CoreSql {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(
-        round(sum(col("c_acctbal")), 2).as("acctbal_sum"),
+        Num.r2(sum(col("c_acctbal"))).as("acctbal_sum"),
         count(lit(1)).as("n_customers"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
@@ -122,10 +122,10 @@ object CoreSql {
     t(s, dir, "events")
       .select(col("user_id"), col("event_id"), col("value"))
       .withColumn("running_value",
-        round(sum(col("value"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+        Num.r4(sum(col("value"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
       .withColumn("delta",
-        round(col("value") - lag(col("value"), 1).over(w), 4))
+        Num.r4(col("value") - lag(col("value"), 1).over(w)))
       .orderBy(col("user_id"), col("event_id"))
   }
 

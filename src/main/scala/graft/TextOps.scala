@@ -1,8 +1,148 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** SURVEY.md §2 #35-38: text analysis for training-data pipelines —
+  * language ID, quality scoring, token counting, fingerprinting. All
+  * single-pass projections + one aggregation; every expression is a
+  * codegen'd built-in (no UDFs in the hot path).
+  */
 object TextOps {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+  import Tables.t
+
+  /** #35 stopword-heuristic language ID + confusion counts vs the
+    * labeled `lang` column. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+    toks
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        count(when(col("tok").isin("the", "a", "of", "and"), 1)).as("n_stop"))
+      .withColumn("guess",
+        when(col("n_stop") / col("n_tok") >= 0.05, "en").otherwise("other"))
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("guess"))
+  }
+
+  /** #36 document quality score: token stats + digit/stopword ratios
+    * folded into one [0,1] score (all exact integer-derived ratios). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("n_stop", size(expr(
+        "filter(w, x -> x IN ('the', 'a', 'of', 'and'))")).cast("long"))
+      .withColumn("n_digit",
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
+      .withColumn("mean_tok_len",
+        Num.r4((length(col("text")) - (col("n_tok") - 1)) / col("n_tok")))
+      .withColumn("stop_ratio", Num.r4(col("n_stop") / col("n_tok")))
+      .withColumn("digit_ratio",
+        Num.r4(col("n_digit") / length(col("text"))))
+      .withColumn("score", Num.r4(
+        lit(0.4) * (col("n_stop") / col("n_tok")) +
+          lit(0.3) * (least(col("n_tok"), lit(100L)) / 100.0) +
+          lit(0.3) * (lit(1.0) - col("n_digit") / length(col("text")))))
+      .select(col("doc_id"), col("n_tok"), col("mean_tok_len"),
+        col("stop_ratio"), col("digit_ratio"), col("score"))
+      .orderBy(col("doc_id"))
+
+  /** #37 token counting: whitespace + BPE-ish regex segmentation. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bpe_tokens", size(expr(
+        "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("ws_total"),
+        sum(col("bpe_tokens")).as("bpe_total"),
+        Num.r4(avg(col("ws_tokens"))).as("ws_avg"))
+      .orderBy(col("source"))
+
+  /** #38 rolling-hash document fingerprint: min md5 over char 5-grams
+    * (winnowing with a single global window). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)-4), i -> substring(text, i, 5))"))
+        .as("g"))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("g"))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id" -> langId _,
+    "q_quality_score" -> qualityScore _,
+    "q_token_count" -> tokenCount _,
+    "q_fingerprint" -> fingerprint _
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), per AS (
+        |  SELECT doc_id, lang, count(*) AS n_tok,
+        |    count(CASE WHEN tok IN ('the', 'a', 'of', 'and') THEN 1 END)
+        |      AS n_stop
+        |  FROM toks GROUP BY doc_id, lang
+        |), guessed AS (
+        |  SELECT lang,
+        |    CASE WHEN n_stop * 1.0 / n_tok >= 0.05 THEN 'en'
+        |         ELSE 'other' END AS guess
+        |  FROM per
+        |)
+        |SELECT lang, guess, count(*) AS n
+        |FROM guessed GROUP BY lang, guess ORDER BY lang, guess""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  round((length(text) - (n_tok - 1)) * 1.0 / n_tok, 4)
+        |    AS mean_tok_len,
+        |  round(n_stop * 1.0 / n_tok, 4) AS stop_ratio,
+        |  round(n_digit * 1.0 / length(text), 4) AS digit_ratio,
+        |  round(0.4 * (n_stop * 1.0 / n_tok)
+        |    + 0.3 * (least(n_tok, 100) / 100.0)
+        |    + 0.3 * (1.0 - n_digit * 1.0 / length(text)), 4) AS score
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """WITH base AS (
+        |  SELECT source,
+        |    len(string_split(text, ' ')) AS ws_tokens,
+        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |      AS bpe_tokens
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ws_tokens) AS BIGINT) AS ws_total,
+        |  CAST(sum(bpe_tokens) AS BIGINT) AS bpe_total,
+        |  round(avg(ws_tokens), 4) AS ws_avg
+        |FROM base GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_fingerprint" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, len(text)-4)) AS i
+        |  FROM documents
+        |)
+        |SELECT doc_id, min(md5(substr(text, i, 5))) AS fingerprint
+        |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
 }
