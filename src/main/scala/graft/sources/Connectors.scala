@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** SURVEY.md §2 #40-43: the connector layer. The reference lands raw
+  * JSON/CSV/text logs into tables with a `raw` VARIANT column plus typed
+  * projected columns, incrementally by timestamp (reference:
+  * src/connectors — aws_cloudtrail.py, nginx_log.py, *_devices.py,
+  * utils.py). Here each connector is a Spark reader producing the same
+  * shape: `raw` (original record) + typed columns, declaratively, so
+  * schema pruning and filter pushdown still apply downstream.
+  */
+object Connectors {
+
+  /** JSON-lines connector (cloudtrail-shaped nested JSON). Explicit
+    * schema (no inference scan at 100 TB); keeps the raw line. */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.text(path)
+      .withColumn("raw", col("value"))
+      .withColumn("rec", from_json(col("value"), schema))
+      .select(col("raw"), col("rec.*"))
+
+  /** CSV inventory connector (device/asset inventories). */
+  def csvInventory(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(schema)
+      .csv(path)
+
+  /** Regex text-log connector: one capture group per field (nginx
+    * combined-log style). Ref: src/connectors/nginx_log.py. */
+  def regexTextLog(
+      spark: SparkSession,
+      path: String,
+      pattern: String,
+      fields: Seq[String]): DataFrame = {
+    val raw = spark.read.text(path)
+    val cols = fields.zipWithIndex.map { case (f, i) =>
+      regexp_extract(col("value"), pattern, i + 1).as(f)
+    }
+    raw.select((col("value").as("raw") +: cols): _*)
+  }
+
+  /** Combined nginx access-log preset. */
+  val NginxPattern =
+    """^(\S+) \S+ (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]*)" (\d{3}) (\d+|-)"""
+  val NginxFields = Seq("remote_addr", "remote_user", "time_local",
+    "method", "path", "protocol", "status", "body_bytes")
+
+  def nginxLog(spark: SparkSession, path: String): DataFrame =
+    regexTextLog(spark, path, NginxPattern, NginxFields)
+      .withColumn("status", col("status").cast("int"))
+      .withColumn("body_bytes",
+        when(col("body_bytes") === "-", 0L)
+          .otherwise(col("body_bytes").cast("long")))
+
+  /** Incremental window helper: the connector-runner's "only newer than
+    * last landed timestamp" contract (ref: connectors/utils.py). */
+  def incremental(df: DataFrame, tsCol: String, fromTs: String): DataFrame =
+    df.filter(col(tsCol) > lit(fromTs).cast("timestamp"))
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{AlertRule, RuleEngine}
+
+/** Unit semantics of the rule pipeline on tiny hand-built inputs. */
+class RuleEngineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mkEvents = Seq(
+    // (event_id, ts, user, type, value)
+    (1L, "2024-01-01 10:00:00", 1L, "error", 120.0),
+    (2L, "2024-01-01 10:30:00", 1L, "error", 130.0), // chains with #1
+    (3L, "2024-01-01 13:00:00", 1L, "error", 140.0), // new chain (gap)
+    (4L, "2024-01-01 10:00:00", 2L, "error", 10.0),  // below threshold
+    (5L, "2024-01-01 10:00:00", 3L, "error", 250.0)
+  ).toDF("event_id", "ts_s", "user_id", "event_type", "value")
+    .withColumn("ts", col("ts_s").cast("timestamp"))
+    .withColumn("props", lit("{}"))
+
+  private val rule = AlertRule(
+    name = "r1", queryId = "q1", title = "T",
+    predicate = col("event_type") === "error" && col("value") > 100,
+    actor = concat_ws("", lit("u"), col("user_id")),
+    target = concat_ws("", lit("u"), col("user_id")),
+    action = col("event_type"),
+    description = concat_ws("", lit("u"), col("user_id")),
+    severity = when(col("value") > 200, "high").otherwise("medium"),
+    eventTime = col("ts"),
+    eventData = col("props"))
+
+  private def alerts = RuleEngine.runAlertRule(
+    mkEvents, rule, col("event_id"),
+    "2024-01-01 00:00:00", "2024-01-02 00:00:00", 0L)
+
+  test("rule filters below-threshold and out-of-window events") {
+    assert(alerts.count() == 4)
+    assert(alerts.filter(col("severity") === "high").count() == 1)
+  }
+
+  test("alert_id is deterministic") {
+    val a = alerts.select("alert_id").collect().map(_.getString(0)).sorted
+    val b = alerts.select("alert_id").collect().map(_.getString(0)).sorted
+    assert(a.sameElements(b))
+    assert(a.distinct.length == 4)
+  }
+
+  test("merge sums counters per (object, description)") {
+    val m = RuleEngine.mergeAlerts(alerts)
+    // u1 has 3 alerts with same object+description → one row, counter 3
+    val u1 = m.filter(col("object") === "u1").collect()
+    assert(u1.length == 1 && u1.head.getAs[Long]("counter") == 3L)
+    assert(m.count() == 2)
+  }
+
+  test("suppress flags exactly the given ids") {
+    val sup = alerts.filter(col("actor") === "u3").select("alert_id")
+    val out = RuleEngine.suppress(alerts, sup, "squelch1")
+    assert(out.filter(col("suppressed")).count() == 1)
+    assert(out.filter(col("suppression_rule") === "squelch1").count() == 1)
+    assert(out.filter(!col("suppressed")).count() == 3)
+  }
+
+  test("correlate chains within gap, breaks on gap") {
+    val c = RuleEngine.correlate(alerts, gapMinutes = 60)
+    val u1 = c.filter(col("actor") === "u1")
+      .orderBy("event_time_s")
+      .select("chain_seq").collect().map(_.getLong(0))
+    assert(u1.sameElements(Array(1L, 1L, 2L))) // 10:00+10:30 chain, 13:00 new
+    // correlation_id equal within chain, different across chains
+    val ids = c.filter(col("actor") === "u1").orderBy("event_time_s")
+      .select("correlation_id").collect().map(_.getString(0))
+    assert(ids(0) == ids(1) && ids(1) != ids(2))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.engine.AlertRule
+import graft.streaming.StreamingAlerts
+import graft.streaming.StreamingAlerts.{SessionEvent, SessionSummary}
+
+case class StreamEv(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rule = AlertRule(
+    name = "sr1", queryId = "q1", title = "T",
+    predicate = col("event_type") === "error" && col("value") > 100,
+    actor = concat_ws("", lit("u"), col("user_id")),
+    target = concat_ws("", lit("u"), col("user_id")),
+    action = col("event_type"),
+    description = concat_ws("", lit("u"), col("user_id")),
+    severity = lit("medium"),
+    eventTime = col("ts"),
+    eventData = lit("{}"))
+
+  test("ruleStream emits alerts for matching events only") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamEv]
+    val out = StreamingAlerts.ruleStream(input.toDF(), rule, col("event_id"))
+    val q = out.writeStream.format("memory").queryName("alerts_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      StreamEv(1, ts("2024-01-01 10:00:00"), 1, "error", 120.0),
+      StreamEv(2, ts("2024-01-01 10:01:00"), 1, "click", 500.0),
+      StreamEv(3, ts("2024-01-01 10:02:00"), 2, "error", 50.0))
+    q.processAllAvailable()
+    val got = spark.table("alerts_out").collect()
+    q.stop()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("actor") == "u1")
+  }
+
+  test("windowedCounts aggregates per window and type") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamEv]
+    val out = StreamingAlerts.windowedCounts(
+      input.toDF(), "10 minutes", "10 minutes", "1 minute")
+    val q = out.writeStream.format("memory").queryName("wc_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      StreamEv(1, ts("2024-01-01 10:01:00"), 1, "error", 1.0),
+      StreamEv(2, ts("2024-01-01 10:02:00"), 2, "error", 2.0),
+      StreamEv(3, ts("2024-01-01 10:03:00"), 3, "click", 3.0))
+    q.processAllAvailable()
+    // advance watermark past the window so append emits it
+    input.addData(StreamEv(9, ts("2024-01-01 11:00:00"), 1, "view", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("wc_out").collect()
+    q.stop()
+    val err = got.find(_.getAs[String]("event_type") == "error").get
+    assert(err.getAs[Long]("n") == 2L)
+    assert(err.getAs[Double]("value_sum") == 3.0)
+  }
+
+  test("dedupStream drops duplicate alert ids") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val alerts = input.toDF().toDF("alert_id", "event_time")
+    val q = StreamingAlerts.dedupStream(alerts).writeStream
+      .format("memory").queryName("dd_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      ("a1", ts("2024-01-01 10:00:00")),
+      ("a1", ts("2024-01-01 10:00:30")),
+      ("a2", ts("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    val got = spark.table("dd_out").collect()
+    q.stop()
+    assert(got.map(_.getString(0)).sorted.sameElements(Array("a1", "a2")))
+  }
+
+  test("sessionize merges events within gap into one session") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val out = StreamingAlerts.sessionize(input.toDS(), gapS = 3600)
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Update).start()
+    input.addData(
+      SessionEvent("u1", 1000L),
+      SessionEvent("u1", 2000L),
+      SessionEvent("u2", 5000L))
+    q.processAllAvailable()
+    val got = spark.table("sess_out").as[SessionSummary].collect()
+    q.stop()
+    val u1 = got.find(_.actor == "u1").get
+    assert(u1.startS == 1000L && u1.endS == 2000L && u1.nEvents == 2L)
+  }
+}
