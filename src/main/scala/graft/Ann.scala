@@ -39,7 +39,13 @@ object Ann {
   }
 
   /** Deterministic md5-seeded random-hyperplane signature: plane p,
-    * dim d has coefficient strpos(hex, md5('p:d')[0]) - 8.5 ∈ ±7.5. */
+    * dim d has coefficient strpos(hex, md5('p:d')[0]) - 8.5 ∈ ±7.5.
+    * Returns (vec_id, bucket) with an 8-bit signature; at 100 TB this is
+    * the thing to materialize once (see `signatures`) — recomputing it
+    * per query is demo-only. Shared with Dedup.embeddingNearDup as the
+    * blocking key. */
+  def signatures(e: DataFrame): DataFrame = buckets(e)
+
   private def buckets(e: DataFrame): DataFrame =
     e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .withColumn("d", col("pos") + 1)

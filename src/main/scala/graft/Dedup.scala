@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 /** SURVEY.md §2 #26-31: deduplication operators for training-data
   * pipelines. All are composition of built-in codegen'd expressions —
   * signatures are computed in a single projection pass (no shuffle);
-  * only candidate generation shuffles, on (band, bucket) keys, so the
-  * engine never materializes O(n²) pairs.
+  * only candidate generation shuffles, on (band, bucket) keys, and every
+  * exact-similarity verification (Jaccard, cosine, hamming) runs on LSH
+  * candidates ONLY — the engine never materializes O(n²) pairs, and the
+  * corpus-wide data never enters a pairwise join.
   */
 object Dedup {
   import Tables.t
@@ -15,10 +17,14 @@ object Dedup {
   private val NumHashes = 8
 
   /** Word-level 3-shingles, distinct per doc (one explode, no shuffle
-    * until the downstream distinct). */
+    * until the downstream distinct). Docs with <3 words are dropped
+    * before the sequence() so the bound never goes negative (Spark's
+    * sequence(1, n<1) is DESCENDING, not empty — unlike the oracle's
+    * generate_series). */
   def shingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(w)-2),
           |  i -> concat_ws(' ', element_at(w,i), element_at(w,i+1),
@@ -37,34 +43,46 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** #28 LSH banding (4 bands × 2 rows) → candidate pairs → exact
-    * Jaccard on candidates only. */
-  def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir)
+  /** LSH banding (4 bands × 2 rows) → DISTINCT candidate pairs. The
+    * only pairwise join in the dedup path, and it joins on (band
+    * bucket) keys — docs colliding in ≥1 band — never on raw content. */
+  def lshCandidates(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"), explode(array(
       md5(concat_ws("", lit("0:"), col("mh0"), col("mh1"))),
       md5(concat_ws("", lit("1:"), col("mh2"), col("mh3"))),
       md5(concat_ws("", lit("2:"), col("mh4"), col("mh5"))),
       md5(concat_ws("", lit("3:"), col("mh6"), col("mh7"))))).as("bucket"))
-    val cand = bands.as("ba")
+    bands.as("ba")
       .join(bands.as("bb"),
         col("ba.bucket") === col("bb.bucket") &&
           col("ba.doc_id") < col("bb.doc_id"))
       .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingles(s, dir)
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val inter = sh.as("sa")
-      .join(sh.as("sb"),
-        col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
-      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    inter
-      .join(counts.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("nsh", "na"), Seq("doc_a"))
-      .join(counts.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("nsh", "nb"), Seq("doc_b"))
+  }
+
+  private def candidateDocs(cand: DataFrame): DataFrame =
+    cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+
+  /** #28 LSH banding → candidate pairs → exact Jaccard on candidates
+    * ONLY: shingles are semi-joined to candidate doc ids BEFORE any
+    * pairwise work, then intersections are computed per candidate pair
+    * via array_intersect over per-doc shingle sets — a hot shingle
+    * shared by f docs costs f rows here, never f². */
+  def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val cand = lshCandidates(minhashSignatures(s, dir))
+    val docSh = shingles(s, dir)
+      .join(candidateDocs(cand), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("nsh"))
+    cand
+      .join(docSh.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
+        col("nsh").as("na")), Seq("doc_a"))
+      .join(docSh.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
+        col("nsh").as("nb")), Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard",
         Num.r4(col("inter") / (col("na") + col("nb") - col("inter"))))
       .filter(col("jaccard") >= 0.5)
@@ -85,34 +103,37 @@ object Dedup {
       .filter(col("n_docs") >= 2)
       .orderBy(col("key"))
 
-  /** #29 character 4-gram Jaccard between adjacent doc pairs (the
-    * candidate-pair verification primitive). */
+  /** #29 character 4-gram Jaccard over the MinHash-LSH candidate pairs
+    * (the candidate-pair verification primitive, composed with #28's
+    * banding): grams are extracted only for candidate docs, then
+    * intersected per candidate pair via array_intersect — no corpus-wide
+    * gram join. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val g = t(s, dir, "documents")
+    val cand = lshCandidates(minhashSignatures(s, dir))
+    val docG = t(s, dir, "documents")
+      .join(candidateDocs(cand), Seq("doc_id"), "left_semi")
+      .filter(length(col("text")) >= 4)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text)-3), i -> substring(text, i, 4))"))
         .as("g"))
       .distinct()
-    val gc = g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
-    val inter = g.as("ga")
-      .join(g.as("gb"),
-        col("ga.g") === col("gb.g") &&
-          col("gb.doc_id") === col("ga.doc_id") + 1)
-      .select(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(gc.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("ng", "na"), Seq("doc_a"))
-      .join(gc.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("ng", "nb"), Seq("doc_b"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("g")).as("gs"), count(lit(1)).as("ng"))
+    cand
+      .join(docG.select(col("doc_id").as("doc_a"), col("gs").as("ga"),
+        col("ng").as("na")), Seq("doc_a"))
+      .join(docG.select(col("doc_id").as("doc_b"), col("gs").as("gb"),
+        col("ng").as("nb")), Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .withColumn("jaccard",
         Num.r4(col("inter") / (col("na") + col("nb") - col("inter"))))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** #30 32-bit SimHash per doc from token-frequency-weighted md5-derived
-    * token hashes (portable bit arithmetic, no UDF). */
+  /** #30a 32-bit SimHash per doc from token-frequency-weighted
+    * md5-derived token hashes (portable bit arithmetic, no UDF). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -134,18 +155,57 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** #31 embedding-cosine near-duplicate pairs with label blocking
-    * (exact arithmetic in double after float→double widening). */
+  /** #30b SimHash near-dup PAIRS: band the 32-bit signature into 4×8-bit
+    * keys (hamming ≤ 3 guarantees ≥1 identical band), bucket-join on
+    * (band, key) — candidate pairs only — then exact hamming filter
+    * bit_count(xor) ≤ 3. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhash(s, dir)
+    val keyed = sig
+      .select(col("doc_id"), col("simhash32"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key", expr(
+        "(simhash32 div cast(power(2, band * 8) as bigint)) % 256"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash32").as("sa"), col("b.simhash32").as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** #31 embedding-cosine near-duplicate pairs: blocked on (label AND
+    * hyperplane-LSH band key) — 2 bands × 4 bits of the 8-plane
+    * signature from Ann.signatures (OR-construction for recall) — then
+    * exact-cosine rerank on candidates only. No all-pairs-within-label
+    * join anywhere in the plan. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-    e.as("a")
-      .join(e.as("b"),
+    val keyed = e.select(col("vec_id"), col("label"))
+      .join(Ann.signatures(e), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("bucket"),
+        explode(expr("sequence(0, 1)")).as("band"))
+      .withColumn("key", expr(
+        "CASE band WHEN 0 THEN bucket % 16 ELSE bucket div 16 END"))
+    val cand = keyed.as("a")
+      .join(keyed.as("b"),
         col("a.label") === col("b.label") &&
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")),
+        Seq("vec_b"))
       .withColumn("dot",
         expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
       .withColumn("qa",
@@ -166,12 +226,14 @@ object Dedup {
     "q_dedup_lsh_pairs" -> lshPairs _,
     "q_ngram_jaccard" -> ngramJaccard _,
     "q_dedup_simhash" -> simhash _,
+    "q_simhash_pairs" -> simhashPairs _,
     "q_embedding_neardup" -> embeddingNearDup _
   )
 
   private val ShinglesCte =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
       |), pos AS (
       |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
       |), sh AS (
@@ -185,6 +247,37 @@ object Dedup {
       |    min(md5('4:' || sh)) AS mh4, min(md5('5:' || sh)) AS mh5,
       |    min(md5('6:' || sh)) AS mh6, min(md5('7:' || sh)) AS mh7
       |  FROM sh GROUP BY doc_id
+      |), bands AS (
+      |  SELECT doc_id, md5('0:' || mh0 || mh1) AS bucket FROM sig
+      |  UNION ALL SELECT doc_id, md5('1:' || mh2 || mh3) FROM sig
+      |  UNION ALL SELECT doc_id, md5('2:' || mh4 || mh5) FROM sig
+      |  UNION ALL SELECT doc_id, md5('3:' || mh6 || mh7) FROM sig
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  private val SimhashCte =
+    """WITH stoks AS (
+      |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+      |  FROM documents
+      |), sbits AS (
+      |  SELECT doc_id, h, unnest(generate_series(0, 31)) AS j FROM stoks
+      |), contribs AS (
+      |  SELECT doc_id, j,
+      |    2 * (((strpos('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1)
+      |      // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2
+      |          ELSE 1 END)) % 2) - 1 AS contrib
+      |  FROM sbits
+      |), sums AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN sum(contrib) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM contribs GROUP BY doc_id, j
+      |), ssig AS (
+      |  SELECT doc_id,
+      |    CAST(sum(bit * CAST(power(2, j) AS BIGINT)) AS BIGINT) AS simhash32
+      |  FROM sums GROUP BY doc_id
       |)""".stripMargin
 
   def oracle: Map[String, String] = Map(
@@ -198,83 +291,110 @@ object Dedup {
         |FROM keyed GROUP BY key HAVING count(*) >= 2 ORDER BY key""".stripMargin,
 
     "q_minhash_signatures" ->
-      s"$ShinglesCte\nSELECT * FROM sig ORDER BY doc_id",
+      s"$ShinglesCte\nSELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sig ORDER BY doc_id",
 
     "q_dedup_lsh_pairs" ->
-      s"""$ShinglesCte, bands AS (
-         |  SELECT doc_id, md5('0:' || mh0 || mh1) AS bucket FROM sig
-         |  UNION ALL SELECT doc_id, md5('1:' || mh2 || mh3) FROM sig
-         |  UNION ALL SELECT doc_id, md5('2:' || mh4 || mh5) FROM sig
-         |  UNION ALL SELECT doc_id, md5('3:' || mh6 || mh7) FROM sig
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |), counts AS (
+      s"""$ShinglesCte, counts AS (
          |  SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
          |), inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
          |  GROUP BY 1, 2
          |)
-         |SELECT i.doc_a, i.doc_b, i.inter, ca.nsh AS na, cb.nsh AS nb,
-         |  round(i.inter / (ca.nsh + cb.nsh - i.inter), 4) AS jaccard
-         |FROM inter i
-         |JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-         |JOIN counts ca ON ca.doc_id = i.doc_a
-         |JOIN counts cb ON cb.doc_id = i.doc_b
-         |WHERE round(i.inter / (ca.nsh + cb.nsh - i.inter), 4) >= 0.5
-         |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+         |SELECT c.doc_a, c.doc_b, coalesce(i.inter, 0) AS inter,
+         |  ca.nsh AS na, cb.nsh AS nb,
+         |  round(coalesce(i.inter, 0)
+         |    / (ca.nsh + cb.nsh - coalesce(i.inter, 0)), 4) AS jaccard
+         |FROM cand c
+         |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN counts ca ON ca.doc_id = c.doc_a
+         |JOIN counts cb ON cb.doc_id = c.doc_b
+         |WHERE round(coalesce(i.inter, 0)
+         |    / (ca.nsh + cb.nsh - coalesce(i.inter, 0)), 4) >= 0.5
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
 
     "q_ngram_jaccard" ->
-      """WITH pos AS (
-        |  SELECT doc_id, text, unnest(generate_series(1, len(text)-3)) AS i
-        |  FROM documents
-        |), g AS (
-        |  SELECT DISTINCT doc_id, substr(text, i, 4) AS g FROM pos
-        |), gc AS (
-        |  SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id
-        |), inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM g a JOIN g b ON a.g = b.g AND b.doc_id = a.doc_id + 1
-        |  GROUP BY 1, 2
-        |)
-        |SELECT i.doc_a, i.doc_b,
-        |  round(i.inter / (ca.ng + cb.ng - i.inter), 4) AS jaccard
-        |FROM inter i
-        |JOIN gc ca ON ca.doc_id = i.doc_a
-        |JOIN gc cb ON cb.doc_id = i.doc_b
-        |ORDER BY i.doc_a""".stripMargin,
+      s"""$ShinglesCte, gpos AS (
+         |  SELECT doc_id, text, unnest(generate_series(1, len(text)-3)) AS i
+         |  FROM documents WHERE len(text) >= 4
+         |), g AS (
+         |  SELECT DISTINCT doc_id, substr(text, i, 4) AS g FROM gpos
+         |), gc AS (
+         |  SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id
+         |), ginter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN g a ON a.doc_id = c.doc_a
+         |  JOIN g b ON b.doc_id = c.doc_b AND b.g = a.g
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.doc_a, c.doc_b,
+         |  round(coalesce(i.inter, 0)
+         |    / (ca.ng + cb.ng - coalesce(i.inter, 0)), 4) AS jaccard
+         |FROM cand c
+         |LEFT JOIN ginter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN gc ca ON ca.doc_id = c.doc_a
+         |JOIN gc cb ON cb.doc_id = c.doc_b
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
 
     "q_dedup_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
-        |  FROM documents
-        |), bits AS (
-        |  SELECT doc_id, h, unnest(generate_series(0, 31)) AS j FROM toks
-        |), contribs AS (
-        |  SELECT doc_id, j,
-        |    2 * (((strpos('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1)
-        |      // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2
-        |          ELSE 1 END)) % 2) - 1 AS contrib
-        |  FROM bits
-        |), sums AS (
-        |  SELECT doc_id, j,
-        |    CASE WHEN sum(contrib) > 0 THEN 1 ELSE 0 END AS bit
-        |  FROM contribs GROUP BY doc_id, j
-        |)
-        |SELECT doc_id,
-        |  CAST(sum(bit * CAST(power(2, j) AS BIGINT)) AS BIGINT) AS simhash32
-        |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"$SimhashCte\nSELECT doc_id, simhash32 FROM ssig ORDER BY doc_id",
+
+    "q_simhash_pairs" ->
+      s"""$SimhashCte, banded AS (
+         |  SELECT doc_id, simhash32, unnest(generate_series(0, 3)) AS band
+         |  FROM ssig
+         |), skeyed AS (
+         |  SELECT doc_id, simhash32, band,
+         |    (simhash32 // CAST(power(2, band * 8) AS BIGINT)) % 256 AS key
+         |  FROM banded
+         |), scand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash32 AS sa, b.simhash32 AS sb
+         |  FROM skeyed a JOIN skeyed b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM scand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_embedding_neardup" ->
       """WITH e AS (
-        |  SELECT vec_id, label, embedding FROM embeddings
+        |  SELECT vec_id, label, embedding AS v FROM embeddings
+        |), dims AS (
+        |  SELECT vec_id, v, unnest(generate_series(1, len(v))) AS d FROM e
+        |), planes AS (
+        |  SELECT vec_id, d, v[d]::DOUBLE AS x,
+        |    unnest(generate_series(0, 7)) AS p
+        |  FROM dims
+        |), projs AS (
+        |  SELECT vec_id, p,
+        |    sum((strpos('0123456789abcdef',
+        |      substr(md5(p || ':' || d), 1, 1)) - 8.5) * x) AS proj
+        |  FROM planes GROUP BY vec_id, p
+        |), bucketed AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN proj > 0 THEN 1 ELSE 0 END
+        |      * CAST(power(2, p) AS BIGINT)) AS BIGINT) AS bucket
+        |  FROM projs GROUP BY vec_id
+        |), keyed AS (
+        |  SELECT e.vec_id, e.label, b.bucket, band.band,
+        |    CASE band.band WHEN 0 THEN b.bucket % 16
+        |         ELSE b.bucket // 16 END AS key
+        |  FROM e JOIN bucketed b ON b.vec_id = e.vec_id
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band) band
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM keyed a JOIN keyed b
+        |    ON a.label = b.label AND a.band = b.band AND a.key = b.key
+        |      AND a.vec_id < b.vec_id
         |), pairs AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    a.embedding AS va, b.embedding AS vb
-        |  FROM e a JOIN e b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  SELECT c.vec_a, c.vec_b, ea.v AS va, eb.v AS vb
+        |  FROM cand c
+        |  JOIN e ea ON ea.vec_id = c.vec_a
+        |  JOIN e eb ON eb.vec_id = c.vec_b
         |), expanded AS (
         |  SELECT vec_a, vec_b, va, vb,
         |    unnest(generate_series(1, len(va))) AS i

@@ -144,8 +144,11 @@ object Engine {
       s"""$AlertsCte
          |SELECT object, description,
          |  min(alert_id) AS alert_id, min(query_name) AS query_name,
+         |  min(query_id) AS query_id, min(environment) AS environment,
+         |  min(sources) AS sources,
          |  min(actor) AS actor, min(action) AS action,
-         |  min(title) AS title, min(severity) AS severity,
+         |  min(title) AS title, min(detector) AS detector,
+         |  min(event_data) AS event_data, min(severity) AS severity,
          |  CAST(sum(counter) AS BIGINT) AS counter,
          |  min(alert_time_s) AS alert_time_s,
          |  min(event_time_s) AS event_time_s

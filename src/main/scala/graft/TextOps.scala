@@ -71,6 +71,10 @@ object TextOps {
     * (winnowing with a single global window). */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      // guard: sequence(1, n<1) is descending in Spark, not empty —
+      // docs shorter than the gram width must be dropped up front
+      // (mirrors the oracle's empty generate_series).
+      .filter(length(col("text")) >= 5)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text)-4), i -> substring(text, i, 5))"))
         .as("g"))

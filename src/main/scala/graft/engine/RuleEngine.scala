@@ -92,9 +92,14 @@ object RuleEngine {
       .agg(
         min(col("alert_id")).as("alert_id"),
         min(col("query_name")).as("query_name"),
+        min(col("query_id")).as("query_id"),
+        min(col("environment")).as("environment"),
+        min(col("sources")).as("sources"),
         min(col("actor")).as("actor"),
         min(col("action")).as("action"),
         min(col("title")).as("title"),
+        min(col("detector")).as("detector"),
+        min(col("event_data")).as("event_data"),
         min(col("severity")).as("severity"),
         sum(col("counter")).as("counter"),
         min(col("alert_time_s")).as("alert_time_s"),
