@@ -1,0 +1,185 @@
+package graft.engine
+
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Handler fan-out: the Spark re-expression of the reference's alert
+  * dispatcher (src/runners/alert_dispatcher.py:1-109), which routes each
+  * alert's `handlers` list to runners/handlers/{slack,jira,smtp,...}.py
+  * and records per-handler success/failure back onto the alert.
+  *
+  * Spark shape: alerts carry a `handlers` array column; Dispatcher
+  * explodes it and delivers per-partition on the executors (no
+  * driver-side row loop — the reference iterates 1000 alerts on a
+  * client). Each delivery yields a HandlerResult row; `recordStatus`
+  * joins the collected results back onto the alerts as a `handled`
+  * array, mirroring alert_dispatcher.record_status.
+  */
+trait AlertSink extends Serializable {
+  def name: String
+
+  /** Deliver one alert payload (JSON). Returns delivery details;
+    * throws on failure (the dispatcher records the error). Runs on
+    * executors — implementations must be serializable. */
+  def send(alertJson: String): String
+}
+
+/** Console delivery (the reference's smoke-test path). */
+final class ConsoleSink extends AlertSink {
+  val name = "console"
+  def send(alertJson: String): String = {
+    // scalastyle:off println
+    println(s"[alert] $alertJson")
+    // scalastyle:on println
+    "printed"
+  }
+}
+
+/** In-memory delivery for tests and local pipelines. Buffers live in a
+  * JVM-global registry keyed by bufferId so executor-side sends are
+  * visible to the driver in local mode (a real cluster would use a
+  * durable sink — this one is for specs, like the reference's test
+  * doubles). */
+final class MemorySink(val bufferId: String) extends AlertSink {
+  val name = "memory"
+  def send(alertJson: String): String = {
+    MemorySink.buffer(bufferId).add(alertJson)
+    s"buffered:$bufferId"
+  }
+}
+
+object MemorySink {
+  private val buffers =
+    new ConcurrentHashMap[String, ConcurrentLinkedQueue[String]]()
+
+  def buffer(id: String): ConcurrentLinkedQueue[String] =
+    buffers.computeIfAbsent(id, _ => new ConcurrentLinkedQueue[String]())
+
+  def drain(id: String): Seq[String] = {
+    val q = buffer(id)
+    Iterator.continually(q.poll()).takeWhile(_ != null).toSeq
+  }
+}
+
+/** Stubbed external messenger (ref: runners/handlers/slack.py — builds a
+  * message payload from alert fields and posts it). Zero-egress here:
+  * the payload is formatted exactly, delivery is recorded to a memory
+  * buffer instead of the network, so routing and payload shape stay
+  * testable. */
+final class SlackSink(channel: String, bufferId: String) extends AlertSink {
+  val name = "slack"
+  def send(alertJson: String): String = {
+    val payload =
+      s"""{"channel":${JsonStr.quote(channel)},"text":$alertJson}"""
+    MemorySink.buffer(bufferId).add(payload)
+    s"posted:$channel"
+  }
+}
+
+/** Stubbed ticket tracker (ref: runners/handlers/jira.py — creates an
+  * issue per alert and records the ticket id on the alert row). */
+final class JiraSink(project: String, bufferId: String) extends AlertSink {
+  val name = "jira"
+  def send(alertJson: String): String = {
+    val ticket = s"$project-${Integer.toHexString(alertJson.hashCode)}"
+    MemorySink.buffer(bufferId).add(s"""{"ticket":"$ticket","issue":$alertJson}""")
+    ticket
+  }
+}
+
+private object JsonStr {
+  def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}
+
+/** One delivery attempt: the Spark row analogue of the dispatcher's
+  * per-handler result object ({'success': bool, 'details': ...}). */
+final case class HandlerResult(
+    alert_id: String,
+    handler: String,
+    success: Boolean,
+    details: String)
+
+object Dispatcher {
+
+  /** Route each alert to its `handlers` (array column; null/empty →
+    * `defaultHandler`, matching the dispatcher's `handlers = 'jira'`
+    * default). Unknown handler names yield success=false rows (the
+    * reference's 'missing type key' error path). Delivery happens in
+    * mapPartitions on the executors; one result row per (alert,
+    * handler). */
+  def dispatch(
+      alerts: DataFrame,
+      sinks: Seq[AlertSink],
+      defaultHandler: String = "console"): Dataset[HandlerResult] = {
+    val spark = alerts.sparkSession
+    val handlersCol =
+      if (alerts.columns.contains("handlers"))
+        when(col("handlers").isNull || size(col("handlers")) === 0,
+          array(lit(defaultHandler))).otherwise(col("handlers"))
+      else array(lit(defaultHandler))
+    val routed = alerts
+      .withColumn("__handler", explode(handlersCol))
+      .select(
+        col("alert_id").cast("string").as("_1"),
+        col("__handler").cast("string").as("_2"),
+        to_json(struct(alerts.columns.map(col).toIndexedSeq: _*)).as("_3"))
+    val byName = sinks.map(s => s.name -> s).toMap
+    implicit val enc = Encoders.product[HandlerResult]
+    routed.as[(String, String, String)](Encoders.tuple(
+      Encoders.STRING, Encoders.STRING, Encoders.STRING))
+      .mapPartitions { it =>
+        it.map { case (alertId, handler, payload) =>
+          byName.get(handler) match {
+            case None =>
+              HandlerResult(alertId, handler, success = false,
+                s"missing handler: $handler")
+            case Some(sink) =>
+              try HandlerResult(alertId, handler, success = true,
+                sink.send(payload))
+              catch {
+                case e: Exception =>
+                  HandlerResult(alertId, handler, success = false,
+                    String.valueOf(e.getMessage))
+              }
+          }
+        }
+      }
+  }
+
+  /** Join per-handler results back onto the alerts as a `handled` array
+    * of (handler, success, details) structs — the dispatcher's
+    * record_status UPDATE. Results per alert are few → aggregate then
+    * broadcast-friendly equi-join on alert_id. */
+  def recordStatus(
+      alerts: DataFrame,
+      results: Dataset[HandlerResult]): DataFrame = {
+    val agg = results
+      .groupBy(col("alert_id"))
+      .agg(collect_list(
+        struct(col("handler"), col("success"), col("details"))).as("handled"))
+    alerts.join(agg, Seq("alert_id"), "left")
+  }
+
+  /** Warehouse-style batch destination: deliver a whole routed subset
+    * as one distributed parquet append (per-row send would be wrong for
+    * a columnar store). Returns one result row per alert. */
+  def deliverParquet(
+      alerts: DataFrame,
+      path: String): Dataset[HandlerResult] = {
+    alerts.write.mode("append").parquet(path)
+    implicit val enc = Encoders.product[HandlerResult]
+    alerts.select(col("alert_id").cast("string")).as[String](Encoders.STRING)
+      .map(id => HandlerResult(id, "parquet", success = true, path))
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{ConsoleSink, Dispatcher, JiraSink, MemorySink, RunLog,
+  RuleEngine, SlackSink}
+
+/** SURVEY.md §2 #7 (AlertSink dispatch) + #8 (run metadata). */
+class DispatchSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mkAlerts = Seq(
+    ("a1", "u1", Seq("memory", "slack")),
+    ("a2", "u2", Seq("memory")),
+    ("a3", "u3", null.asInstanceOf[Seq[String]]), // → default handler
+    ("a4", "u4", Seq("pagerduty")) // not configured → missing handler
+  ).toDF("alert_id", "actor", "handlers")
+
+  test("dispatch routes each alert to every listed handler") {
+    val buf = s"dispatch-${System.nanoTime()}"
+    val sinks = Seq(new MemorySink(buf), new ConsoleSink,
+      new SlackSink("#alerts", buf + "-slack"))
+    val results = Dispatcher.dispatch(mkAlerts, sinks,
+      defaultHandler = "memory").collect()
+
+    assert(results.length == 5) // a1×2 + a2 + a3(default) + a4
+    val ok = results.filter(_.success)
+    assert(ok.map(r => (r.alert_id, r.handler)).toSet ==
+      Set(("a1", "memory"), ("a1", "slack"), ("a2", "memory"),
+        ("a3", "memory")))
+    // memory sink actually received the routed alerts
+    val delivered = MemorySink.drain(buf)
+    assert(delivered.length == 3)
+    assert(delivered.forall(_.contains("\"alert_id\"")))
+    // slack stub formatted a channel payload
+    val slack = MemorySink.drain(buf + "-slack")
+    assert(slack.length == 1 && slack.head.contains("\"channel\":\"#alerts\""))
+  }
+
+  test("unknown handler records failure, matching the missing-type path") {
+    val results = Dispatcher
+      .dispatch(mkAlerts, Seq(new MemorySink(s"x-${System.nanoTime()}")),
+        defaultHandler = "memory")
+      .collect()
+    val bad = results.filter(!_.success)
+    assert(bad.map(_.handler).toSet == Set("slack", "pagerduty"))
+    assert(bad.forall(_.details.contains("missing handler")))
+  }
+
+  test("recordStatus joins handled results back onto the alerts") {
+    val buf = s"rs-${System.nanoTime()}"
+    val results = Dispatcher.dispatch(mkAlerts,
+      Seq(new MemorySink(buf), new JiraSink("SEC", buf + "-jira")),
+      defaultHandler = "jira")
+    val handled = Dispatcher.recordStatus(mkAlerts, results)
+    assert(handled.count() == 4)
+    val a1 = handled.filter(col("alert_id") === "a1")
+      .select(size(col("handled"))).head().getInt(0)
+    assert(a1 == 2) // memory ok + slack missing → two result entries
+    val a4 = handled.filter(col("alert_id") === "a4")
+      .selectExpr("handled[0].success").head().getBoolean(0)
+    assert(!a4)
+  }
+
+  test("run metadata captures per-stage counts and timings for a 2-rule run") {
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "error", 120.0),
+      (2L, "2024-01-01 10:30:00", 1L, "error", 130.0),
+      (3L, "2024-01-01 11:00:00", 2L, "login", 5.0),
+      (4L, "2024-01-01 12:00:00", 3L, "error", 250.0)
+    ).toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .withColumn("props", lit("{}"))
+
+    def rule(n: String, pred: org.apache.spark.sql.Column) =
+      graft.engine.AlertRule(
+        name = n, queryId = n, title = n,
+        predicate = pred,
+        actor = concat_ws("", lit("u"), col("user_id")),
+        target = concat_ws("", lit("u"), col("user_id")),
+        action = col("event_type"),
+        description = lit("d"),
+        severity = lit("medium"),
+        eventTime = col("ts"),
+        eventData = col("props"))
+
+    val log = RunLog.newRun()
+    val errors = log.timedInsert("errors_rule") {
+      RuleEngine.runAlertRule(events, rule("errors_rule",
+        col("event_type") === "error"), col("event_id"),
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00", 0L)
+    }
+    log.timedInsert("logins_rule") {
+      RuleEngine.runAlertRule(events, rule("logins_rule",
+        col("event_type") === "login"), col("event_id"),
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00", 0L)
+    }
+    log.timedSuppress("errors_suppress") {
+      RuleEngine.suppress(errors,
+        errors.filter(col("actor") === "u1").select("alert_id"), "sq")
+    }
+
+    val rows = log.entries
+    assert(rows.map(_.query_name) ==
+      Seq("errors_rule", "logins_rule", "errors_suppress"))
+    assert(rows.head.inserted == 3)
+    assert(rows(1).inserted == 1)
+    assert(rows(2).suppressed == 2 && rows(2).passed == 1)
+    assert(rows.forall(r => r.end_time_ms >= r.start_time_ms))
+    assert(rows.forall(_.error.isEmpty))
+
+    val df = log.toDF(spark)
+    assert(df.count() == 3)
+    assert(df.filter(col("run_id") === log.runId).count() == 3)
+
+    // error path: failing stage is recorded with the message, rethrown
+    intercept[Exception] {
+      log.timedInsert("bad_rule") {
+        events.select(col("nope"))
+      }
+    }
+    assert(log.entries.last.error.isDefined)
+  }
+}
