@@ -121,7 +121,32 @@ object Baselines {
       .orderBy(col("event_type"))
   }
 
+  /** #15b closure-rate regression → predicted closeout date.
+    * Ref: baseline_modules/violations_closeout_date/module.R (daily
+    * counts → linear fit → day the fitted count reaches zero). The
+    * division runs on the 4dp-rounded slope/intercept so both engines
+    * divide bit-identical doubles. */
+  def closeoutDate(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        Num.r4(regr_slope(col("n"), col("day_idx"))).as("slope"),
+        Num.r4(regr_intercept(col("n"), col("day_idx"))).as("icept"))
+      .withColumn("closeout_day_idx",
+        when(col("slope") < 0, Num.r4(-col("icept") / col("slope"))))
+      .withColumn("closeout_date",
+        when(col("slope") < 0,
+          date_add(lit("2024-01-01").cast("date"),
+            floor(col("closeout_day_idx")).cast("int"))))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_closeout_date" -> closeoutDate _,
     "q_baseline_percentiles" -> baselinePercentiles _,
     "q_baseline_outliers" -> baselineOutliers _,
     "q_temporal_by_day" -> temporalByDay _,
@@ -138,6 +163,28 @@ object Baselines {
       |)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q_closeout_date" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), fit AS (
+        |  SELECT event_type,
+        |    round(regr_slope(n, day_idx), 4) AS slope,
+        |    round(regr_intercept(n, day_idx), 4) AS icept
+        |  FROM daily GROUP BY event_type
+        |), pred AS (
+        |  SELECT event_type, slope, icept,
+        |    CASE WHEN slope < 0 THEN round(-icept / slope, 4) END
+        |      AS closeout_day_idx
+        |  FROM fit
+        |)
+        |SELECT event_type, slope, icept, closeout_day_idx,
+        |  CASE WHEN slope < 0 THEN
+        |    DATE '2024-01-01' + CAST(floor(closeout_day_idx) AS INTEGER)
+        |  END AS closeout_date
+        |FROM pred ORDER BY event_type""".stripMargin,
     "q_baseline_percentiles" ->
       s"""$HourlyCte
          |SELECT event_type,

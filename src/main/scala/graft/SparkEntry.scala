@@ -18,10 +18,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreSql.queries ++ Engine.queries ++ Baselines.queries ++
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++
-      Multimodal.queries
+      Multimodal.queries ++ graft.packs.AwsPack.queries
 
   /** DuckDB-equivalent ANSI SQL per query key (omitted → rows-only check). */
   def oracleSql: Map[String, String] =
     CoreSql.oracle ++ Engine.oracle ++ Baselines.oracle ++
-      Dedup.oracle ++ Ann.oracle ++ TextOps.oracle
+      Dedup.oracle ++ Ann.oracle ++ TextOps.oracle ++
+      graft.packs.AwsPack.oracle
 }

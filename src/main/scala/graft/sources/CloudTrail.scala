@@ -1,0 +1,188 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed AWS CloudTrail connector: the Spark re-expression of the
+  * reference's landing table (src/connectors/aws_cloudtrail.py
+  * LANDING_TABLE_COLUMNS, lines 50-97) — raw JSON kept alongside typed
+  * projected columns so rules filter on codegen'd columns while the
+  * full record stays available as event_data.
+  */
+object CloudTrail {
+
+  /** CloudTrail record schema (the fields the landing table projects;
+    * nested shapes as emitted by the CloudTrail service). */
+  val schema: StructType = StructType(Seq(
+    StructField("eventID", StringType),
+    StructField("eventTime", TimestampType),
+    StructField("eventName", StringType),
+    StructField("eventSource", StringType),
+    StructField("eventType", StringType),
+    StructField("eventVersion", StringType),
+    StructField("awsRegion", StringType),
+    StructField("recipientAccountId", StringType),
+    StructField("requestID", StringType),
+    StructField("sourceIPAddress", StringType),
+    StructField("userAgent", StringType),
+    StructField("errorCode", StringType),
+    StructField("errorMessage", StringType),
+    StructField("readOnly", BooleanType),
+    StructField("userIdentity", StructType(Seq(
+      StructField("type", StringType),
+      StructField("principalId", StringType),
+      StructField("arn", StringType),
+      StructField("accountId", StringType),
+      StructField("userName", StringType),
+      StructField("sessionContext", StructType(Seq(
+        StructField("attributes", StructType(Seq(
+          StructField("mfaAuthenticated", StringType),
+          StructField("creationDate", StringType)))))))))),
+    StructField("requestParameters", MapType(StringType, StringType)),
+    StructField("responseElements", MapType(StringType, StringType))))
+
+  /** Land a CloudTrail JSON-lines drop into the typed landing shape
+    * (flattened snake_case columns, ref aws_cloudtrail.py:50-97). */
+  def land(spark: SparkSession, path: String): DataFrame =
+    Connectors.jsonLines(spark, path, schema)
+      .select(
+        col("raw"),
+        col("eventTime").as("event_time"),
+        col("awsRegion").as("aws_region"),
+        col("eventID").as("event_id"),
+        col("eventName").as("event_name"),
+        col("eventSource").as("event_source"),
+        col("eventType").as("event_type"),
+        col("eventVersion").as("event_version"),
+        col("recipientAccountId").as("recipient_account_id"),
+        col("requestID").as("request_id"),
+        col("sourceIPAddress").as("source_ip_address"),
+        col("userAgent").as("user_agent"),
+        col("userIdentity.type").as("user_identity_type"),
+        col("userIdentity.principalId").as("user_identity_principal_id"),
+        col("userIdentity.arn").as("user_identity_arn"),
+        col("userIdentity.accountId").as("user_identity_accountid"),
+        col("userIdentity.userName").as("user_identity_username"),
+        col("userIdentity.sessionContext.attributes.mfaAuthenticated")
+          .as("user_identity_session_context_attributes_mfa_authenticated"),
+        col("errorCode").as("error_code"),
+        col("errorMessage").as("error_message"),
+        col("readOnly").as("read_only"))
+
+  /** Deterministic CloudTrail-shaped view derived from the synthetic
+    * `events` table, so pack rules (and their DuckDB oracles) run over a
+    * realistic landing shape without external data. The mapping is pure
+    * column arithmetic — it stays inside Catalyst and pushes down. */
+  def fromEvents(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val isRoot = col("user_id") % 25 === 0
+    events
+      .select(
+        col("event_id").cast("string").as("event_id"),
+        col("ts").as("event_time"),
+        col("event_type"),
+        col("value"),
+        col("user_id"),
+        k.as("k"),
+        col("props").as("raw"))
+      .withColumn("recipient_account_id", lit("111122223333"))
+      .withColumn("aws_region",
+        concat_ws("", lit("us-east-"), col("user_id") % 3 + 1))
+      .withColumn("user_identity_type",
+        when(isRoot, "Root").otherwise("IAMUser"))
+      .withColumn("user_identity_arn",
+        concat_ws("", lit("arn:aws:iam::111122223333:"),
+          when(isRoot, lit("root"))
+            .otherwise(concat_ws("", lit("user/u"), col("user_id")))))
+      .withColumn("user_identity_username",
+        when(isRoot, lit("root"))
+          .otherwise(concat_ws("", lit("u"), col("user_id"))))
+      .withColumn("source_ip_address",
+        when(col("k") % 20 === 0, lit("support.amazonaws.com"))
+          .otherwise(concat_ws(".", lit("10"), lit("0"),
+            col("user_id") % 256, col("k") % 256)))
+      .withColumn("event_name",
+        when(col("event_type") === "signup", lit("CreateUser"))
+          .when(col("event_type") === "click",
+            when(col("k") % 3 === 0, lit("AttachRolePolicy"))
+              .when(col("k") % 3 === 1, lit("AddUserToGroup"))
+              .otherwise(lit("CreateAccessKey")))
+          .when(col("event_type") === "error",
+            when(col("k") % 2 === 0, lit("DeleteUser"))
+              .otherwise(lit("DeleteTrail")))
+          .when(col("event_type") === "view", lit("GetObject"))
+          .otherwise(
+            when(col("k") % 5 === 0, lit("StopLogging"))
+              .otherwise(lit("PutObject"))))
+      .withColumn("event_source",
+        when(col("event_name").isin("GetObject", "PutObject"),
+          lit("s3.amazonaws.com"))
+          .when(col("event_name").isin("DeleteTrail", "StopLogging"),
+            lit("cloudtrail.amazonaws.com"))
+          .otherwise(lit("iam.amazonaws.com")))
+      .withColumn("error_code",
+        when(col("event_type") === "error" && col("value") > 50.0,
+          lit("AccessDenied"))
+          .when(col("event_type") === "error", lit("EntityNotFound")))
+      .withColumn("error_message",
+        when(col("error_code") === "AccessDenied",
+          concat_ws("", lit("Access denied performing "), col("event_name")))
+          .when(col("error_code") === "EntityNotFound",
+            concat_ws("", lit("Entity not found for "), col("event_name"))))
+      .withColumn("mfa_authenticated", col("k") % 4 =!= 0)
+  }
+
+  /** DuckDB CTE mirroring fromEvents exactly (oracle side). */
+  val FromEventsCte: String =
+    """WITH ct0 AS (
+      |  SELECT CAST(event_id AS VARCHAR) AS event_id,
+      |    ts AS event_time, event_type, value, user_id,
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      |    props AS raw
+      |  FROM events
+      |), ct1 AS (
+      |  SELECT ct0.*,
+      |    '111122223333' AS recipient_account_id,
+      |    'us-east-' || (user_id % 3 + 1) AS aws_region,
+      |    CASE WHEN user_id % 25 = 0 THEN 'Root' ELSE 'IAMUser' END
+      |      AS user_identity_type,
+      |    'arn:aws:iam::111122223333:' ||
+      |      CASE WHEN user_id % 25 = 0 THEN 'root'
+      |           ELSE 'user/u' || user_id END AS user_identity_arn,
+      |    CASE WHEN user_id % 25 = 0 THEN 'root'
+      |         ELSE 'u' || user_id END AS user_identity_username,
+      |    CASE WHEN k % 20 = 0 THEN 'support.amazonaws.com'
+      |         ELSE '10.0.' || (user_id % 256) || '.' || (k % 256) END
+      |      AS source_ip_address,
+      |    CASE event_type
+      |      WHEN 'signup' THEN 'CreateUser'
+      |      WHEN 'click' THEN (CASE WHEN k % 3 = 0 THEN 'AttachRolePolicy'
+      |                              WHEN k % 3 = 1 THEN 'AddUserToGroup'
+      |                              ELSE 'CreateAccessKey' END)
+      |      WHEN 'error' THEN (CASE WHEN k % 2 = 0 THEN 'DeleteUser'
+      |                              ELSE 'DeleteTrail' END)
+      |      WHEN 'view' THEN 'GetObject'
+      |      ELSE (CASE WHEN k % 5 = 0 THEN 'StopLogging'
+      |                 ELSE 'PutObject' END) END AS event_name,
+      |    CASE WHEN event_type = 'error' AND value > 50.0
+      |           THEN 'AccessDenied'
+      |         WHEN event_type = 'error' THEN 'EntityNotFound' END
+      |      AS error_code,
+      |    (k % 4 <> 0) AS mfa_authenticated
+      |  FROM ct0
+      |), ct AS (
+      |  SELECT ct1.*,
+      |    CASE WHEN event_name IN ('GetObject', 'PutObject')
+      |           THEN 's3.amazonaws.com'
+      |         WHEN event_name IN ('DeleteTrail', 'StopLogging')
+      |           THEN 'cloudtrail.amazonaws.com'
+      |         ELSE 'iam.amazonaws.com' END AS event_source,
+      |    CASE WHEN error_code = 'AccessDenied'
+      |           THEN 'Access denied performing ' || event_name
+      |         WHEN error_code = 'EntityNotFound'
+      |           THEN 'Entity not found for ' || event_name END
+      |      AS error_message
+      |  FROM ct1
+      |)""".stripMargin
+}

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed Okta connector: system-log and user-snapshot projections, the
+  * Spark re-expression of the reference's Okta landing/views
+  * (src/connectors/okta.py + packs/okta.sql data.okta_system_logs /
+  * data.okta_users views).
+  */
+object Okta {
+
+  /** Okta system-log record schema (the fields okta.sql's
+    * data.okta_system_logs view projects from raw). */
+  val systemLogSchema: StructType = StructType(Seq(
+    StructField("uuid", StringType),
+    StructField("published", TimestampType),
+    StructField("eventType", StringType),
+    StructField("version", StringType),
+    StructField("severity", StringType),
+    StructField("displayMessage", StringType),
+    StructField("actor", StructType(Seq(
+      StructField("id", StringType),
+      StructField("type", StringType),
+      StructField("alternateId", StringType),
+      StructField("displayName", StringType)))),
+    StructField("client", StructType(Seq(
+      StructField("ipAddress", StringType),
+      StructField("device", StringType)))),
+    StructField("outcome", StructType(Seq(
+      StructField("result", StringType),
+      StructField("reason", StringType))))))
+
+  /** Okta user snapshot schema (okta.sql data.okta_users_snapshots). */
+  val userSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("status", StringType),
+    StructField("created", TimestampType),
+    StructField("activated", TimestampType),
+    StructField("statusChanged", TimestampType),
+    StructField("lastLogin", TimestampType),
+    StructField("lastUpdated", TimestampType)))
+
+  /** Land system-log JSON lines into the typed view shape
+    * (packs/okta.sql data.okta_system_logs). */
+  def landSystemLog(spark: SparkSession, path: String): DataFrame =
+    Connectors.jsonLines(spark, path, systemLogSchema)
+      .select(
+        col("raw"),
+        col("published").as("recorded_at"),
+        col("uuid"),
+        col("published"),
+        col("eventType").as("event_type"),
+        col("severity"),
+        col("displayMessage").as("display_message"),
+        col("actor.id").as("actor_id"),
+        col("actor.alternateId").as("actor_email"),
+        col("actor.displayName").as("actor_name"),
+        col("client.ipAddress").as("client_ip"),
+        col("outcome.result").as("outcome_result"),
+        col("outcome.reason").as("outcome_reason"))
+
+  /** Latest snapshot per entity — okta.sql's
+    * `QUALIFY 1=ROW_NUMBER() OVER (PARTITION BY id ORDER BY recorded_at
+    * DESC)` view (data.okta_users), as a window + filter: one shuffle
+    * on the entity key. */
+  def latestSnapshot(snapshots: DataFrame, key: String,
+      recordedAt: String = "recorded_at"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(recordedAt).desc)
+    snapshots
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CloudTrail, Okta}
+
+/** Typed connector projections (ref: src/connectors/aws_cloudtrail.py
+  * LANDING_TABLE_COLUMNS, src/connectors/okta.py + packs/okta.sql
+  * views). */
+class TypedConnectorsSpec extends SparkSuite {
+
+  private def tmpFile(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-typed")
+    val f = dir.resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("cloudtrail lands nested records into flat landing columns") {
+    val path = tmpFile("ct.jsonl",
+      """{"eventID":"e1","eventTime":"2024-01-01T10:00:00Z","eventName":"CreateUser","eventSource":"iam.amazonaws.com","awsRegion":"us-east-1","recipientAccountId":"111122223333","sourceIPAddress":"1.2.3.4","errorCode":"AccessDenied","errorMessage":"denied","userIdentity":{"type":"IAMUser","arn":"arn:aws:iam::111122223333:user/alice","userName":"alice","sessionContext":{"attributes":{"mfaAuthenticated":"true"}}}}
+        |{"eventID":"e2","eventTime":"2024-01-01T11:00:00Z","eventName":"StopLogging","eventSource":"cloudtrail.amazonaws.com","awsRegion":"us-east-1","recipientAccountId":"111122223333","sourceIPAddress":"5.6.7.8","userIdentity":{"type":"Root","arn":"arn:aws:iam::111122223333:root"}}
+        |""".stripMargin)
+    val df = CloudTrail.land(spark, path)
+    assert(df.count() == 2)
+    val e1 = df.filter(col("event_id") === "e1").head
+    assert(e1.getAs[String]("user_identity_type") == "IAMUser")
+    assert(e1.getAs[String]("user_identity_arn") ==
+      "arn:aws:iam::111122223333:user/alice")
+    assert(e1.getAs[String](
+      "user_identity_session_context_attributes_mfa_authenticated") == "true")
+    assert(e1.getAs[String]("error_code") == "AccessDenied")
+    assert(e1.getAs[String]("raw").contains("\"eventID\":\"e1\""))
+    val e2 = df.filter(col("event_id") === "e2").head
+    assert(e2.getAs[String]("user_identity_type") == "Root")
+    assert(e2.getAs[String]("error_code") == null)
+  }
+
+  test("cloudtrail fromEvents derives a rule-ready landing view") {
+    val ct = CloudTrail.fromEvents(Tables.t(spark, Sf, "events"))
+    assert(ct.filter(col("user_identity_type") === "Root").count() > 0)
+    assert(ct.filter(col("error_code") === "AccessDenied").count() > 0)
+    val names = ct.select("event_name").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(names.contains("CreateUser") && names.contains("DeleteTrail"))
+  }
+
+  test("okta system log lands typed actor/outcome columns") {
+    val path = tmpFile("okta.jsonl",
+      """{"uuid":"u1","published":"2024-01-01T10:00:00Z","eventType":"user.session.start","severity":"INFO","displayMessage":"User login","actor":{"id":"a1","type":"User","alternateId":"alice@example.com","displayName":"Alice"},"client":{"ipAddress":"1.2.3.4"},"outcome":{"result":"FAILURE","reason":"INVALID_CREDENTIALS"}}
+        |{"uuid":"u2","published":"2024-01-01T10:05:00Z","eventType":"user.session.start","severity":"INFO","displayMessage":"User login","actor":{"id":"a1","type":"User","alternateId":"alice@example.com","displayName":"Alice"},"client":{"ipAddress":"1.2.3.4"},"outcome":{"result":"SUCCESS"}}
+        |""".stripMargin)
+    val df = Okta.landSystemLog(spark, path)
+    assert(df.count() == 2)
+    val f = df.filter(col("outcome_result") === "FAILURE").head
+    assert(f.getAs[String]("actor_email") == "alice@example.com")
+    assert(f.getAs[String]("outcome_reason") == "INVALID_CREDENTIALS")
+    assert(f.getAs[String]("client_ip") == "1.2.3.4")
+  }
+
+  test("okta latestSnapshot keeps one row per entity (QUALIFY analogue)") {
+    import spark.implicits._
+    val snaps = Seq(
+      ("id1", "2024-01-01 00:00:00", "STAGED"),
+      ("id1", "2024-01-03 00:00:00", "ACTIVE"),
+      ("id2", "2024-01-02 00:00:00", "ACTIVE")
+    ).toDF("id", "recorded_at", "status")
+      .withColumn("recorded_at", col("recorded_at").cast("timestamp"))
+    val latest = Okta.latestSnapshot(snaps, "id")
+    assert(latest.count() == 2)
+    assert(latest.filter(col("id") === "id1").head
+      .getAs[String]("status") == "ACTIVE")
+  }
+}
