@@ -2,29 +2,33 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.engine.AlertRule
 
 /** SURVEY.md §2 #44-46: the rule pipeline over Structured Streaming.
   * The reference runs rules on a schedule (alert_queries_runner cron);
   * the streaming engine subsumes that: the same AlertRule predicates run
-  * continuously with watermarked event-time semantics, and the
-  * merge/dedup step becomes watermarked dropDuplicates + windowed
-  * aggregation. State is bounded by the watermark — safe for unbounded
+  * continuously with watermarked event-time semantics. Every stateful
+  * operator here expires its state via the watermark (dedup within the
+  * watermark horizon, sessions closed by event-time timeout) — state is
+  * bounded by the actors/ids active inside the horizon, never by stream
+  * length, which is what makes the operators safe on unbounded
   * 100 TB/day streams.
   */
 object StreamingAlerts {
 
   /** #44 continuous alert rule: same field mapping as the batch path;
-    * deterministic alert_id; watermark bounds state. */
+    * deterministic alert_id. The watermark is declared on the rule's
+    * OWN event-time column (projected as `event_time`) — not on a
+    * hard-coded source column — so rules over sources with any
+    * event-time name get correct semantics. */
   def ruleStream(
       events: DataFrame,
       rule: AlertRule,
       idCol: org.apache.spark.sql.Column,
       watermark: String = "10 minutes"): DataFrame =
     events
-      .withWatermark("ts", watermark)
       .filter(rule.predicate)
       .select(
         md5(concat_ws(":", lit(rule.name), idCol)).as("alert_id"),
@@ -36,6 +40,7 @@ object StreamingAlerts {
         rule.eventTime.as("event_time"),
         rule.description.as("description"),
         rule.severity.as("severity"))
+      .withWatermark("event_time", watermark)
 
   /** #45 sliding-window baseline counts with watermark (streaming
     * analogue of Baselines.hourly). */
@@ -53,43 +58,66 @@ object StreamingAlerts {
         col("value_sum"))
 
   /** #46a streaming dedup: exactly-once alerts per id within the
-    * watermark horizon (the MERGE-on-alert_id semantics). */
+    * watermark horizon (the MERGE-on-alert_id semantics).
+    * dropDuplicatesWithinWatermark evicts an id's state once the
+    * watermark passes its event time — plain dropDuplicates(id) would
+    * keep every id forever when the event-time column is not part of
+    * the key. */
   def dedupStream(alerts: DataFrame, watermark: String = "10 minutes"): DataFrame =
     alerts
       .withWatermark("event_time", watermark)
-      .dropDuplicates("alert_id")
+      .dropDuplicatesWithinWatermark("alert_id")
 
-  final case class SessionEvent(actor: String, eventTimeS: Long)
+  final case class SessionEvent(actor: String, ts: java.sql.Timestamp)
   final case class SessionSummary(
       actor: String, startS: Long, endS: Long, nEvents: Long)
 
   /** #46b stateful sessionization (the correlation step, streaming):
     * per-actor sessions extended while events arrive within `gapS`
-    * seconds, via mapGroupsWithState. (Production would use
-    * EventTimeTimeout + watermark to emit *closed* sessions and expire
-    * state; a processing-time timeout would re-trigger empty batches
-    * forever under processAllAvailable, so the library keeps session
-    * emission in Update mode with NoTimeout and leaves expiry to the
-    * watermark-configured variant.) */
+    * seconds. State expires by EVENT-TIME TIMEOUT: when the watermark
+    * passes (session end + gap) the CLOSED session is emitted and its
+    * state removed, so state is bounded by actors active within the
+    * watermark horizon. Mid-batch gap breaks also close sessions
+    * immediately. Output mode: Append (closed sessions only). */
   def sessionize(
       events: Dataset[SessionEvent],
-      gapS: Long): Dataset[SessionSummary] = {
+      gapS: Long,
+      watermark: String = "10 minutes"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.actor)
-      .mapGroupsWithState[(Long, Long, Long), SessionSummary](
-        GroupStateTimeout.NoTimeout) {
-        case (actor, batch, state: GroupState[(Long, Long, Long)]) =>
-          val times = batch.map(_.eventTimeS).toSeq.sorted
-          val (start0, end0, n0) =
-            state.getOption.getOrElse((Long.MaxValue, Long.MinValue, 0L))
-          val merged = times.foldLeft((start0, end0, n0)) {
-            case ((st, en, n), t) =>
-              if (n == 0 || t - en <= gapS) (math.min(st, t), math.max(en, t), n + 1)
-              else (t, t, 1L) // gap exceeded: start a new session
+      .flatMapGroupsWithState[(Long, Long, Long), SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (actor, batch, state) =>
+          if (state.hasTimedOut) {
+            val (st, en, n) = state.get
+            state.remove()
+            Iterator.single(SessionSummary(actor, st, en, n))
+          } else {
+            val times =
+              batch.map(_.ts.getTime / 1000L).toSeq.sorted
+            var cur = state.getOption.getOrElse((0L, 0L, 0L))
+            val closed = List.newBuilder[SessionSummary]
+            for (t <- times) {
+              cur =
+                if (cur._3 == 0L || t - cur._2 <= gapS)
+                  (if (cur._3 == 0L) t else math.min(cur._1, t),
+                    math.max(cur._2, t), cur._3 + 1)
+                else {
+                  closed += SessionSummary(actor, cur._1, cur._2, cur._3)
+                  (t, t, 1L)
+                }
+            }
+            state.update(cur)
+            // close the open session when the watermark passes end+gap
+            // (clamped above the current watermark, as required for
+            // late-arriving groups)
+            state.setTimeoutTimestamp(math.max(
+              cur._2 * 1000L + gapS * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            closed.result().iterator
           }
-          state.update(merged)
-          SessionSummary(actor, merged._1, merged._2, merged._3)
       }
   }
 }

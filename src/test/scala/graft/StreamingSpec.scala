@@ -81,24 +81,66 @@ class StreamingSpec extends SparkSuite {
       ("a2", ts("2024-01-01 10:01:00")))
     q.processAllAvailable()
     val got = spark.table("dd_out").collect()
-    q.stop()
     assert(got.map(_.getString(0)).sorted.sameElements(Array("a1", "a2")))
+    // state is watermark-bounded: once the watermark passes a1's
+    // horizon, its dedup state is evicted and a later a1 re-emits —
+    // bounded state on unbounded streams, per
+    // dropDuplicatesWithinWatermark semantics
+    input.addData(("a3", ts("2024-01-01 11:00:00"))) // advance watermark
+    q.processAllAvailable()
+    input.addData(("a1", ts("2024-01-01 11:00:10")))
+    q.processAllAvailable()
+    val again = spark.table("dd_out").collect()
+    q.stop()
+    assert(again.count(_.getString(0) == "a1") == 2)
   }
 
-  test("sessionize merges events within gap into one session") {
+  test("sessionize emits closed sessions and expires state on timeout") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
-    val out = StreamingAlerts.sessionize(input.toDS(), gapS = 3600)
+    val out = StreamingAlerts.sessionize(input.toDS(), gapS = 3600,
+      watermark = "1 minute")
     val q = out.writeStream.format("memory").queryName("sess_out")
-      .outputMode(OutputMode.Update).start()
+      .outputMode(OutputMode.Append).start()
+    // u1: two events 10 min apart → one session
     input.addData(
-      SessionEvent("u1", 1000L),
-      SessionEvent("u1", 2000L),
-      SessionEvent("u2", 5000L))
+      SessionEvent("u1", ts("2024-01-01 10:00:00")),
+      SessionEvent("u1", ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    // nothing closed yet: watermark has not passed u1's end + gap
+    assert(spark.table("sess_out").isEmpty)
+    // a much later event advances the watermark past 11:10 → u1's
+    // state times out and the CLOSED session is emitted
+    input.addData(SessionEvent("u2", ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    input.addData(SessionEvent("u2", ts("2024-01-01 13:00:05")))
     q.processAllAvailable()
     val got = spark.table("sess_out").as[SessionSummary].collect()
     q.stop()
     val u1 = got.find(_.actor == "u1").get
-    assert(u1.startS == 1000L && u1.endS == 2000L && u1.nEvents == 2L)
+    assert(u1.startS == ts("2024-01-01 10:00:00").getTime / 1000)
+    assert(u1.endS == ts("2024-01-01 10:10:00").getTime / 1000)
+    assert(u1.nEvents == 2L)
+    // u2's session is still open → not emitted in Append mode
+    assert(!got.exists(_.actor == "u2"))
+  }
+
+  test("sessionize closes a session mid-batch when the gap is exceeded") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val out = StreamingAlerts.sessionize(input.toDS(), gapS = 600,
+      watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sess_gap_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      SessionEvent("u1", ts("2024-01-01 10:00:00")),
+      SessionEvent("u1", ts("2024-01-01 10:05:00")),
+      SessionEvent("u1", ts("2024-01-01 12:00:00"))) // > gap → closes 1st
+    q.processAllAvailable()
+    val got = spark.table("sess_gap_out").as[SessionSummary].collect()
+    q.stop()
+    assert(got.length == 1)
+    assert(got.head.nEvents == 2L)
+    assert(got.head.endS == ts("2024-01-01 10:05:00").getTime / 1000)
   }
 }
