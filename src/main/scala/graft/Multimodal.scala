@@ -43,8 +43,20 @@ object Multimodal {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_meta" -> decodeMeta _ // rows-only: stubbed decode
+    "q_multimodal_meta" -> decodeMeta _
   )
 
-  def oracle: Map[String, String] = Map()
+  /** The stub decode is pure byte arithmetic, so even the decode path
+    * gets a full hash-checked oracle (a real codec would fall back to a
+    * rows+schema check). */
+  def oracle: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 31) % 512 AS BIGINT)
+        |    AS height,
+        |  CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -24,5 +24,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreSql.oracle ++ Engine.oracle ++ Baselines.oracle ++
       Dedup.oracle ++ Ann.oracle ++ TextOps.oracle ++
-      graft.packs.AwsPack.oracle
+      Multimodal.oracle ++ graft.packs.AwsPack.oracle
 }

@@ -60,4 +60,33 @@ object Connectors {
     * last landed timestamp" contract (ref: connectors/utils.py). */
   def incremental(df: DataFrame, tsCol: String, fromTs: String): DataFrame =
     df.filter(col(tsCol) > lit(fromTs).cast("timestamp"))
+
+  /** LATERAL FLATTEN over a JSON array column (the reference flattens
+    * VARIANT arrays in its data.*_v views / migrations DDL): parse with
+    * an explicit element schema, emit one row per element with its
+    * index. outer=true keeps rows whose array is null/empty (FLATTEN
+    * OUTER => TRUE). */
+  def flattenJsonArray(
+      df: DataFrame,
+      jsonCol: String,
+      elemSchema: org.apache.spark.sql.types.DataType,
+      outer: Boolean = false): DataFrame = {
+    val parsed = from_json(col(jsonCol),
+      org.apache.spark.sql.types.ArrayType(elemSchema))
+    val ex = if (outer) posexplode_outer(parsed) else posexplode(parsed)
+    df.select(df.columns.map(col).toIndexedSeq :+
+      ex.as(Seq("pos", "value")): _*)
+  }
+
+  /** LATERAL FLATTEN over a JSON object column: one row per (key,
+    * value) pair, the OBJECT_CONSTRUCT inverse. */
+  def flattenJsonMap(
+      df: DataFrame,
+      jsonCol: String,
+      valueSchema: org.apache.spark.sql.types.DataType): DataFrame = {
+    val parsed = from_json(col(jsonCol), org.apache.spark.sql.types
+      .MapType(org.apache.spark.sql.types.StringType, valueSchema))
+    df.select(df.columns.map(col).toIndexedSeq :+
+      explode(parsed).as(Seq("key", "value")): _*)
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Connectors
+
+/** SURVEY.md §2 #25: VARIANT flatten — from_json of arrays/maps +
+  * (pos)explode, the LATERAL FLATTEN analogue of the reference's
+  * data.*_v views. */
+class VariantSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val recSchema = StructType(Seq(
+    StructField("name", StringType),
+    StructField("qty", IntegerType)))
+
+  test("flattenJsonArray explodes array elements with position") {
+    val df = Seq(
+      ("r1", """[{"name":"a","qty":1},{"name":"b","qty":2}]"""),
+      ("r2", """[{"name":"c","qty":3}]""")
+    ).toDF("id", "items")
+    val flat = Connectors.flattenJsonArray(df, "items", recSchema)
+    assert(flat.count() == 3)
+    assert(flat.columns.toSeq == Seq("id", "items", "pos", "value"))
+    val b = flat.filter(col("value.name") === "b").head
+    assert(b.getAs[String]("id") == "r1")
+    assert(b.getAs[Int]("pos") == 1)
+    // aggregating over flattened values (the typical *_v view usage)
+    val total = flat.agg(sum(col("value.qty"))).head.getLong(0)
+    assert(total == 6L)
+  }
+
+  test("flattenJsonArray outer keeps rows with null/empty arrays") {
+    val df = Seq(("r1", """[{"name":"a","qty":1}]"""), ("r2", null),
+      ("r3", "[]")).toDF("id", "items")
+    val inner = Connectors.flattenJsonArray(df, "items", recSchema)
+    assert(inner.count() == 1)
+    val outer = Connectors.flattenJsonArray(df, "items", recSchema,
+      outer = true)
+    assert(outer.count() == 3)
+    assert(outer.filter(col("id") === "r2").head.isNullAt(3))
+  }
+
+  test("flattenJsonMap explodes object keys and values") {
+    val df = Seq(
+      ("u1", """{"login":"2024-01-01","logout":"2024-01-02"}""")
+    ).toDF("id", "props")
+    val flat = Connectors.flattenJsonMap(df, "props", StringType)
+    assert(flat.count() == 2)
+    assert(flat.columns.toSeq == Seq("id", "props", "key", "value"))
+    val keys = flat.select("key").collect().map(_.getString(0)).sorted
+    assert(keys.sameElements(Array("login", "logout")))
+  }
+
+  test("multimodal stub decode is deterministic with the right schema") {
+    val df = Multimodal.queries("q_multimodal_meta")(spark, Sf)
+    assert(df.columns.toSeq ==
+      Seq("doc_id", "n_bytes", "width", "height", "n_frames"))
+    val a = df.collect()
+    val b = Multimodal.queries("q_multimodal_meta")(spark, Sf).collect()
+    assert(a.sameElements(b))
+    // stub arithmetic: width = 64 + n % 512 for byte length n
+    val r = a.head
+    val n = r.getAs[Long]("n_bytes")
+    assert(r.getAs[Long]("width") == 64L + n % 512)
+    assert(r.getAs[Long]("height") == 64L + (n * 31) % 512)
+    assert(a.forall(_.getAs[Long]("n_frames") >= 1L))
+  }
+}
