@@ -82,6 +82,50 @@ object Ann {
       .limit(5)
   }
 
+  /** #33b measured recall of the LSH path vs the exact baseline —
+    * |lsh ∩ bf_top10| / |lsh| — the metric SURVEY promises for ANN
+    * quality tracking. One scalar row. */
+  def lshRecall(s: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForce(s, dir).select(col("vec_id"))
+    val lsh = lshAnn(s, dir).select(col("vec_id"))
+    lsh.join(bf, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .select(col("n_lsh"), col("n_overlap"),
+        Num.r4(col("n_overlap") / col("n_lsh")).as("recall"))
+  }
+
+  /** Batch-probe ANN: the 100 TB shape. Signatures are computed ONCE
+    * (at scale: materialized to a table) and shared by every probe in
+    * the batch; candidates join on bucket; per-probe exact top-k via a
+    * row_number window on (probe, cosine) — no per-probe re-scan of the
+    * corpus, no global sort. */
+  def annBatch(
+      s: SparkSession, dir: String,
+      probeIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withV(t(s, dir, "embeddings"))
+    val withB = e.join(signatures(e), Seq("vec_id"))
+    val probes = broadcast(
+      withB.filter(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("bucket")))
+    withB.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("dot", expr(dot))
+      .withColumn("qa", expr(norm2.format("v")))
+      .withColumn("qb", expr(norm2.format("pv")))
+      .withColumn("cosine",
+        Num.r4(col("dot") / (sqrt(col("qa")) * sqrt(col("qb")))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cosine"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   /** #34 per-label centroids (IVF coarse quantizer). */
   def centroids(s: SparkSession, dir: String): DataFrame =
     withV(t(s, dir, "embeddings"))
@@ -93,6 +137,9 @@ object Ann {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> bruteForce _,
     "q_ann_lsh" -> lshAnn _,
+    "q_ann_recall" -> lshRecall _,
+    "q_ann_batch" -> ((s: SparkSession, dir: String) =>
+      annBatch(s, dir, Seq(0L, 1L, 2L), k = 3)),
     "q_embedding_centroids" -> centroids _
   )
 
@@ -161,6 +208,116 @@ object Ann {
         |SELECT vec_id, bucket,
         |  round(dot / (sqrt(qa) * sqrt(qb)), 4) AS cosine
         |FROM comp ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
+
+    "q_ann_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding AS v FROM embeddings
+        |), probe AS (
+        |  SELECT v AS pv FROM e WHERE vec_id = 0
+        |), bexp AS (
+        |  SELECT e.vec_id, e.v, p.pv,
+        |    unnest(generate_series(1, len(e.v))) AS i
+        |  FROM e CROSS JOIN probe p WHERE e.vec_id <> 0
+        |), bcomp AS (
+        |  SELECT vec_id,
+        |    sum(v[i]::DOUBLE * pv[i]::DOUBLE) AS dot,
+        |    sum(v[i]::DOUBLE * v[i]::DOUBLE) AS qa,
+        |    sum(pv[i]::DOUBLE * pv[i]::DOUBLE) AS qb
+        |  FROM bexp GROUP BY vec_id
+        |), bf AS (
+        |  SELECT vec_id FROM bcomp
+        |  ORDER BY round(dot / (sqrt(qa) * sqrt(qb)), 4) DESC, vec_id
+        |  LIMIT 10
+        |), dims AS (
+        |  SELECT vec_id, v, unnest(generate_series(1, len(v))) AS d FROM e
+        |), planes AS (
+        |  SELECT vec_id, v, d, v[d]::DOUBLE AS x,
+        |    unnest(generate_series(0, 7)) AS p
+        |  FROM dims
+        |), projs AS (
+        |  SELECT vec_id, p,
+        |    sum((strpos('0123456789abcdef',
+        |      substr(md5(p || ':' || d), 1, 1)) - 8.5) * x) AS proj
+        |  FROM planes GROUP BY vec_id, p
+        |), bucketed AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN proj > 0 THEN 1 ELSE 0 END
+        |      * CAST(power(2, p) AS BIGINT)) AS BIGINT) AS bucket
+        |  FROM projs GROUP BY vec_id
+        |), probe_bucket AS (
+        |  SELECT bucket FROM bucketed WHERE vec_id = 0
+        |), lcands AS (
+        |  SELECT e.vec_id, e.v, p.pv,
+        |    unnest(generate_series(1, len(e.v))) AS i
+        |  FROM e
+        |  JOIN bucketed b ON b.vec_id = e.vec_id
+        |  JOIN probe_bucket pb ON pb.bucket = b.bucket
+        |  CROSS JOIN probe p
+        |  WHERE e.vec_id <> 0
+        |), lcomp AS (
+        |  SELECT vec_id,
+        |    sum(v[i]::DOUBLE * pv[i]::DOUBLE) AS dot,
+        |    sum(v[i]::DOUBLE * v[i]::DOUBLE) AS qa,
+        |    sum(pv[i]::DOUBLE * pv[i]::DOUBLE) AS qb
+        |  FROM lcands GROUP BY vec_id
+        |), lsh AS (
+        |  SELECT vec_id FROM lcomp
+        |  ORDER BY round(dot / (sqrt(qa) * sqrt(qb)), 4) DESC, vec_id
+        |  LIMIT 5
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM lsh) AS n_lsh,
+        |  (SELECT count(*) FROM lsh
+        |     WHERE vec_id IN (SELECT vec_id FROM bf)) AS n_overlap,
+        |  round((SELECT count(*) FROM lsh
+        |           WHERE vec_id IN (SELECT vec_id FROM bf)) * 1.0
+        |        / (SELECT count(*) FROM lsh), 4) AS recall""".stripMargin,
+
+    "q_ann_batch" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding AS v FROM embeddings
+        |), dims AS (
+        |  SELECT vec_id, v, unnest(generate_series(1, len(v))) AS d FROM e
+        |), planes AS (
+        |  SELECT vec_id, v, d, v[d]::DOUBLE AS x,
+        |    unnest(generate_series(0, 7)) AS p
+        |  FROM dims
+        |), projs AS (
+        |  SELECT vec_id, p,
+        |    sum((strpos('0123456789abcdef',
+        |      substr(md5(p || ':' || d), 1, 1)) - 8.5) * x) AS proj
+        |  FROM planes GROUP BY vec_id, p
+        |), bucketed AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN proj > 0 THEN 1 ELSE 0 END
+        |      * CAST(power(2, p) AS BIGINT)) AS BIGINT) AS bucket
+        |  FROM projs GROUP BY vec_id
+        |), probes AS (
+        |  SELECT e.vec_id AS probe_id, e.v AS pv, b.bucket
+        |  FROM e JOIN bucketed b ON b.vec_id = e.vec_id
+        |  WHERE e.vec_id IN (0, 1, 2)
+        |), cands AS (
+        |  SELECT e.vec_id, p.probe_id, e.v, p.pv,
+        |    unnest(generate_series(1, len(e.v))) AS i
+        |  FROM e
+        |  JOIN bucketed b ON b.vec_id = e.vec_id
+        |  JOIN probes p ON p.bucket = b.bucket
+        |  WHERE e.vec_id <> p.probe_id
+        |), comp AS (
+        |  SELECT probe_id, vec_id,
+        |    round(sum(v[i]::DOUBLE * pv[i]::DOUBLE)
+        |      / (sqrt(sum(v[i]::DOUBLE * v[i]::DOUBLE))
+        |         * sqrt(sum(pv[i]::DOUBLE * pv[i]::DOUBLE))), 4) AS cosine
+        |  FROM cands GROUP BY probe_id, vec_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id, cosine,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY probe_id ORDER BY cosine DESC, vec_id)
+        |      AS BIGINT) AS rn
+        |  FROM comp
+        |)
+        |SELECT probe_id, vec_id, cosine, rn FROM ranked
+        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
 
     "q_embedding_centroids" ->
       """WITH expanded AS (

@@ -1,5 +1,18 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and emits ONE JSON line — to stdout AND to a bare
+  * file (default BENCH.json, override SPARK_GRAFT_BENCH_OUT) so the
+  * driver can parse it without sbt's log prefixes (round-1 parse
+  * failure). Queries execute via the no-op writer, which computes every
+  * column (a bare count() would let Catalyst prune the projections we
+  * mean to measure); the session is warmed with one untimed query so
+  * per-query numbers aren't polluted by JVM/codegen/parquet-footer
+  * warm-up. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +20,32 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    run("q_agg_pushdown") // warm-up, untimed
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // scalastyle:off println
+    println(json)
+    // scalastyle:on println
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    Files.writeString(Paths.get(out), json + "\n")
     spark.stop()
   }
 }

@@ -31,17 +31,20 @@ object Dedup {
           |                 element_at(w,i+2)))""".stripMargin)).as("sh"))
       .distinct()
 
-  /** #27 MinHash signatures: k independent hash functions derived from
-    * md5 with a per-function salt; min taken per function in ONE
-    * aggregation pass (k min-aggregates, map-side combined). */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until NumHashes).map { i =>
-      min(md5(concat_ws("", lit(s"$i:"), col("sh")))).as(s"mh$i")
-    }
+  /** The k "independent" hash functions are k disjoint 4-hex-char
+    * slices of ONE md5 per shingle (the standard one-hash MinHash
+    * trick): 8× less hashing per shingle, and exact Jaccard reranks
+    * candidates anyway so the 16-bit slices only need decent precision. */
+  private def minhashAggs = (0 until NumHashes).map { i =>
+    min(substring(md5(col("sh")), 4 * i + 1, 4)).as(s"mh$i")
+  }
+
+  /** #27 MinHash signatures: k min-aggregates in ONE aggregation pass
+    * (map-side combined, single shuffle). */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     shingles(s, dir)
       .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-  }
+      .agg(minhashAggs.head, minhashAggs.tail: _*)
 
   /** LSH banding (4 bands × 2 rows) → DISTINCT candidate pairs. The
     * only pairwise join in the dedup path, and it joins on (band
@@ -66,16 +69,24 @@ object Dedup {
       .distinct()
 
   /** #28 LSH banding → candidate pairs → exact Jaccard on candidates
-    * ONLY: shingles are semi-joined to candidate doc ids BEFORE any
-    * pairwise work, then intersections are computed per candidate pair
-    * via array_intersect over per-doc shingle sets — a hot shingle
-    * shared by f docs costs f rows here, never f². */
+    * ONLY: the per-doc state (8 minhash aggregates + shingle set +
+    * count) is computed in a SINGLE groupBy over one shingle explode —
+    * one shuffle of the corpus, linear — then banding yields candidate
+    * pairs and intersections are computed per candidate pair via
+    * array_intersect over the per-doc sets. A hot shingle shared by f
+    * docs costs f rows here, never f²; no pairwise work happens before
+    * the candidate filter. */
   def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val cand = lshCandidates(minhashSignatures(s, dir))
+    val aggs = minhashAggs ++
+      Seq(collect_set(col("sh")).as("shs"), count(lit(1)).as("nsh"))
+    // One linear pass builds the whole per-doc state (signatures + set +
+    // count): at 100 TB this is the signature table you materialize
+    // once; here Catalyst recomputes it per consumer but each pass is a
+    // single map-side-combined shuffle.
     val docSh = shingles(s, dir)
-      .join(candidateDocs(cand), Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("nsh"))
+      .agg(aggs.head, aggs.tail: _*)
+    val cand = lshCandidates(docSh)
     cand
       .join(docSh.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
         col("nsh").as("na")), Seq("doc_a"))
@@ -133,25 +144,28 @@ object Dedup {
   }
 
   /** #30a 32-bit SimHash per doc from token-frequency-weighted
-    * md5-derived token hashes (portable bit arithmetic, no UDF). */
+    * md5-derived token hashes (portable bit arithmetic, no UDF).
+    * The 32 per-bit contribution sums are 32 aggregate EXPRESSIONS in
+    * one groupBy — not a 32× row explode — so the shuffle carries one
+    * row per doc with partial sums (map-side combined), not 32 rows per
+    * token. Output matches the explode formulation exactly. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val bits = toks
-      .select(col("doc_id"), col("h"),
-        explode(expr("sequence(0, 31)")).as("j"))
-      .withColumn("v", expr(
-        "instr('0123456789abcdef', substr(h, cast(j div 4 as int) + 1, 1)) - 1"))
-      .withColumn("p", expr(
-        "CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END"))
-      .withColumn("contrib", expr("2 * ((v div p) % 2) - 1"))
-    bits
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("contrib")).as("sgn"))
-      .withColumn("bit", when(col("sgn") > 0, 1L).otherwise(0L))
+    val bitSums = (0 until 32).map { j =>
+      val p = Seq(8, 4, 2, 1)(j % 4)
+      sum(expr(
+        s"2 * (((instr('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1) div $p) % 2) - 1"))
+        .as(s"s$j")
+    }
+    toks
       .groupBy(col("doc_id"))
-      .agg(sum(expr("bit * cast(power(2, j) as bigint)")).as("simhash32"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        expr((0 until 32)
+          .map(j => s"CASE WHEN s$j > 0 THEN cast(${1L << j} as bigint) ELSE cast(0 as bigint) END")
+          .mkString(" + ")).as("simhash32"))
       .orderBy(col("doc_id"))
   }
 
@@ -242,10 +256,14 @@ object Dedup {
       |  FROM pos
       |), sig AS (
       |  SELECT doc_id,
-      |    min(md5('0:' || sh)) AS mh0, min(md5('1:' || sh)) AS mh1,
-      |    min(md5('2:' || sh)) AS mh2, min(md5('3:' || sh)) AS mh3,
-      |    min(md5('4:' || sh)) AS mh4, min(md5('5:' || sh)) AS mh5,
-      |    min(md5('6:' || sh)) AS mh6, min(md5('7:' || sh)) AS mh7
+      |    min(substr(md5(sh), 1, 4)) AS mh0,
+      |    min(substr(md5(sh), 5, 4)) AS mh1,
+      |    min(substr(md5(sh), 9, 4)) AS mh2,
+      |    min(substr(md5(sh), 13, 4)) AS mh3,
+      |    min(substr(md5(sh), 17, 4)) AS mh4,
+      |    min(substr(md5(sh), 21, 4)) AS mh5,
+      |    min(substr(md5(sh), 25, 4)) AS mh6,
+      |    min(substr(md5(sh), 29, 4)) AS mh7
       |  FROM sh GROUP BY doc_id
       |), bands AS (
       |  SELECT doc_id, md5('0:' || mh0 || mh1) AS bucket FROM sig

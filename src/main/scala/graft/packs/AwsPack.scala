@@ -104,10 +104,10 @@ object AwsPack {
       name = "cis_aws_no_mfa_activity",
       queryId = "gvcis01",
       title = "IAM API activity without MFA",
-      predicate = col("n") >= 5,
+      predicate = col("n") >= 3,
       target = col("user_identity_arn"),
       owner = lit("secops"),
-      severity = when(col("n") >= 10, "high").otherwise("medium"),
+      severity = when(col("n") >= 6, "high").otherwise("medium"),
       day = col("day"))).orderBy(col("id"))
   }
 
@@ -185,8 +185,8 @@ object AwsPack {
          |  'cis_aws_no_mfa_activity' AS query_name, 'gvcis01' AS query_id,
          |  'IAM API activity without MFA' AS title,
          |  user_identity_arn AS object, 'secops' AS owner,
-         |  CASE WHEN n >= 10 THEN 'high' ELSE 'medium' END AS severity,
+         |  CASE WHEN n >= 6 THEN 'high' ELSE 'medium' END AS severity,
          |  day AS violation_day
-         |FROM daily WHERE n >= 5 ORDER BY id""".stripMargin
+         |FROM daily WHERE n >= 3 ORDER BY id""".stripMargin
   )
 }
