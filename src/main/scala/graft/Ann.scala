@@ -28,11 +28,8 @@ object Ann {
       .select(col("v").as("pv")))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(probe)
-      .withColumn("dot", expr(dot))
-      .withColumn("qa", expr(norm2.format("v")))
-      .withColumn("qb", expr(norm2.format("pv")))
       .withColumn("cosine",
-        Num.r4(col("dot") / (sqrt(col("qa")) * sqrt(col("qb")))))
+        Num.r4(graft.functions.vec.cosine(col("v"), col("pv"))))
       .select(col("vec_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
@@ -72,11 +69,8 @@ object Ann {
       .join(probeBucket, Seq("bucket"))
       .filter(col("vec_id") =!= 0)
       .crossJoin(probe)
-      .withColumn("dot", expr(dot))
-      .withColumn("qa", expr(norm2.format("v")))
-      .withColumn("qb", expr(norm2.format("pv")))
       .withColumn("cosine",
-        Num.r4(col("dot") / (sqrt(col("qa")) * sqrt(col("qb")))))
+        Num.r4(graft.functions.vec.cosine(col("v"), col("pv"))))
       .select(col("vec_id"), col("bucket"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(5)
@@ -112,11 +106,8 @@ object Ann {
           col("bucket")))
     withB.join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("dot", expr(dot))
-      .withColumn("qa", expr(norm2.format("v")))
-      .withColumn("qb", expr(norm2.format("pv")))
       .withColumn("cosine",
-        Num.r4(col("dot") / (sqrt(col("qa")) * sqrt(col("qb")))))
+        Num.r4(graft.functions.vec.cosine(col("v"), col("pv"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("cosine").desc, col("vec_id"))))

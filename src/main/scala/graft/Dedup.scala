@@ -220,14 +220,8 @@ object Dedup {
         Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")),
         Seq("vec_b"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
-      .withColumn("qa",
-        expr("aggregate(transform(va, x -> x * x), 0D, (acc, x) -> acc + x)"))
-      .withColumn("qb",
-        expr("aggregate(transform(vb, x -> x * x), 0D, (acc, x) -> acc + x)"))
       .withColumn("cosine",
-        Num.r4(col("dot") / (sqrt(col("qa")) * sqrt(col("qb")))))
+        Num.r4(graft.functions.vec.cosine(col("va"), col("vb"))))
       .filter(col("cosine") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
