@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{AlertRule, MemorySink, RunConfig, RunLog, Runner,
+  SuppressionRule}
+
+/** End-to-end runner pipeline: rules → merge → suppress → correlate →
+  * dispatch with metadata (the reference's run_alerts.py loop). */
+class RunnerSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mkEvents = Seq(
+    (1L, "2024-01-01 10:00:00", 1L, "error", 120.0),
+    (2L, "2024-01-01 10:30:00", 1L, "error", 130.0),
+    (3L, "2024-01-01 11:00:00", 2L, "login", 5.0),
+    (4L, "2024-01-01 12:00:00", 3L, "error", 250.0),
+    (5L, "2024-01-01 12:05:00", 3L, "error", 260.0)
+  ).toDF("event_id", "ts_s", "user_id", "event_type", "value")
+    .withColumn("ts", col("ts_s").cast("timestamp"))
+    .withColumn("props", lit("{}"))
+
+  private def rule(n: String, pred: org.apache.spark.sql.Column) =
+    AlertRule(
+      name = n, queryId = n, title = n,
+      predicate = pred,
+      actor = concat_ws("", lit("u"), col("user_id")),
+      target = concat_ws("", lit("u"), col("user_id")),
+      action = col("event_type"),
+      description = concat_ws("", lit(n), lit(":u"), col("user_id")),
+      severity = lit("medium"),
+      eventTime = col("ts"),
+      eventData = col("props"))
+
+  test("full alert run: rules, merge, suppress, correlate, dispatch, metadata") {
+    val buf = s"runner-${System.nanoTime()}"
+    val log = RunLog.newRun()
+    val result = Runner.runAlerts(
+      events = mkEvents,
+      rules = Seq(
+        rule("errors", col("event_type") === "error"),
+        rule("logins", col("event_type") === "login")),
+      idCol = col("event_id"),
+      suppressions = Seq(SuppressionRule("squelch_u1",
+        alerts => alerts.filter(col("actor") === "u1").select("alert_id"))),
+      sinks = Seq(new MemorySink(buf)),
+      cfg = RunConfig("2024-01-01 00:00:00", "2024-01-02 00:00:00",
+        alertTimeS = 0L, defaultHandler = "memory"),
+      log = log)
+
+    // the store holds all merged alerts with suppression flags:
+    // 5 raw alerts merge to 3 (u1 errors merge, u3 errors merge, login)
+    val store = result.store.collect()
+    assert(store.length == 3)
+    assert(store.count(_.getAs[Boolean]("suppressed")) == 1)
+    assert(store.find(_.getAs[Boolean]("suppressed")).get
+      .getAs[String]("suppression_rule") == "squelch_u1")
+    // live alerts exclude suppressed u1 and are correlated + dispatched
+    val alerts = result.alerts.collect()
+    assert(alerts.length == 2)
+    assert(alerts.forall(a => a.getAs[String]("actor") != "u1"))
+    assert(alerts.forall(_.getAs[String]("correlation_id") != null))
+    // every live alert was dispatched to the memory sink exactly once
+    val delivered = MemorySink.drain(buf)
+    assert(delivered.length == 2)
+    val handlerRows = result.handlerResults.collect()
+    assert(handlerRows.length == 2 && handlerRows.forall(_.success))
+    // handled column carries the per-handler result struct
+    assert(alerts.forall(
+      _.getAs[scala.collection.Seq[Any]]("handled").length == 1))
+    // metadata: one row per rule + merge + suppression + dispatch
+    val meta = log.entries
+    assert(meta.map(_.query_name) ==
+      Seq("errors", "logins", "alert_merge", "squelch_u1", "alert_dispatch"))
+    assert(meta.head.inserted == 4) // errors rule: 4 matching events
+    assert(meta(1).inserted == 1)
+    assert(meta(2).inserted == 3) // 5 raw alerts merged to 3
+    assert(meta(3).suppressed == 1 && meta(3).passed == 2)
+    assert(meta(4).inserted == 2) // live handled alerts
+  }
+}
