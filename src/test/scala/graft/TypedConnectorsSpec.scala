@@ -60,6 +60,33 @@ class TypedConnectorsSpec extends SparkSuite {
     assert(f.getAs[String]("client_ip") == "1.2.3.4")
   }
 
+  test("osquery result log lands typed envelope + columns map") {
+    val path = tmpFile("osq.jsonl",
+      """{"name":"pack_incident-response_open_sockets","action":"added","hostIdentifier":"host-1","calendarTime":"Mon Jan  1 10:00:00 2024 UTC","unixTime":1704103200,"epoch":0,"counter":3,"columns":{"pid":"421","port":"443"},"decorations":{"env":"prod"}}
+        |""".stripMargin)
+    val df = graft.sources.Osquery.land(spark, path)
+    assert(df.count() == 1)
+    val r = df.head
+    assert(r.getAs[String]("hostidentifier") == "host-1")
+    assert(r.getAs[Map[String, String]]("columns")("port") == "443")
+    assert(r.getAs[java.sql.Timestamp]("event_time") ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+  }
+
+  test("azure operation log lands typed identity/authorization columns") {
+    val path = tmpFile("az.jsonl",
+      """{"time":"2024-01-01T10:00:00Z","callerIpAddress":"1.2.3.4","category":"Administrative","correlationId":"c1","durationMs":42,"level":"Information","location":"westus","operationName":"Microsoft.Compute/virtualMachines/write","resourceId":"/subscriptions/s1/vm1","resultSignature":"Succeeded.","resultType":"Success","identity":{"authorization":{"action":"Microsoft.Compute/virtualMachines/write","scope":"/subscriptions/s1"},"claims":{"name":"alice"}}}
+        |""".stripMargin)
+    val df = graft.sources.AzureLog.landOperations(spark, path)
+    assert(df.count() == 1)
+    val r = df.head
+    assert(r.getAs[String]("operation_name") ==
+      "Microsoft.Compute/virtualMachines/write")
+    assert(r.getAs[String]("identity_authorization_scope") ==
+      "/subscriptions/s1")
+    assert(r.getAs[String]("caller_ip_address") == "1.2.3.4")
+  }
+
   test("okta latestSnapshot keeps one row per entity (QUALIFY analogue)") {
     import spark.implicits._
     val snaps = Seq(
