@@ -46,17 +46,31 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(minhashAggs.head, minhashAggs.tail: _*)
 
+  /** Bucket-size cap applied before every bucket self-join: a
+    * degenerate hot bucket with f members yields f²/2 pairs no matter
+    * how good the banding is (boilerplate/empty docs at web scale), so
+    * buckets above the cap are skipped entirely — standard LSH skew
+    * hygiene. The count runs as a window over the same key the join
+    * shuffles on (co-partitioned, no extra shuffle). */
+  private val MaxBucket = 100
+
   /** LSH banding (4 bands × 2 rows) → DISTINCT candidate pairs. The
     * only pairwise join in the dedup path, and it joins on (band
-    * bucket) keys — docs colliding in ≥1 band — never on raw content. */
+    * bucket) keys — docs colliding in ≥1 band — never on raw content;
+    * hot buckets above MaxBucket are dropped before the join. */
   def lshCandidates(sig: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bands = sig.select(col("doc_id"), explode(array(
       md5(concat_ws("", lit("0:"), col("mh0"), col("mh1"))),
       md5(concat_ws("", lit("1:"), col("mh2"), col("mh3"))),
       md5(concat_ws("", lit("2:"), col("mh4"), col("mh5"))),
       md5(concat_ws("", lit("3:"), col("mh6"), col("mh7"))))).as("bucket"))
-    bands.as("ba")
-      .join(bands.as("bb"),
+    val sized = bands
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bsz") <= MaxBucket)
+    sized.as("ba")
+      .join(sized.as("bb"),
         col("ba.bucket") === col("bb.bucket") &&
           col("ba.doc_id") < col("bb.doc_id"))
       .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
@@ -174,12 +188,16 @@ object Dedup {
     * (band, key) — candidate pairs only — then exact hamming filter
     * bit_count(xor) ≤ 3. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sig = simhash(s, dir)
     val keyed = sig
       .select(col("doc_id"), col("simhash32"),
         explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("key", expr(
         "(simhash32 div cast(power(2, band * 8) as bigint)) % 256"))
+      .withColumn("bsz", count(lit(1))
+        .over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bsz") <= MaxBucket)
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -202,12 +220,16 @@ object Dedup {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+    import org.apache.spark.sql.expressions.Window
     val keyed = e.select(col("vec_id"), col("label"))
       .join(Ann.signatures(e), Seq("vec_id"))
       .select(col("vec_id"), col("label"), col("bucket"),
         explode(expr("sequence(0, 1)")).as("band"))
       .withColumn("key", expr(
         "CASE band WHEN 0 THEN bucket % 16 ELSE bucket div 16 END"))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("label"), col("band"), col("key"))))
+      .filter(col("bsz") <= MaxBucket)
     val cand = keyed.as("a")
       .join(keyed.as("b"),
         col("a.label") === col("b.label") &&
@@ -264,10 +286,15 @@ object Dedup {
       |  UNION ALL SELECT doc_id, md5('1:' || mh2 || mh3) FROM sig
       |  UNION ALL SELECT doc_id, md5('2:' || mh4 || mh5) FROM sig
       |  UNION ALL SELECT doc_id, md5('3:' || mh6 || mh7) FROM sig
+      |), sized AS (
+      |  SELECT doc_id, bucket,
+      |    count(*) OVER (PARTITION BY bucket) AS bsz
+      |  FROM bands
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
+      |  FROM sized a JOIN sized b
       |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  WHERE a.bsz <= 100
       |)""".stripMargin
 
   private val SimhashCte =
@@ -362,11 +389,15 @@ object Dedup {
          |  SELECT doc_id, simhash32, band,
          |    (simhash32 // CAST(power(2, band * 8) AS BIGINT)) % 256 AS key
          |  FROM banded
+         |), ssized AS (
+         |  SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz
+         |  FROM skeyed
          |), scand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.simhash32 AS sa, b.simhash32 AS sb
-         |  FROM skeyed a JOIN skeyed b
+         |  FROM ssized a JOIN ssized b
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |  WHERE a.bsz <= 100
          |)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM scand WHERE bit_count(xor(sa, sb)) <= 3
@@ -397,11 +428,15 @@ object Dedup {
         |         ELSE b.bucket // 16 END AS key
         |  FROM e JOIN bucketed b ON b.vec_id = e.vec_id
         |  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band) band
+        |), ksized AS (
+        |  SELECT *, count(*) OVER (PARTITION BY label, band, key) AS bsz
+        |  FROM keyed
         |), cand AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM keyed a JOIN keyed b
+        |  FROM ksized a JOIN ksized b
         |    ON a.label = b.label AND a.band = b.band AND a.key = b.key
         |      AND a.vec_id < b.vec_id
+        |  WHERE a.bsz <= 100
         |), pairs AS (
         |  SELECT c.vec_a, c.vec_b, ea.v AS va, eb.v AS vb
         |  FROM cand c
