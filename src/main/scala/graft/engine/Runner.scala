@@ -98,4 +98,34 @@ object Runner {
 
     AlertRunResult(handled, suppressed, results)
   }
+
+  /** The violation runner loop (ref: violation_queries_runner.py +
+    * violation_suppressions_runner.py): each rule's grouped input →
+    * identity-hashed violations → suppression flags, metadata-recorded. */
+  def runViolations(
+      ruleInputs: Seq[(ViolationRule, DataFrame)],
+      suppressions: Seq[SuppressionRule],
+      log: RunLog): DataFrame = {
+    val violations = ruleInputs.map { case (rule, grouped) =>
+      log.timedInsert(rule.name) {
+        RuleEngine.runViolationRule(grouped, rule)
+      }
+    }.reduce(_.unionByName(_))
+    suppressions.foldLeft(
+      violations.withColumn("suppressed", lit(false))
+        .withColumn("suppression_rule", lit(null).cast("string"))) {
+      case (acc, rule) =>
+        log.timedSuppress(rule.name) {
+          val ids = broadcast(rule.selectIds(acc)
+            .select(col("id").as("__sup_id")).distinct())
+          acc.join(ids, acc("id") === ids("__sup_id"), "left")
+            .withColumn("suppression_rule",
+              when(!col("suppressed") && col("__sup_id").isNotNull,
+                lit(rule.name)).otherwise(col("suppression_rule")))
+            .withColumn("suppressed",
+              col("suppressed") || col("__sup_id").isNotNull)
+            .drop("__sup_id")
+        }
+    }
+  }
 }

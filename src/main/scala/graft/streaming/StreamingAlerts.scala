@@ -68,6 +68,23 @@ object StreamingAlerts {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("alert_id")
 
+  /** Continuous handler dispatch: route each micro-batch of streaming
+    * alerts through the batch Dispatcher (foreachBatch is the sanctioned
+    * bridge for side-effecting sinks). Exactly-once per micro-batch via
+    * the eager persisted dispatch inside; at-least-once across restarts,
+    * like the reference's poll-loop dispatcher. */
+  def dispatchStream(
+      alerts: DataFrame,
+      sinks: Seq[graft.engine.AlertSink],
+      defaultHandler: String = "console")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    alerts.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.engine.Dispatcher
+          .dispatch(batch, sinks, defaultHandler).count()
+        ()
+    }
+
   final case class SessionEvent(actor: String, ts: java.sql.Timestamp)
   final case class SessionSummary(
       actor: String, startS: Long, endS: Long, nEvents: Long)

@@ -78,4 +78,31 @@ class RunnerSpec extends SparkSuite {
     assert(meta(3).suppressed == 1 && meta(3).passed == 2)
     assert(meta(4).inserted == 2) // live handled alerts
   }
+
+  test("violation run: rules + suppression with identity-hash ids") {
+    import graft.engine.{Runner, ViolationRule}
+    val daily = mkEvents
+      .filter(col("event_type") === "error")
+      .groupBy(concat_ws("", lit("u"), col("user_id")).as("target_user"),
+        col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val rule = ViolationRule(
+      name = "err_burst", queryId = "v1", title = "Burst",
+      predicate = col("n") >= 1,
+      target = col("target_user"),
+      owner = lit("secops"),
+      severity = lit("medium"),
+      day = col("day"))
+    val log = RunLog.newRun()
+    val out = Runner.runViolations(
+      Seq(rule -> daily),
+      Seq(SuppressionRule("allow_u1",
+        v => v.filter(col("object") === "u1").select("id"))),
+      log)
+    val rows = out.collect()
+    assert(rows.length == 2) // u1 and u3 have error days
+    assert(rows.count(_.getAs[Boolean]("suppressed")) == 1)
+    assert(log.entries.map(_.query_name) == Seq("err_burst", "allow_u1"))
+    assert(log.entries.head.inserted == 2)
+  }
 }

@@ -95,6 +95,25 @@ class StreamingSpec extends SparkSuite {
     assert(again.count(_.getString(0) == "a1") == 2)
   }
 
+  test("dispatchStream routes each micro-batch to the sinks") {
+    implicit val ctx = spark.sqlContext
+    val buf = s"stream-${System.nanoTime()}"
+    val input = MemoryStream[StreamEv]
+    val alerts = StreamingAlerts.ruleStream(input.toDF(), rule, col("event_id"))
+    val q = StreamingAlerts.dispatchStream(alerts,
+      Seq(new graft.engine.MemorySink(buf)), defaultHandler = "memory")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      StreamEv(1, ts("2024-01-01 10:00:00"), 1, "error", 120.0),
+      StreamEv(2, ts("2024-01-01 10:01:00"), 2, "error", 220.0),
+      StreamEv(3, ts("2024-01-01 10:02:00"), 3, "click", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val delivered = graft.engine.MemorySink.drain(buf)
+    assert(delivered.length == 2)
+    assert(delivered.forall(_.contains("\"alert_id\"")))
+  }
+
   test("sessionize emits closed sessions and expires state on timeout") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
