@@ -50,25 +50,30 @@ object Dedup {
     * degenerate hot bucket with f members yields f²/2 pairs no matter
     * how good the banding is (boilerplate/empty docs at web scale), so
     * buckets above the cap are skipped entirely — standard LSH skew
-    * hygiene. The count runs as a window over the same key the join
-    * shuffles on (co-partitioned, no extra shuffle). */
+    * hygiene. The count runs as a window over the same keys the
+    * downstream self-join shuffles on — co-partitioned, no extra
+    * shuffle, one pass over the signature table. */
   private val MaxBucket = 100
+
+  private def dropHotBuckets(df: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("__bsz") <= MaxBucket)
+      .drop("__bsz")
+  }
 
   /** LSH banding (4 bands × 2 rows) → DISTINCT candidate pairs. The
     * only pairwise join in the dedup path, and it joins on (band
     * bucket) keys — docs colliding in ≥1 band — never on raw content;
     * hot buckets above MaxBucket are dropped before the join. */
   def lshCandidates(sig: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bands = sig.select(col("doc_id"), explode(array(
       md5(concat_ws("", lit("0:"), col("mh0"), col("mh1"))),
       md5(concat_ws("", lit("1:"), col("mh2"), col("mh3"))),
       md5(concat_ws("", lit("2:"), col("mh4"), col("mh5"))),
       md5(concat_ws("", lit("3:"), col("mh6"), col("mh7"))))).as("bucket"))
-    val sized = bands
-      .withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .filter(col("bsz") <= MaxBucket)
+    val sized = dropHotBuckets(bands, Seq("bucket"))
     sized.as("ba")
       .join(sized.as("bb"),
         col("ba.bucket") === col("bb.bucket") &&
@@ -78,8 +83,7 @@ object Dedup {
   }
 
   private def candidateDocs(cand: DataFrame): DataFrame =
-    cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id")))
+    cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
 
   /** #28 LSH banding → candidate pairs → exact Jaccard on candidates
@@ -188,16 +192,13 @@ object Dedup {
     * (band, key) — candidate pairs only — then exact hamming filter
     * bit_count(xor) ≤ 3. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sig = simhash(s, dir)
-    val keyed = sig
+    val keyed = dropHotBuckets(sig
       .select(col("doc_id"), col("simhash32"),
         explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("key", expr(
-        "(simhash32 div cast(power(2, band * 8) as bigint)) % 256"))
-      .withColumn("bsz", count(lit(1))
-        .over(Window.partitionBy(col("band"), col("key"))))
-      .filter(col("bsz") <= MaxBucket)
+        "(simhash32 div cast(power(2, band * 8) as bigint)) % 256")),
+      Seq("band", "key"))
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -220,16 +221,14 @@ object Dedup {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-    import org.apache.spark.sql.expressions.Window
-    val keyed = e.select(col("vec_id"), col("label"))
-      .join(Ann.signatures(e), Seq("vec_id"))
-      .select(col("vec_id"), col("label"), col("bucket"),
-        explode(expr("sequence(0, 1)")).as("band"))
-      .withColumn("key", expr(
-        "CASE band WHEN 0 THEN bucket % 16 ELSE bucket div 16 END"))
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy(col("label"), col("band"), col("key"))))
-      .filter(col("bsz") <= MaxBucket)
+    val keyed = dropHotBuckets(
+      e.select(col("vec_id"), col("label"))
+        .join(Ann.signatures(e), Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("bucket"),
+          explode(expr("sequence(0, 1)")).as("band"))
+        .withColumn("key", expr(
+          "CASE band WHEN 0 THEN bucket % 16 ELSE bucket div 16 END")),
+      Seq("label", "band", "key"))
     val cand = keyed.as("a")
       .join(keyed.as("b"),
         col("a.label") === col("b.label") &&
