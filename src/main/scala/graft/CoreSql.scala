@@ -129,7 +129,20 @@ object CoreSql {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** #25 VARIANT flatten as a query: LATERAL FLATTEN of the props JSON
+    * object (key, value) per event — the data.*_v view shape — then a
+    * per-key profile. */
+  def variantFlatten(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Connectors.flattenJsonMap(
+      t(s, dir, "events").select(col("event_id"), col("props")),
+      "props", org.apache.spark.sql.types.StringType)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("value")).as("n_values"))
+      .orderBy(col("key"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_variant_flatten" -> variantFlatten _,
     "q_agg_pushdown" -> aggPushdown _,
     "q_join_broadcast" -> joinBroadcast _,
     "q_semi_anti_join" -> semiAntiJoin _,
@@ -142,6 +155,15 @@ object CoreSql {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_variant_flatten" ->
+      """WITH kv AS (
+        |  SELECT props, unnest(json_keys(props)) AS key FROM events
+        |)
+        |SELECT key, count(*) AS n,
+        |  count(DISTINCT json_extract_string(props, '$.' || key))
+        |    AS n_values
+        |FROM kv GROUP BY key ORDER BY key""".stripMargin,
+
     "q_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
