@@ -36,7 +36,7 @@ object Dedup {
     * trick): 8× less hashing per shingle, and exact Jaccard reranks
     * candidates anyway so the 16-bit slices only need decent precision. */
   private def minhashAggs = (0 until NumHashes).map { i =>
-    min(substring(md5(col("sh")), 4 * i + 1, 4)).as(s"mh$i")
+    min(substring(graft.functions.hashes.md5(col("sh")), 4 * i + 1, 4)).as(s"mh$i")
   }
 
   /** #27 MinHash signatures: k min-aggregates in ONE aggregation pass
@@ -170,7 +170,7 @@ object Dedup {
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", md5(col("tok")))
+      .withColumn("h", graft.functions.hashes.md5(col("tok")))
     val bitSums = (0 until 32).map { j =>
       val p = Seq(8, 4, 2, 1)(j % 4)
       sum(expr(

@@ -79,7 +79,7 @@ object TextOps {
         "transform(sequence(1, length(text)-4), i -> substring(text, i, 5))"))
         .as("g"))
       .groupBy(col("doc_id"))
-      .agg(min(md5(col("g"))).as("fingerprint"))
+      .agg(min(graft.functions.hashes.md5(col("g"))).as("fingerprint"))
       .orderBy(col("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -24,6 +24,18 @@ class FunctionsSpec extends SparkSuite {
     assert(custom.sameElements(builtin)) // exact, not approximate
   }
 
+  test("fast_md5 matches the built-in md5 exactly") {
+    val df = Tables.t(spark, Sf, "documents").select(col("text"))
+    val mismatches = df.select(
+      md5(col("text").cast("binary")).as("builtin"),
+      graft.functions.hashes.md5(col("text")).as("fast"))
+      .filter(col("builtin") =!= col("fast"))
+    assert(mismatches.count() == 0)
+    // null propagation
+    assert(spark.sql("SELECT 1").select(
+      graft.functions.hashes.md5(lit(null).cast("string"))).head.isNullAt(0))
+  }
+
   test("cosine is null on zero-norm input, mirroring Divide semantics") {
     val df = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
     assert(df.select(vec.cosine(col("a"), col("b"))).head.isNullAt(0))
