@@ -18,11 +18,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreSql.queries ++ Engine.queries ++ Baselines.queries ++
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++
-      Multimodal.queries ++ graft.packs.AwsPack.queries
+      Multimodal.queries ++ graft.packs.AwsPack.queries ++
+      graft.packs.SnowflakePack.queries
 
   /** DuckDB-equivalent ANSI SQL per query key (omitted → rows-only check). */
   def oracleSql: Map[String, String] =
     CoreSql.oracle ++ Engine.oracle ++ Baselines.oracle ++
       Dedup.oracle ++ Ann.oracle ++ TextOps.oracle ++
-      Multimodal.oracle ++ graft.packs.AwsPack.oracle
+      Multimodal.oracle ++ graft.packs.AwsPack.oracle ++
+      graft.packs.SnowflakePack.oracle
 }
