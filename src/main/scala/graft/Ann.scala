@@ -117,6 +117,48 @@ object Ann {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** #34b IVF search: coarse-quantize every vector to its nearest
+    * centroid (argmax rounded-cosine, deterministic tiebreak), then
+    * search only the probe's cell with exact rerank — the inverted-file
+    * counterpart of the hyperplane-LSH path. Centroids are broadcast;
+    * the assignment pass is linear (n × K fused-cosine evals); the
+    * rerank touches one cell. */
+  def ivfAnn(s: SparkSession, dir: String, probeId: Long = 0L,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withV(t(s, dir, "embeddings"))
+    val cents = broadcast(
+      e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(Num.r4(avg(col("x"))).as("cr"))
+        .groupBy(col("label"))
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(pos, cr))), s -> s.cr)")
+          .as("cvec"))
+        .select(col("label").as("cell"), col("cvec")))
+    val assign = e.crossJoin(cents)
+      .withColumn("sim",
+        Num.r4(graft.functions.vec.cosine(col("v"), col("cvec"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+    val probeCell = broadcast(
+      assign.filter(col("vec_id") === probeId).select(col("cell")))
+    val probe = broadcast(e.filter(col("vec_id") === probeId)
+      .select(col("v").as("pv")))
+    e.join(assign, Seq("vec_id"))
+      .join(probeCell, Seq("cell"))
+      .filter(col("vec_id") =!= probeId)
+      .crossJoin(probe)
+      .withColumn("cosine",
+        Num.r4(graft.functions.vec.cosine(col("v"), col("pv"))))
+      .select(col("vec_id"), col("cell"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** #34 per-label centroids (IVF coarse quantizer). */
   def centroids(s: SparkSession, dir: String): DataFrame =
     withV(t(s, dir, "embeddings"))
@@ -129,6 +171,7 @@ object Ann {
     "q_ann_bruteforce" -> bruteForce _,
     "q_ann_lsh" -> lshAnn _,
     "q_ann_recall" -> lshRecall _,
+    "q_ann_ivf" -> ((s: SparkSession, dir: String) => ivfAnn(s, dir)),
     "q_ann_batch" -> ((s: SparkSession, dir: String) =>
       annBatch(s, dir, Seq(0L, 1L, 2L), k = 3)),
     "q_embedding_centroids" -> centroids _
@@ -263,6 +306,50 @@ object Ann {
         |  round((SELECT count(*) FROM lsh
         |           WHERE vec_id IN (SELECT vec_id FROM bf)) * 1.0
         |        / (SELECT count(*) FROM lsh), 4) AS recall""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding AS v FROM embeddings
+        |), cdims AS (
+        |  SELECT label, v, unnest(generate_series(1, len(v))) AS pos FROM e
+        |), cent AS (
+        |  SELECT label AS cell, pos,
+        |    round(avg(v[pos]::DOUBLE), 4) AS cr
+        |  FROM cdims GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT e.vec_id, c.cell,
+        |    round(sum(e.v[c.pos]::DOUBLE * c.cr)
+        |      / (sqrt(sum(e.v[c.pos]::DOUBLE * e.v[c.pos]::DOUBLE))
+        |         * sqrt(sum(c.cr * c.cr))), 4) AS sim
+        |  FROM e CROSS JOIN cent c
+        |  GROUP BY e.vec_id, c.cell
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (
+        |        PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        |    FROM sims) WHERE rn = 1
+        |), pc AS (
+        |  SELECT cell FROM assign WHERE vec_id = 0
+        |), probe AS (
+        |  SELECT v AS pv FROM e WHERE vec_id = 0
+        |), cand AS (
+        |  SELECT e.vec_id, a.cell, e.v, p.pv,
+        |    unnest(generate_series(1, len(e.v))) AS i
+        |  FROM e
+        |  JOIN assign a ON a.vec_id = e.vec_id
+        |  JOIN pc ON pc.cell = a.cell
+        |  CROSS JOIN probe p
+        |  WHERE e.vec_id <> 0
+        |), comp AS (
+        |  SELECT vec_id, cell,
+        |    round(sum(v[i]::DOUBLE * pv[i]::DOUBLE)
+        |      / (sqrt(sum(v[i]::DOUBLE * v[i]::DOUBLE))
+        |         * sqrt(sum(pv[i]::DOUBLE * pv[i]::DOUBLE))), 4) AS cosine
+        |  FROM cand GROUP BY 1, 2
+        |)
+        |SELECT vec_id, cell, cosine FROM comp
+        |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
 
     "q_ann_batch" ->
       """WITH e AS (

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.engine.{AlertRule, MemorySink, RunConfig, RunLog, Runner,
-  SuppressionRule}
+import graft.engine.{AlertRule, MemorySink, RuleEngine, RunConfig, RunLog,
+  Runner, SuppressionRule}
 
 /** End-to-end runner pipeline: rules → merge → suppress → correlate →
   * dispatch with metadata (the reference's run_alerts.py loop). */
@@ -77,6 +77,39 @@ class RunnerSpec extends SparkSuite {
     assert(meta(2).inserted == 3) // 5 raw alerts merged to 3
     assert(meta(3).suppressed == 1 && meta(3).passed == 2)
     assert(meta(4).inserted == 2) // live handled alerts
+  }
+
+  test("monitoring rule over run metadata flags failed rule runs") {
+    // the reference's snowalert_query_rule_run_errors pattern: the
+    // metadata table is itself a rule source (ref: db.record_metadata +
+    // packs/snowflake_security_monitoring.sql error rules)
+    val log = RunLog.newRun()
+    log.timedInsert("good_rule") {
+      RuleEngine.runAlertRule(mkEvents,
+        rule("good_rule", col("event_type") === "error"), col("event_id"),
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00", 0L)
+    }
+    intercept[Exception] {
+      log.timedInsert("broken_rule") { mkEvents.select(col("missing")) }
+    }
+
+    val meta = log.toDF(spark)
+      .withColumn("ts", to_timestamp(col("start_time_ms") / 1000.0))
+    val monitor = graft.engine.AlertRule(
+      name = "rule_run_errors", queryId = "mon1",
+      title = "Rule run error",
+      predicate = col("error").isNotNull,
+      actor = lit("graft"),
+      target = col("query_name"),
+      action = lit("rule_run_failed"),
+      description = col("error"),
+      severity = lit("high"),
+      eventTime = col("ts"),
+      eventData = col("error"))
+    val alerts = RuleEngine.runAlertRule(meta, monitor, col("query_name"),
+      "2000-01-01 00:00:00", "2100-01-01 00:00:00", 0L).collect()
+    assert(alerts.length == 1)
+    assert(alerts.head.getAs[String]("object") == "broken_rule")
   }
 
   test("violation run: rules + suppression with identity-hash ids") {
