@@ -120,6 +120,47 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** #28b near-dup CLUSTERS: connected components over the LSH
+    * near-dup pair graph, labeling every member with the component's
+    * minimum doc_id (the canonical representative a dedup pipeline
+    * keeps). Iterative min-label propagation — the standard Spark shape
+    * for components (think GraphX's connectedComponents re-expressed on
+    * DataFrames): each round is one join + one map-side-combined min
+    * aggregation; lineage is truncated per round with an eager
+    * localCheckpoint; rounds are bounded by component diameter (near-dup
+    * clusters are tiny cliques, so 1-2 rounds in practice). The
+    * convergence check is a scalar count per round — not a data
+    * collect. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(true) // pairs pipeline runs once, not per round
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"),
+          col("cluster").as("nc")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("nc")).as("nbmin"))
+        .select(col("src").as("doc_id"), col("nbmin"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbmin"), col("cluster")))
+            .as("cluster"),
+          (col("nbmin") < col("cluster")).as("__changed"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("__changed")).isEmpty
+      labels = updated.drop("__changed")
+      rounds += 1
+    }
+    labels.orderBy(col("doc_id"))
+  }
+
   /** #26 exact dedup after canonicalization (here: first-8-words key —
     * the normalize→hash→groupBy shape of content-defined dedup). */
   def exactDedup(s: SparkSession, dir: String): DataFrame =
@@ -253,6 +294,7 @@ object Dedup {
     "q_minhash_signatures" -> ((s: SparkSession, dir: String) =>
       minhashSignatures(s, dir).orderBy(col("doc_id"))),
     "q_dedup_lsh_pairs" -> lshPairs _,
+    "q_dedup_clusters" -> dedupClusters _,
     "q_ngram_jaccard" -> ngramJaccard _,
     "q_dedup_simhash" -> simhash _,
     "q_simhash_pairs" -> simhashPairs _,
@@ -296,6 +338,28 @@ object Dedup {
       |  WHERE a.bsz <= 100
       |)""".stripMargin
 
+  private val LshPairsCore =
+    s"""$ShinglesCte, counts AS (
+       |  SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT c.doc_a, c.doc_b, coalesce(i.inter, 0) AS inter,
+       |    ca.nsh AS na, cb.nsh AS nb,
+       |    round(coalesce(i.inter, 0)
+       |      / (ca.nsh + cb.nsh - coalesce(i.inter, 0)), 4) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN counts ca ON ca.doc_id = c.doc_a
+       |  JOIN counts cb ON cb.doc_id = c.doc_b
+       |  WHERE round(coalesce(i.inter, 0)
+       |      / (ca.nsh + cb.nsh - coalesce(i.inter, 0)), 4) >= 0.5
+       |)""".stripMargin
+
   private val SimhashCte =
     """WITH stoks AS (
       |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
@@ -332,26 +396,26 @@ object Dedup {
       s"$ShinglesCte\nSELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sig ORDER BY doc_id",
 
     "q_dedup_lsh_pairs" ->
-      s"""$ShinglesCte, counts AS (
-         |  SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
-         |), inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.doc_a
-         |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-         |  GROUP BY 1, 2
+      s"""$LshPairsCore
+         |SELECT doc_a, doc_b, inter, na, nb, jaccard FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""$LshPairsCore, cedges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), cverts AS (
+         |  SELECT DISTINCT src AS doc FROM cedges
+         |), reach AS (
+         |  WITH RECURSIVE walk(doc, r) AS (
+         |    SELECT doc, doc FROM cverts
+         |    UNION
+         |    SELECT e.src, walk.r FROM cedges e
+         |    JOIN walk ON walk.doc = e.dst
+         |  ) SELECT doc, r FROM walk
          |)
-         |SELECT c.doc_a, c.doc_b, coalesce(i.inter, 0) AS inter,
-         |  ca.nsh AS na, cb.nsh AS nb,
-         |  round(coalesce(i.inter, 0)
-         |    / (ca.nsh + cb.nsh - coalesce(i.inter, 0)), 4) AS jaccard
-         |FROM cand c
-         |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |JOIN counts ca ON ca.doc_id = c.doc_a
-         |JOIN counts cb ON cb.doc_id = c.doc_b
-         |WHERE round(coalesce(i.inter, 0)
-         |    / (ca.nsh + cb.nsh - coalesce(i.inter, 0)), 4) >= 0.5
-         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+         |SELECT doc AS doc_id, min(r) AS cluster
+         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""$ShinglesCte, gpos AS (
