@@ -82,7 +82,24 @@ object TextOps {
       .agg(min(graft.functions.hashes.md5(col("g"))).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** #38b pseudonymization for log-derived training data: identities
+    * become stable hashes (joinable, not reversible), IPs are masked to
+    * /24 — the standard privacy pass before security logs leave the
+    * trust boundary. Pure projection + one aggregation. */
+  def pseudonymize(s: SparkSession, dir: String): DataFrame =
+    graft.sources.CloudTrail.fromEvents(t(s, dir, "events"))
+      .select(
+        col("aws_region"),
+        md5(col("user_identity_arn")).as("actor_pseudo"),
+        regexp_replace(col("source_ip_address"), "\\.\\d+$", ".0")
+          .as("ip_masked"))
+      .groupBy(col("aws_region"), col("ip_masked"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("actor_pseudo")).as("n_actors"))
+      .orderBy(col("aws_region"), col("ip_masked"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pseudonymize" -> pseudonymize _,
     "q_lang_id" -> langId _,
     "q_quality_score" -> qualityScore _,
     "q_token_count" -> tokenCount _,
@@ -90,6 +107,15 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_pseudonymize" ->
+      s"""${graft.sources.CloudTrail.FromEventsCte}
+         |SELECT aws_region,
+         |  regexp_replace(source_ip_address, '\\.\\d+$$', '.0') AS ip_masked,
+         |  count(*) AS n,
+         |  count(DISTINCT md5(user_identity_arn)) AS n_actors
+         |FROM ct
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
