@@ -131,10 +131,18 @@ object Dedup {
     * clusters are tiny cliques, so 1-2 rounds in practice). The
     * convergence check is a scalar count per round — not a data
     * collect. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = lshPairs(s, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      lshPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
+  /** Min-label propagation over an undirected (doc_a, doc_b) edge list:
+    * returns (doc_id, cluster) with cluster = the component's minimum
+    * id. Public so any pair source (simhash, embedding) composes. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val Seq(a, b) = pairs.columns.toSeq.take(2)
+    val edges = pairs.select(col(a), col(b))
+      .union(pairs.select(col(b), col(a)))
       .toDF("src", "dst")
       .localCheckpoint(true) // pairs pipeline runs once, not per round
     var labels = edges.select(col("src").as("doc_id")).distinct()
@@ -158,7 +166,7 @@ object Dedup {
       labels = updated.drop("__changed")
       rounds += 1
     }
-    labels.orderBy(col("doc_id"))
+    labels
   }
 
   /** #26 exact dedup after canonicalization (here: first-8-words key —

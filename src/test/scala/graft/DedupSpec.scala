@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup building blocks on hand-built inputs. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("connectedComponents labels a multi-hop chain with its min id") {
+    // chain 10-20-30-40 (diameter 3 → needs >1 propagation round),
+    // separate pair 100-200, isolated-by-absence docs don't appear
+    val pairs = Seq(
+      (10L, 20L), (20L, 30L), (30L, 40L),
+      (100L, 200L)
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      100L -> 100L, 200L -> 100L))
+  }
+
+  test("connectedComponents merges components discovered via bridges") {
+    // two cliques joined by one bridge edge
+    val pairs = Seq(
+      (5L, 6L), (6L, 7L), (8L, 9L), (7L, 8L)
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got.sameElements(Array(5L)))
+  }
+
+  test("lsh candidate pairs never include a doc paired with itself") {
+    val cand = Dedup.lshCandidates(Dedup.minhashSignatures(spark, Sf))
+      .filter(col("doc_a") >= col("doc_b"))
+    assert(cand.isEmpty)
+  }
+}
