@@ -95,6 +95,30 @@ class StreamingSpec extends SparkSuite {
     assert(again.count(_.getString(0) == "a1") == 2)
   }
 
+  test("suppressStream flags alerts against a static suppression set") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamEv]
+    val alerts = StreamingAlerts.ruleStream(input.toDF(), rule, col("event_id"))
+    val supIds = Seq(
+      // deterministic id of event 1 under rule sr1
+      org.apache.spark.sql.functions.md5(lit("sr1:1")))
+    val supDf = spark.range(1).select(supIds.head.as("alert_id"))
+    val q = StreamingAlerts.suppressStream(alerts, supDf, "static_squelch")
+      .writeStream.format("memory").queryName("sup_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      StreamEv(1, ts("2024-01-01 10:00:00"), 1, "error", 120.0),
+      StreamEv(2, ts("2024-01-01 10:01:00"), 2, "error", 220.0))
+    q.processAllAvailable()
+    val got = spark.table("sup_out").collect()
+    q.stop()
+    assert(got.length == 2)
+    assert(got.count(_.getAs[Boolean]("suppressed")) == 1)
+    val sup = got.find(_.getAs[Boolean]("suppressed")).get
+    assert(sup.getAs[String]("actor") == "u1")
+    assert(sup.getAs[String]("suppression_rule") == "static_squelch")
+  }
+
   test("dispatchStream routes each micro-batch to the sinks") {
     implicit val ctx = spark.sqlContext
     val buf = s"stream-${System.nanoTime()}"
