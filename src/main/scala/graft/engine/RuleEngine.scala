@@ -105,6 +105,32 @@ object RuleEngine {
         min(col("alert_time_s")).as("alert_time_s"),
         min(col("event_time_s")).as("event_time_s"))
 
+  /** Incremental MERGE of a new batch into the persistent alert store
+    * (ref: alert_queries_runner.py MERGE_ALERTS WHEN MATCHED → counter
+    * += new, earliest times kept / WHEN NOT MATCHED → insert). One
+    * full-outer join on the merge key; the store keeps its alert_id for
+    * matched groups so downstream references stay stable. Scale: the
+    * join shuffles on the same (object, description) key the in-batch
+    * merge aggregated on — co-partitioned with it in one stage. */
+  def mergeIntoStore(store: DataFrame, newAlerts: DataFrame): DataFrame = {
+    val n = mergeAlerts(newAlerts)
+    val carry = Seq("alert_id", "query_name", "query_id", "environment",
+      "sources", "actor", "action", "title", "detector", "event_data",
+      "severity")
+    store.as("s").join(n.as("n"), Seq("object", "description"), "full_outer")
+      .select(
+        Seq(col("object"), col("description")) ++
+          carry.map(c =>
+            coalesce(col(s"s.$c"), col(s"n.$c")).as(c)) ++
+          Seq(
+            (coalesce(col("s.counter"), lit(0L)) +
+              coalesce(col("n.counter"), lit(0L))).as("counter"),
+            least(col("s.alert_time_s"), col("n.alert_time_s"))
+              .as("alert_time_s"),
+            least(col("s.event_time_s"), col("n.event_time_s"))
+              .as("event_time_s")): _*)
+  }
+
   /** Suppression: mark alerts matched by a suppression-rule output
     * (a set of alert ids). Suppression sets are tiny relative to the
     * alert stream → broadcast join, no shuffle of the big side.

@@ -54,6 +54,32 @@ class RuleEngineSpec extends SparkSuite {
     assert(m.count() == 2)
   }
 
+  test("mergeIntoStore upserts: matched groups accumulate, new insert") {
+    val store = RuleEngine.mergeAlerts(alerts) // u1(x3), u3(x1)
+    // next run: two more u1 alerts at later times + a new actor u9
+    val next = RuleEngine.runAlertRule(
+      mkEvents.withColumn("event_id", col("event_id") + 100)
+        .withColumn("user_id",
+          when(col("user_id") === 3, 9L).otherwise(col("user_id")))
+        .withColumn("ts", col("ts") + expr("INTERVAL 2 DAYS")),
+      rule, col("event_id"),
+      "2024-01-01 00:00:00", "2024-01-05 00:00:00", 99L)
+    val merged = RuleEngine.mergeIntoStore(store, next)
+    val u1 = merged.filter(col("object") === "u1").head
+    // 3 from the store + 3 from the new batch
+    assert(u1.getAs[Long]("counter") == 6L)
+    // store's alert_id and earliest event time are kept
+    val storeU1 = store.filter(col("object") === "u1").head
+    assert(u1.getAs[String]("alert_id") ==
+      storeU1.getAs[String]("alert_id"))
+    assert(u1.getAs[Long]("event_time_s") ==
+      storeU1.getAs[Long]("event_time_s"))
+    // new actor inserted with its own counter
+    assert(merged.filter(col("object") === "u9").head
+      .getAs[Long]("counter") == 1L)
+    assert(merged.count() == 3) // u1, u3 (store only), u9 (new only)
+  }
+
   test("suppress flags exactly the given ids") {
     val sup = alerts.filter(col("actor") === "u3").select("alert_id")
     val out = RuleEngine.suppress(alerts, sup, "squelch1")
