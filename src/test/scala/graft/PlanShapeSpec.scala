@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape guards: the scale properties SURVEY §5 promises, asserted
+  * on the optimized physical plans so a future refactor cannot silently
+  * reintroduce a quadratic or unpruned shape. */
+class PlanShapeSpec extends SparkSuite {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  test("no query plans a CartesianProduct") {
+    // crossJoin with a broadcast side plans as BroadcastNestedLoopJoin;
+    // an unconstrained CartesianProduct means a pairwise blowup slipped in
+    for ((name, _) <- SparkEntry.queries) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("3-way join broadcasts the dimension sides") {
+    val plan = planOf("q_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("alert rule predicates reach the parquet scan") {
+    val plan = planOf("q_alert_rule")
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type)") ||
+      plan.contains("EqualTo(event_type,error)"))
+  }
+
+  test("suppression joins broadcast the suppression set") {
+    assert(planOf("q_alert_suppress").contains("BroadcastHashJoin"))
+  }
+
+  test("dedup pair joins are candidate-keyed, not content self-joins") {
+    // the only equi-join keys in the LSH pair plan are bucket/doc ids —
+    // a corpus-wide shingle equi-join would show sh#N as a join key
+    val plan = planOf("q_dedup_lsh_pairs")
+    assert(!plan.matches("(?s).*SortMergeJoin \\[sh#.*"))
+    assert(!plan.matches("(?s).*BroadcastHashJoin \\[sh#.*"))
+  }
+}
