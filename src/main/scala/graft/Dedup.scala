@@ -297,7 +297,23 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** #28c corpus curation capstone: the composed training-data pass —
+    * quality-score filter, then near-dup removal keeping only each
+    * cluster's canonical (minimum-id) member. What survives is the
+    * training corpus. */
+  def corpusCuration(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.qualityScore(s, dir).select(col("doc_id"), col("score"))
+    val clusters = dedupClusters(s, dir)
+    scored
+      .filter(col("score") >= 0.6)
+      .join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_curation" -> corpusCuration _,
     "q_dedup_exact" -> exactDedup _,
     "q_minhash_signatures" -> ((s: SparkSession, dir: String) =>
       minhashSignatures(s, dir).orderBy(col("doc_id"))),
@@ -407,6 +423,39 @@ object Dedup {
       s"""$LshPairsCore
          |SELECT doc_a, doc_b, inter, na, nb, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_corpus_curation" ->
+      s"""$LshPairsCore, cedges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), cverts AS (
+         |  SELECT DISTINCT src AS doc FROM cedges
+         |), reach AS (
+         |  WITH RECURSIVE walk(doc, r) AS (
+         |    SELECT doc, doc FROM cverts
+         |    UNION
+         |    SELECT e.src, walk.r FROM cedges e
+         |    JOIN walk ON walk.doc = e.dst
+         |  ) SELECT doc, r FROM walk
+         |), clusters AS (
+         |  SELECT doc AS doc_id, min(r) AS cluster
+         |  FROM reach GROUP BY doc
+         |), scored AS (
+         |  SELECT doc_id,
+         |    round(0.4 * (len(list_filter(string_split(text, ' '),
+         |        x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
+         |      / len(string_split(text, ' ')))
+         |    + 0.3 * (least(len(string_split(text, ' ')), 100) / 100.0)
+         |    + 0.3 * (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+         |        * 1.0 / length(text)), 4) AS score
+         |  FROM documents
+         |)
+         |SELECT s.doc_id, s.score
+         |FROM scored s
+         |LEFT JOIN clusters c ON c.doc_id = s.doc_id
+         |WHERE s.score >= 0.6
+         |  AND (c.cluster IS NULL OR c.cluster = s.doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
 
     "q_dedup_clusters" ->
       s"""$LshPairsCore, cedges AS (
