@@ -25,28 +25,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // A failed query must NOT be timed as a near-zero success: its
+    // error is captured and emitted in an "errors" object so the
+    // headline total can't silently flatter a broken refactor.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          errors(name) = String.valueOf(e.getMessage).take(200)
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Best of two executions per query: the first run of a query pays
     // one-time whole-stage-codegen compilation of its stages (hundreds
     // of ms to seconds of javac/janino work, independent of data
     // volume); the second run measures the steady-state data-bound
-    // cost, which is what the baseline comparison is about.
+    // cost, which is what the baseline comparison is about. (DuckDB
+    // baseline numbers are single cold runs — the asymmetry is noted in
+    // BASELINE.md.)
     def run(name: String): Double = math.min(runOnce(name), runOnce(name))
 
-    runOnce("q_agg_pushdown") // session warm-up, untimed
+    try runOnce("q_agg_pushdown") // session warm-up, untimed
+    finally errors.remove("q_agg_pushdown")
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ") + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // scalastyle:off println
     println(json)
     // scalastyle:on println

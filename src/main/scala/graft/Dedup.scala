@@ -149,7 +149,8 @@ object Dedup {
       .withColumn("cluster", col("doc_id"))
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val maxRounds = 20
+    while (!converged && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"),
           col("cluster").as("nc")), Seq("dst"))
@@ -165,6 +166,17 @@ object Dedup {
       converged = updated.filter(col("__changed")).isEmpty
       labels = updated.drop("__changed")
       rounds += 1
+    }
+    // A component with diameter > maxRounds would come back silently
+    // split into multiple clusters — fail loudly instead (the oracle is
+    // a full transitive closure, and downstream canonical-member logic
+    // assumes whole components). Near-dup components are tiny cliques,
+    // so hitting this means pathological input, not normal data.
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds " +
+          "(component diameter too large); raise the round cap or " +
+          "pre-partition the pair graph")
     }
     labels
   }

@@ -143,12 +143,17 @@ object Engine {
     "q_alert_merge" ->
       s"""$AlertsCte
          |SELECT object, description,
-         |  min(alert_id) AS alert_id, min(query_name) AS query_name,
-         |  min(query_id) AS query_id, min(environment) AS environment,
-         |  min(sources) AS sources,
-         |  min(actor) AS actor, min(action) AS action,
-         |  min(title) AS title, min(detector) AS detector,
-         |  min(event_data) AS event_data, min(severity) AS severity,
+         |  min(alert_id) AS alert_id,
+         |  min_by(query_name, alert_id) AS query_name,
+         |  min_by(query_id, alert_id) AS query_id,
+         |  min_by(environment, alert_id) AS environment,
+         |  min_by(sources, alert_id) AS sources,
+         |  min_by(actor, alert_id) AS actor,
+         |  min_by(action, alert_id) AS action,
+         |  min_by(title, alert_id) AS title,
+         |  min_by(detector, alert_id) AS detector,
+         |  min_by(event_data, alert_id) AS event_data,
+         |  min_by(severity, alert_id) AS severity,
          |  CAST(sum(counter) AS BIGINT) AS counter,
          |  min(alert_time_s) AS alert_time_s,
          |  min(event_time_s) AS event_time_s

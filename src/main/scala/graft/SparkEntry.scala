@@ -19,12 +19,14 @@ object SparkEntry {
     CoreSql.queries ++ Engine.queries ++ Baselines.queries ++
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++
       Multimodal.queries ++ graft.packs.AwsPack.queries ++
-      graft.packs.SnowflakePack.queries ++ graft.packs.OktaPack.queries
+      graft.packs.SnowflakePack.queries ++ graft.packs.OktaPack.queries ++
+      graft.packs.SnowflakeMonitoringPack.queries
 
   /** DuckDB-equivalent ANSI SQL per query key (omitted → rows-only check). */
   def oracleSql: Map[String, String] =
     CoreSql.oracle ++ Engine.oracle ++ Baselines.oracle ++
       Dedup.oracle ++ Ann.oracle ++ TextOps.oracle ++
       Multimodal.oracle ++ graft.packs.AwsPack.oracle ++
-      graft.packs.SnowflakePack.oracle ++ graft.packs.OktaPack.oracle
+      graft.packs.SnowflakePack.oracle ++ graft.packs.OktaPack.oracle ++
+      graft.packs.SnowflakeMonitoringPack.oracle
 }

@@ -82,53 +82,52 @@ object RuleEngine {
         lit(1L).as("counter"))
 
   /** Merge/dedup new alerts: one row per (object, description) with
-    * summed counter and earliest times; body columns taken as min for
-    * determinism (reference uses ANY_VALUE).
+    * summed counter and earliest times. EVERY body column comes from the
+    * SAME source alert — the one with the minimum alert_id — via
+    * min_by(_, alert_id), so the merged body is coherent (title matches
+    * event_data etc.), a deterministic strengthening of the reference's
+    * ANY_VALUE which also takes the whole body from one row.
     * Ref: alert_queries_runner.py MERGE_ALERTS (lines 66-97).
     * Scale: single shuffle on the group key with partial aggregation. */
-  def mergeAlerts(alerts: DataFrame): DataFrame =
+  def mergeAlerts(alerts: DataFrame): DataFrame = {
+    val byMinId = Seq("query_name", "query_id", "environment", "sources",
+      "actor", "action", "title", "detector", "event_data", "severity")
     alerts
       .groupBy(col("object"), col("description"))
       .agg(
         min(col("alert_id")).as("alert_id"),
-        min(col("query_name")).as("query_name"),
-        min(col("query_id")).as("query_id"),
-        min(col("environment")).as("environment"),
-        min(col("sources")).as("sources"),
-        min(col("actor")).as("actor"),
-        min(col("action")).as("action"),
-        min(col("title")).as("title"),
-        min(col("detector")).as("detector"),
-        min(col("event_data")).as("event_data"),
-        min(col("severity")).as("severity"),
-        sum(col("counter")).as("counter"),
-        min(col("alert_time_s")).as("alert_time_s"),
-        min(col("event_time_s")).as("event_time_s"))
+        byMinId.map(c => min_by(col(c), col("alert_id")).as(c)) ++ Seq(
+          sum(col("counter")).as("counter"),
+          min(col("alert_time_s")).as("alert_time_s"),
+          min(col("event_time_s")).as("event_time_s")): _*)
+  }
 
   /** Incremental MERGE of a new batch into the persistent alert store
     * (ref: alert_queries_runner.py MERGE_ALERTS WHEN MATCHED → counter
-    * += new, earliest times kept / WHEN NOT MATCHED → insert). One
-    * full-outer join on the merge key; the store keeps its alert_id for
-    * matched groups so downstream references stay stable. Scale: the
-    * join shuffles on the same (object, description) key the in-batch
-    * merge aggregated on — co-partitioned with it in one stage. */
+    * += new, store row otherwise untouched / WHEN NOT MATCHED → insert).
+    * Mirrors the reference exactly: a matched store row keeps its own
+    * alert_time/event_time (and body), only the counter accumulates.
+    * The join is null-safe (<=>) on the merge key, because mergeAlerts
+    * groups null descriptions together — a plain equi-join would never
+    * match them and duplicate store rows would accumulate. Scale: one
+    * full-outer join shuffling on the same (object, description) key the
+    * in-batch merge aggregated on — co-partitioned with it in one stage. */
   def mergeIntoStore(store: DataFrame, newAlerts: DataFrame): DataFrame = {
     val n = mergeAlerts(newAlerts)
     val carry = Seq("alert_id", "query_name", "query_id", "environment",
       "sources", "actor", "action", "title", "detector", "event_data",
-      "severity")
-    store.as("s").join(n.as("n"), Seq("object", "description"), "full_outer")
+      "severity", "alert_time_s", "event_time_s")
+    store.as("s").join(n.as("n"),
+        col("s.object") <=> col("n.object") &&
+          col("s.description") <=> col("n.description"), "full_outer")
       .select(
-        Seq(col("object"), col("description")) ++
+        Seq(coalesce(col("s.object"), col("n.object")).as("object"),
+          coalesce(col("s.description"), col("n.description"))
+            .as("description")) ++
           carry.map(c =>
-            coalesce(col(s"s.$c"), col(s"n.$c")).as(c)) ++
-          Seq(
-            (coalesce(col("s.counter"), lit(0L)) +
-              coalesce(col("n.counter"), lit(0L))).as("counter"),
-            least(col("s.alert_time_s"), col("n.alert_time_s"))
-              .as("alert_time_s"),
-            least(col("s.event_time_s"), col("n.event_time_s"))
-              .as("event_time_s")): _*)
+            coalesce(col(s"s.$c"), col(s"n.$c")).as(c)) :+
+          (coalesce(col("s.counter"), lit(0L)) +
+            coalesce(col("n.counter"), lit(0L))).as("counter"): _*)
   }
 
   /** Suppression: mark alerts matched by a suppression-rule output

@@ -63,15 +63,20 @@ final class RunLog(val runId: String) {
     }
   }
 
-  /** Run a suppression stage: one aggregate action yields both counts
-    * (SUPPRESSED / PASSED) — no double scan of the alert set. */
+  /** Run a suppression stage: one aggregate action yields both counts —
+    * no double scan of the alert set. SUPPRESSED counts only the rows
+    * THIS rule matched (suppression_rule == queryName), mirroring the
+    * reference runner's per-rule updated-row count; earlier rules' hits
+    * are not re-attributed. PASSED is the rows still unsuppressed after
+    * this stage. */
   def timedSuppress(queryName: String)(stage: => DataFrame): DataFrame = {
     val t0 = System.currentTimeMillis()
     try {
       val df = stage
       val counts = df.groupBy().agg(
         org.apache.spark.sql.functions.count_if(
-          org.apache.spark.sql.functions.col("suppressed")),
+          org.apache.spark.sql.functions.col("suppression_rule") ===
+            queryName),
         org.apache.spark.sql.functions.count_if(
           !org.apache.spark.sql.functions.col("suppressed"))).head()
       record(queryName, t0, System.currentTimeMillis(),

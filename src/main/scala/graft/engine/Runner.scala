@@ -86,9 +86,11 @@ object Runner {
 
     // 5. handler fan-out on live alerts + per-handler results joined
     //    back (ref: alert_dispatcher.main + record_status). Dispatch is
-    //    side-effecting, so the result set is materialized eagerly and
-    //    cached — each alert is sent exactly once even though two
-    //    downstream consumers read the results.
+    //    side-effecting and AT-LEAST-ONCE, like the reference's poll
+    //    loop: the eager persist+count makes the common path single-send,
+    //    but cache eviction, task retry, or speculation can re-run a
+    //    partition and re-invoke send — external handlers must dedupe on
+    //    (alert_id, handler), which every HandlerResult carries.
     val results = Dispatcher.dispatch(live, sinks, cfg.defaultHandler)
       .persist()
     results.count()

@@ -117,7 +117,13 @@ object Dispatcher {
     * default). Unknown handler names yield success=false rows (the
     * reference's 'missing type key' error path). Delivery happens in
     * mapPartitions on the executors; one result row per (alert,
-    * handler). */
+    * handler).
+    *
+    * Delivery semantics are AT-LEAST-ONCE (same as the reference's
+    * dispatcher poll loop): Spark may re-execute a partition on task
+    * retry/speculation/cache eviction, re-invoking send. Sinks that must
+    * not double-deliver should be idempotent keyed on the
+    * (alert_id, handler) pair this method supplies with every payload. */
   def dispatch(
       alerts: DataFrame,
       sinks: Seq[AlertSink],

@@ -16,12 +16,15 @@ object SnowflakePack {
   private val To = "2024-02-01 00:00:00"
   private val AlertTimeS = 1706745600L // 2024-02-01T00:00:00Z
 
-  /** login_history-shaped view: click events as authentication
-    * attempts; low-value clicks fail. Mirrored exactly by LoginCte. */
+  /** login_history-shaped view (ref account_usage.login_history): every
+    * event is an authentication attempt; low-value events fail. Client
+    * type, auth factors, and error codes are derived deterministically
+    * so the whole snowflake_security_monitoring pack (ip/user login-fail
+    * profiling, no-MFA logins) runs over this one view. Mirrored exactly
+    * by LoginCte. */
   def loginHistoryFromEvents(events: DataFrame): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("int")
     events
-      .filter(col("event_type") === "click")
       .select(
         col("event_id").cast("string").as("event_id"),
         col("ts").as("event_timestamp"),
@@ -31,28 +34,50 @@ object SnowflakePack {
         col("value"),
         col("props").as("raw"))
       .withColumn("client_ip",
-        concat_ws(".", lit("10"), lit("1"), col("k") % 256,
-          col("user_id") % 256))
+        concat_ws(".", lit("10"), lit("1"), col("k") % 4,
+          col("user_id") % 4))
+      .withColumn("reported_client_type",
+        when(col("k") % 3 === 0, "SNOWFLAKE_UI")
+          .when(col("k") % 3 === 1, "JDBC_DRIVER")
+          .otherwise("OTHER"))
+      .withColumn("first_authentication_factor", lit("PASSWORD"))
+      .withColumn("second_authentication_factor",
+        when(col("user_id") % 3 =!= 0, "DUO_PUSH"))
       .withColumn("is_success",
-        when(col("value") < 10.0, "NO").otherwise("YES"))
+        when(col("value") < 25.0, "NO").otherwise("YES"))
+      .withColumn("error_code",
+        when(col("is_success") === "NO",
+          lit(390100) + (col("k") % 5) * 2))
       .withColumn("error_message",
-        when(col("is_success") === "NO", lit("INCORRECT_USERNAME_PASSWORD")))
+        when(col("is_success") === "NO",
+          when(col("k") % 5 < 3, "INCORRECT_USERNAME_PASSWORD")
+            .otherwise("JWT_TOKEN_INVALID")))
   }
 
-  private val LoginCte =
+  /** DuckDB mirror of loginHistoryFromEvents (shared by the monitoring
+    * pack oracles). */
+  val LoginCte: String =
     """WITH lh0 AS (
       |  SELECT CAST(event_id AS VARCHAR) AS event_id,
       |    ts AS event_timestamp,
       |    'u' || user_id AS user_name,
       |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
       |    value, props AS raw, user_id
-      |  FROM events WHERE event_type = 'click'
+      |  FROM events
       |), lh AS (
       |  SELECT lh0.*,
-      |    '10.1.' || (k % 256) || '.' || (user_id % 256) AS client_ip,
-      |    CASE WHEN value < 10.0 THEN 'NO' ELSE 'YES' END AS is_success,
-      |    CASE WHEN value < 10.0 THEN 'INCORRECT_USERNAME_PASSWORD' END
-      |      AS error_message
+      |    '10.1.' || (k % 4) || '.' || (user_id % 4) AS client_ip,
+      |    CASE k % 3 WHEN 0 THEN 'SNOWFLAKE_UI' WHEN 1 THEN 'JDBC_DRIVER'
+      |         ELSE 'OTHER' END AS reported_client_type,
+      |    'PASSWORD' AS first_authentication_factor,
+      |    CASE WHEN user_id % 3 <> 0 THEN 'DUO_PUSH' END
+      |      AS second_authentication_factor,
+      |    CASE WHEN value < 25.0 THEN 'NO' ELSE 'YES' END AS is_success,
+      |    CASE WHEN value < 25.0 THEN 390100 + (k % 5) * 2 END
+      |      AS error_code,
+      |    CASE WHEN value < 25.0 THEN
+      |      (CASE WHEN k % 5 < 3 THEN 'INCORRECT_USERNAME_PASSWORD'
+      |            ELSE 'JWT_TOKEN_INVALID' END) END AS error_message
       |  FROM lh0
       |)""".stripMargin
 

@@ -80,6 +80,49 @@ class RuleEngineSpec extends SparkSuite {
     assert(merged.count() == 3) // u1, u3 (store only), u9 (new only)
   }
 
+  test("merged body columns all come from the min-alert_id source alert") {
+    // Two alerts in one (object, description) group with DIFFERENT
+    // severity/event_data; the merged row must take every body column
+    // from the same (min-alert_id) alert, never stitched across members.
+    val m = RuleEngine.mergeAlerts(alerts)
+    val u1 = m.filter(col("object") === "u1").head
+    val src = alerts
+      .filter(col("object") === "u1")
+      .orderBy(col("alert_id")).head
+    for (c <- Seq("query_name", "actor", "title", "event_data", "severity"))
+      assert(u1.getAs[String](c) == src.getAs[String](c), s"column $c")
+  }
+
+  test("mergeIntoStore keeps store-side times on match (reference MERGE)") {
+    val store = RuleEngine.mergeAlerts(alerts)
+    // new batch at EARLIER times — the reference's WHEN MATCHED leaves
+    // store alert_time/event_time untouched, only counter accumulates
+    val earlier = RuleEngine.runAlertRule(
+      mkEvents.withColumn("event_id", col("event_id") + 100)
+        .withColumn("ts", col("ts") - expr("INTERVAL 5 DAYS")),
+      rule, col("event_id"),
+      "2023-12-01 00:00:00", "2024-01-05 00:00:00", 99L)
+    val merged = RuleEngine.mergeIntoStore(store, earlier)
+    val u1 = merged.filter(col("object") === "u1").head
+    val storeU1 = store.filter(col("object") === "u1").head
+    assert(u1.getAs[Long]("event_time_s") ==
+      storeU1.getAs[Long]("event_time_s"))
+    assert(u1.getAs[Long]("alert_time_s") ==
+      storeU1.getAs[Long]("alert_time_s"))
+    assert(u1.getAs[Long]("counter") == 6L)
+  }
+
+  test("mergeIntoStore matches null merge keys (null-safe join)") {
+    val nullDesc = RuleEngine.mergeAlerts(
+      alerts.withColumn("description", lit(null).cast("string")))
+    val merged = RuleEngine.mergeIntoStore(nullDesc, alerts
+      .withColumn("description", lit(null).cast("string")))
+    // same groups both sides: null keys must MATCH, not duplicate
+    assert(merged.count() == nullDesc.count())
+    assert(merged.filter(col("object") === "u1").head
+      .getAs[Long]("counter") == 6L)
+  }
+
   test("suppress flags exactly the given ids") {
     val sup = alerts.filter(col("actor") === "u3").select("alert_id")
     val out = RuleEngine.suppress(alerts, sup, "squelch1")
