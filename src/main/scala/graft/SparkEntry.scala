@@ -20,7 +20,9 @@ object SparkEntry {
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++
       Multimodal.queries ++ graft.packs.AwsPack.queries ++
       graft.packs.SnowflakePack.queries ++ graft.packs.OktaPack.queries ++
-      graft.packs.SnowflakeMonitoringPack.queries
+      graft.packs.SnowflakeMonitoringPack.queries ++
+      graft.packs.OsqueryPack.queries ++ graft.packs.UmbrellaPack.queries ++
+      graft.packs.AzureCisPack.queries
 
   /** DuckDB-equivalent ANSI SQL per query key (omitted → rows-only check). */
   def oracleSql: Map[String, String] =
@@ -28,5 +30,7 @@ object SparkEntry {
       Dedup.oracle ++ Ann.oracle ++ TextOps.oracle ++
       Multimodal.oracle ++ graft.packs.AwsPack.oracle ++
       graft.packs.SnowflakePack.oracle ++ graft.packs.OktaPack.oracle ++
-      graft.packs.SnowflakeMonitoringPack.oracle
+      graft.packs.SnowflakeMonitoringPack.oracle ++
+      graft.packs.OsqueryPack.oracle ++ graft.packs.UmbrellaPack.oracle ++
+      graft.packs.AzureCisPack.oracle
 }

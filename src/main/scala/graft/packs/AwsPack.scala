@@ -86,6 +86,40 @@ object AwsPack {
   private def ct(s: SparkSession, dir: String): DataFrame =
     CloudTrail.fromEvents(t(s, dir, "events"))
 
+  /** packs/aws_query_pack.sql:116-147 aws_internal_bucket_access:
+    * S3 access to a non-public bucket by an account NOT in the known
+    * account map — the reference's `NOT IN (SELECT account_id FROM
+    * aws_account_map)` re-expressed as a broadcast LEFT ANTI join (the
+    * account map is a small dimension; the event scan never shuffles). */
+  def internalBucketAccess(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val accountMap = Seq("111122223333", "444455556666").toDF("account_id")
+    val externalS3 = ct(s, dir)
+      .filter(col("bucket_name").isNotNull &&
+        !col("bucket_name").endsWith("-public"))
+      .join(broadcast(accountMap),
+        col("user_identity_accountid") === col("account_id"), "left_anti")
+    RuleEngine.runAlertRule(externalS3, AlertRule(
+      name = "aws_internal_bucket_access",
+      queryId = "1fda47b046ac4030a7cc7de536941e8a",
+      title = "Internal Bucket Accessed By External Account",
+      predicate = lit(true),
+      actor = col("user_identity_accountid"),
+      target = col("bucket_name"),
+      action = col("event_name"),
+      description = concat_ws("", lit("User from external account "),
+        col("user_identity_accountid"), lit(" performed "),
+        col("event_name"), lit(" at non-public bucket "),
+        col("bucket_name")),
+      severity = lit("critical"),
+      eventTime = col("event_time"),
+      eventData = col("raw"),
+      environment = "aws",
+      sources = "cloudtrail",
+      detector = "SnowAlert"), col("event_id"),
+      From, To, AlertTimeS).orderBy(col("alert_id"))
+  }
+
   private def alertsFor(rule: AlertRule)(s: SparkSession, dir: String) =
     RuleEngine.runAlertRule(ct(s, dir), rule, col("event_id"),
       From, To, AlertTimeS).orderBy(col("alert_id"))
@@ -117,7 +151,8 @@ object AwsPack {
       alertsFor(permissionModificationDenied) _,
     "q_pack_aws_audit_log_changes" ->
       alertsFor(auditLogConfigurationChanges) _,
-    "q_pack_cis_mfa_violation" -> (mfaViolations _)
+    "q_pack_cis_mfa_violation" -> (mfaViolations _),
+    "q_pack_aws_bucket_access" -> (internalBucketAccess _)
   )
 
   /** Oracle alert template mirroring runAlertRule's output schema. */
@@ -169,6 +204,30 @@ object AwsPack {
       "user_identity_arn", "recipient_account_id",
       "user_identity_arn || ' performed ' || event_name || ' in ' || aws_region",
       "'High'"),
+
+    "q_pack_aws_bucket_access" ->
+      s"""${CloudTrail.FromEventsCte}
+         |SELECT md5('aws_internal_bucket_access:' || event_id) AS alert_id,
+         |  'aws_internal_bucket_access' AS query_name,
+         |  '1fda47b046ac4030a7cc7de536941e8a' AS query_id,
+         |  'aws' AS environment, 'cloudtrail' AS sources,
+         |  user_identity_accountid AS actor, bucket_name AS object,
+         |  event_name AS action,
+         |  'Internal Bucket Accessed By External Account' AS title,
+         |  epoch_ns(event_time) // 1000000000 AS event_time_s,
+         |  CAST($AlertTimeS AS BIGINT) AS alert_time_s,
+         |  'User from external account ' || user_identity_accountid ||
+         |    ' performed ' || event_name || ' at non-public bucket ' ||
+         |    bucket_name AS description,
+         |  'SnowAlert' AS detector, raw AS event_data,
+         |  'critical' AS severity, CAST(1 AS BIGINT) AS counter
+         |FROM ct
+         |WHERE bucket_name IS NOT NULL
+         |  AND bucket_name NOT LIKE '%-public'
+         |  AND user_identity_accountid NOT IN ('111122223333', '444455556666')
+         |  AND event_time >= TIMESTAMP '2024-01-01'
+         |  AND event_time < TIMESTAMP '2024-02-01'
+         |ORDER BY alert_id""".stripMargin,
 
     "q_pack_cis_mfa_violation" ->
       s"""${CloudTrail.FromEventsCte}, daily AS (

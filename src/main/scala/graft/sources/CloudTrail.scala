@@ -131,6 +131,16 @@ object CloudTrail {
           .when(col("error_code") === "EntityNotFound",
             concat_ws("", lit("Entity not found for "), col("event_name"))))
       .withColumn("mfa_authenticated", col("k") % 4 =!= 0)
+      // S3 access shape for aws_internal_bucket_access (aws_query_pack
+      // .sql:116-147): caller account + target bucket; every 11th key is
+      // an external account, every 7th bucket is public.
+      .withColumn("user_identity_accountid",
+        when(col("k") % 11 === 0, lit("999988887777"))
+          .otherwise(lit("111122223333")))
+      .withColumn("bucket_name",
+        when(col("event_name").isin("GetObject", "PutObject"),
+          concat_ws("", lit("bucket-"), col("user_id") % 10,
+            when(col("k") % 7 === 0, "-public").otherwise(lit("")))))
   }
 
   /** DuckDB CTE mirroring fromEvents exactly (oracle side). */
@@ -182,7 +192,13 @@ object CloudTrail {
       |           THEN 'Access denied performing ' || event_name
       |         WHEN error_code = 'EntityNotFound'
       |           THEN 'Entity not found for ' || event_name END
-      |      AS error_message
+      |      AS error_message,
+      |    CASE WHEN k % 11 = 0 THEN '999988887777'
+      |         ELSE '111122223333' END AS user_identity_accountid,
+      |    CASE WHEN event_name IN ('GetObject', 'PutObject') THEN
+      |      'bucket-' || (user_id % 10) ||
+      |        (CASE WHEN k % 7 = 0 THEN '-public' ELSE '' END) END
+      |      AS bucket_name
       |  FROM ct1
       |)""".stripMargin
 }

@@ -95,9 +95,12 @@ class DispatchSpec extends SparkSuite {
         col("event_type") === "login"), col("event_id"),
         "2024-01-01 00:00:00", "2024-01-02 00:00:00", 0L)
     }
+    // the log stage name must match the rule name stamped into
+    // suppression_rule — timedSuppress counts only THIS rule's hits
     log.timedSuppress("errors_suppress") {
       RuleEngine.suppress(errors,
-        errors.filter(col("actor") === "u1").select("alert_id"), "sq")
+        errors.filter(col("actor") === "u1").select("alert_id"),
+        "errors_suppress")
     }
 
     val rows = log.entries
