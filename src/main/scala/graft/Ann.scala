@@ -43,24 +43,42 @@ object Ann {
     * blocking key. */
   def signatures(e: DataFrame): DataFrame = buckets(e)
 
-  private def buckets(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      .withColumn("d", col("pos") + 1)
-      .select(col("vec_id"), col("d"), col("x"),
-        explode(expr("sequence(0, 7)")).as("p"))
-      .withColumn("coef", expr(
-        "instr('0123456789abcdef', substr(md5(concat(p, ':', d)), 1, 1)) - 8.5"))
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("coef") * col("x")).as("proj"))
-      .withColumn("bit", when(col("proj") > 0, 1L).otherwise(0L))
-      .groupBy(col("vec_id"))
-      .agg(sum(expr("bit * cast(power(2, p) as bigint)")).as("bucket"))
+  /** The (plane, dim) coefficient is a pure function of two small ints —
+    * the 8×dim table is computed ONCE on the driver and folded into the
+    * plan as array literals, so the signature is a single narrow
+    * projection: 8 array dot products per row. (The previous form
+    * re-derived every coefficient per row via md5 inside a double
+    * explode — dim×8 hashes per vector and two shuffling aggregations,
+    * for values that never change.) Bit-identical to the oracle's
+    * strpos(md5) formulation. */
+  private def planeCoef(p: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+    val firstHex = "0123456789abcdef".charAt((digest(0) & 0xff) >>> 4)
+    "0123456789abcdef".indexOf(firstHex) + 1 - 8.5
+  }
+
+  private def buckets(e: DataFrame): DataFrame = {
+    // dimensionality probe: one-row scan, drives the literal table size
+    val dim = e.select(size(col("v")).as("n")).head.getInt(0)
+    val bucket = (0 until 8).map { p =>
+      val coefs = array((1 to dim).map(d => lit(planeCoef(p, d))): _*)
+      val proj = aggregate(
+        zip_with(col("v"), coefs, (x, c) => x * c),
+        lit(0d), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    e.select(col("vec_id"), bucket.as("bucket"))
+  }
 
   /** #33 LSH-bucketed ANN: candidates share the probe's 8-bit
     * hyperplane bucket; exact cosine rerank only within the bucket. */
   def lshAnn(s: SparkSession, dir: String): DataFrame = {
     val e = withV(t(s, dir, "embeddings"))
-    val b = buckets(e)
+    // materialize the signature table once (it feeds both the probe
+    // lookup and the corpus join) — the "signatures are a table, not a
+    // subplan" shape SURVEY §5 promises at 100 TB
+    val b = buckets(e).localCheckpoint(true)
     val probeBucket = broadcast(
       b.filter(col("vec_id") === 0).select(col("bucket")))
     val probe = broadcast(e.filter(col("vec_id") === 0)
@@ -80,8 +98,10 @@ object Ann {
     * |lsh ∩ bf_top10| / |lsh| — the metric SURVEY promises for ANN
     * quality tracking. One scalar row. */
   def lshRecall(s: SparkSession, dir: String): DataFrame = {
-    val bf = bruteForce(s, dir).select(col("vec_id"))
-    val lsh = lshAnn(s, dir).select(col("vec_id"))
+    // both top-k lists are a handful of rows consumed twice —
+    // materialize so the full ANN pipelines run once, not per consumer
+    val bf = bruteForce(s, dir).select(col("vec_id")).localCheckpoint(true)
+    val lsh = lshAnn(s, dir).select(col("vec_id")).localCheckpoint(true)
     lsh.join(bf, Seq("vec_id"), "left_semi")
       .agg(count(lit(1)).as("n_overlap"))
       .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
@@ -99,7 +119,10 @@ object Ann {
       probeIds: Seq[Long], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = withV(t(s, dir, "embeddings"))
-    val withB = e.join(signatures(e), Seq("vec_id"))
+    // signatures materialized once, shared by the probe side and the
+    // corpus side (otherwise Catalyst recomputes the explode+agg per
+    // consumer)
+    val withB = e.join(signatures(e).localCheckpoint(true), Seq("vec_id"))
     val probes = broadcast(
       withB.filter(col("vec_id").isin(probeIds: _*))
         .select(col("vec_id").as("probe_id"), col("v").as("pv"),
@@ -125,7 +148,6 @@ object Ann {
     * rerank touches one cell. */
   def ivfAnn(s: SparkSession, dir: String, probeId: Long = 0L,
       k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = withV(t(s, dir, "embeddings"))
     val cents = broadcast(
       e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -136,14 +158,21 @@ object Ann {
           "transform(sort_array(collect_list(struct(pos, cr))), s -> s.cr)")
           .as("cvec"))
         .select(col("label").as("cell"), col("cvec")))
+    // argmax via min_by aggregation (map-side combined), NOT a
+    // row_number window: a window here would sort+shuffle every
+    // (vector × centroid) row just to take one per vector — a real
+    // scale cost at 100x. Tiebreak matches the old window exactly:
+    // highest sim, then lexicographically smallest cell.
     val assign = e.crossJoin(cents)
       .withColumn("sim",
         Num.r4(graft.functions.vec.cosine(col("v"), col("cvec"))))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("cell"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"),
+        struct((-col("sim")).as("ns"), col("cell"))).as("cell"))
+      // the assignment table feeds both the probe-cell lookup and the
+      // corpus join — materialize once (at scale: the inverted file IS
+      // a stored table)
+      .localCheckpoint(true)
     val probeCell = broadcast(
       assign.filter(col("vec_id") === probeId).select(col("cell")))
     val probe = broadcast(e.filter(col("vec_id") === probeId)

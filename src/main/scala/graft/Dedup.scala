@@ -16,11 +16,13 @@ object Dedup {
 
   private val NumHashes = 8
 
-  /** Word-level 3-shingles, distinct per doc (one explode, no shuffle
-    * until the downstream distinct). Docs with <3 words are dropped
-    * before the sequence() so the bound never goes negative (Spark's
-    * sequence(1, n<1) is DESCENDING, not empty — unlike the oracle's
-    * generate_series). */
+  /** Word-level 3-shingles per doc, WITH duplicates: every consumer
+    * aggregates with duplicate-insensitive functions (min for minhash,
+    * collect_set for the exact-Jaccard sets), so the explicit distinct —
+    * a full extra shuffle of the exploded corpus — is pure waste and is
+    * omitted. Docs with <3 words are dropped before the sequence() so
+    * the bound never goes negative (Spark's sequence(1, n<1) is
+    * DESCENDING, not empty — unlike the oracle's generate_series). */
   def shingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -29,22 +31,35 @@ object Dedup {
         """transform(sequence(1, size(w)-2),
           |  i -> concat_ws(' ', element_at(w,i), element_at(w,i+1),
           |                 element_at(w,i+2)))""".stripMargin)).as("sh"))
-      .distinct()
 
   /** The k "independent" hash functions are k disjoint 4-hex-char
     * slices of ONE md5 per shingle (the standard one-hash MinHash
     * trick): 8× less hashing per shingle, and exact Jaccard reranks
-    * candidates anyway so the 16-bit slices only need decent precision. */
+    * candidates anyway so the 16-bit slices only need decent precision.
+    * The md5 is computed ONCE in a projection (`withShingleHash`)
+    * before the aggregation — referencing it inside each of the 8
+    * aggregate expressions would evaluate it 8 times per shingle
+    * (aggregates don't share subexpressions). */
   private def minhashAggs = (0 until NumHashes).map { i =>
-    min(substring(graft.functions.hashes.md5(col("sh")), 4 * i + 1, 4)).as(s"mh$i")
+    min(substring(col("__h"), 4 * i + 1, 4)).as(s"mh$i")
   }
 
-  /** #27 MinHash signatures: k min-aggregates in ONE aggregation pass
-    * (map-side combined, single shuffle). */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir)
-      .groupBy(col("doc_id"))
-      .agg(minhashAggs.head, minhashAggs.tail: _*)
+  private def withShingleHash(sh: DataFrame): DataFrame =
+    sh.withColumn("__h", graft.functions.hashes.md5(col("sh")))
+
+  /** #27 MinHash signatures: the whole shingle→md5→8-slice-min fold
+    * runs inside one codegen'd expression (MinhashSlices) — a narrow
+    * projection with NO explode and NO shuffle (codegen subexpression
+    * elimination computes the array once for the 8 extractions).
+    * lshPairs keeps the aggregation form because it also needs the
+    * per-doc shingle SET for exact Jaccard. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val arr = graft.functions.hashes.minhashSlices(col("text"))
+    t(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id") +: (0 until NumHashes).map(i =>
+        element_at(arr, i + 1).as(s"mh$i")): _*)
+  }
 
   /** Bucket-size cap applied before every bucket self-join: a
     * degenerate hot bucket with f members yields f²/2 pairs no matter
@@ -95,15 +110,19 @@ object Dedup {
     * docs costs f rows here, never f²; no pairwise work happens before
     * the candidate filter. */
   def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val aggs = minhashAggs ++
-      Seq(collect_set(col("sh")).as("shs"), count(lit(1)).as("nsh"))
-    // One linear pass builds the whole per-doc state (signatures + set +
-    // count): at 100 TB this is the signature table you materialize
-    // once; here Catalyst recomputes it per consumer but each pass is a
-    // single map-side-combined shuffle.
-    val docSh = shingles(s, dir)
+    val aggs = minhashAggs :+ collect_set(col("sh")).as("shs")
+    // One linear pass builds the whole per-doc state (signatures + set;
+    // the distinct-shingle count is the set's size — no separate
+    // distinct pass), then the result is MATERIALIZED once with an
+    // eager localCheckpoint: three consumers read it (banding + both
+    // pair-side joins), and at 100 TB this is exactly the signature
+    // table you'd persist — without it Catalyst re-runs the
+    // explode+aggregate per consumer.
+    val docSh = withShingleHash(shingles(s, dir))
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
+      .withColumn("nsh", size(col("shs")).cast("long"))
+      .localCheckpoint(true)
     val cand = lshCandidates(docSh)
     cand
       .join(docSh.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
@@ -199,16 +218,23 @@ object Dedup {
     * intersected per candidate pair via array_intersect — no corpus-wide
     * gram join. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // candidate pairs are consumed three times (the pair frame + both
+    // sides' doc lists) — materialize once instead of re-running
+    // shingle→signature→banding per consumer
     val cand = lshCandidates(minhashSignatures(s, dir))
+      .localCheckpoint(true)
+    // collect_set dedups the grams; its size is the distinct count — no
+    // separate distinct shuffle. Materialized once, joined twice.
     val docG = t(s, dir, "documents")
       .join(candidateDocs(cand), Seq("doc_id"), "left_semi")
       .filter(length(col("text")) >= 4)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text)-3), i -> substring(text, i, 4))"))
         .as("g"))
-      .distinct()
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("g")).as("gs"), count(lit(1)).as("ng"))
+      .agg(collect_set(col("g")).as("gs"))
+      .withColumn("ng", size(col("gs")).cast("long"))
+      .localCheckpoint(true)
     cand
       .join(docG.select(col("doc_id").as("doc_a"), col("gs").as("ga"),
         col("ng").as("na")), Seq("doc_a"))

@@ -65,7 +65,10 @@ object Engine {
         .orderBy(col("object"), col("description"))),
 
     "q_alert_suppress" -> ((s, dir) => {
-      val a = alerts(s, dir)
+      // the alert set feeds three consumers (noisy-actor profile, the
+      // id selection, and the suppression join) — materialize once
+      // instead of re-scanning events per consumer
+      val a = alerts(s, dir).localCheckpoint(true)
       val noisy = a.groupBy(col("actor"))
         .agg(count(lit(1)).as("n")).filter(col("n") >= 8)
         .select(col("actor"))

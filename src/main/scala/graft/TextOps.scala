@@ -68,18 +68,15 @@ object TextOps {
       .orderBy(col("source"))
 
   /** #38 rolling-hash document fingerprint: min md5 over char 5-grams
-    * (winnowing with a single global window). */
+    * (winnowing with a single global window). The whole per-doc fold
+    * runs inside one codegen'd expression (MinGramMd5) — a narrow
+    * projection with NO explode and NO shuffle, vs the naive
+    * explode+groupBy which materializes ~n_chars rows per doc. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      // guard: sequence(1, n<1) is descending in Spark, not empty —
-      // docs shorter than the gram width must be dropped up front
-      // (mirrors the oracle's empty generate_series).
       .filter(length(col("text")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text)-4), i -> substring(text, i, 5))"))
-        .as("g"))
-      .groupBy(col("doc_id"))
-      .agg(min(graft.functions.hashes.md5(col("g"))).as("fingerprint"))
+      .select(col("doc_id"),
+        graft.functions.hashes.minGramMd5(col("text"), 5).as("fingerprint"))
       .orderBy(col("doc_id"))
 
   /** #38b pseudonymization for log-derived training data: identities

@@ -31,6 +31,102 @@ object Md5Util {
     }
     UTF8String.fromBytes(out)
   }
+
+  /** min (lexicographic) md5 hex digest over every `width`-char gram of
+    * `s`, matching min(md5(substring(s, i, width))) for i in
+    * 1..len-width+1. One thread-local digest, one reused gram buffer,
+    * no per-gram allocations beyond the digest's own output. Returns
+    * null for strings shorter than `width` (no grams — the SQL min over
+    * an empty set). */
+  def minGramMd5(s: UTF8String, width: Int): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    if (n < width) return null
+    val md = digest.get()
+    val gram = new Array[Byte](width)
+    var min: Array[Byte] = null
+    var i = 0
+    while (i + width <= n) {
+      var j = 0
+      var ascii = true
+      while (j < width && ascii) {
+        val ch = str.charAt(i + j)
+        if (ch < 128) gram(j) = ch.toByte else ascii = false
+        j += 1
+      }
+      md.reset()
+      val d =
+        if (ascii) md.digest(gram)
+        else md.digest(str.substring(i, i + width)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = new Array[Byte](32)
+      var k = 0
+      while (k < 16) {
+        out(2 * k) = Hex((d(k) >> 4) & 0xf)
+        out(2 * k + 1) = Hex(d(k) & 0xf)
+        k += 1
+      }
+      if (min == null || java.util.Arrays.compare(out, min) < 0) min = out
+      i += 1
+    }
+    UTF8String.fromBytes(min)
+  }
+
+  /** 8 slice-minima of md5 hex over 3-word shingles (see MinhashSlices
+    * for exact semantics). One digest, one hex buffer, slice compares
+    * in place; allocations only when a slice minimum improves. */
+  def minhashSlices(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    // split(text, ' ') semantics: Java split with limit -1 keeps
+    // trailing empty tokens, like Spark's
+    val words = s.toString.split(" ", -1)
+    val n = words.length
+    if (n < 3) return null
+    // encode each word once; a word participates in up to 3 shingles
+    val wb = new Array[Array[Byte]](n)
+    var w = 0
+    while (w < n) {
+      wb(w) = words(w).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      w += 1
+    }
+    val Space = ' '.toByte
+    val md = digest.get()
+    val hex = new Array[Byte](32)
+    val mins = new Array[Array[Byte]](8)
+    var j = 0
+    while (j + 3 <= n) {
+      md.reset()
+      md.update(wb(j)); md.update(Space)
+      md.update(wb(j + 1)); md.update(Space)
+      md.update(wb(j + 2))
+      val d = md.digest()
+      var k = 0
+      while (k < 16) {
+        hex(2 * k) = Hex((d(k) >> 4) & 0xf)
+        hex(2 * k + 1) = Hex(d(k) & 0xf)
+        k += 1
+      }
+      var i = 0
+      while (i < 8) {
+        val off = 4 * i
+        val cur = mins(i)
+        var cmp = 0
+        if (cur != null) {
+          var b = 0
+          while (cmp == 0 && b < 4) {
+            cmp = java.lang.Byte.compare(hex(off + b), cur(b))
+            b += 1
+          }
+        }
+        if (cur == null || cmp < 0) {
+          mins(i) = java.util.Arrays.copyOfRange(hex, off, off + 4)
+        }
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(UTF8String.fromBytes(_)).asInstanceOf[Array[Any]])
+  }
 }
 
 /** Drop-in replacement for the built-in md5() over string input with
@@ -67,9 +163,88 @@ case class FastMd5(child: Expression) extends UnaryExpression {
       newChild: Expression): FastMd5 = copy(child = newChild)
 }
 
+/** Fingerprint kernel: min (lexicographic) md5 hex over all `width`-char
+  * grams of a document, in ONE loop per row. The equivalent
+  * explode+groupBy plan materializes and shuffles one row per gram
+  * (~n_chars rows per doc); this keeps the whole winnowing fold inside
+  * whole-stage codegen — no explode, no shuffle, the fingerprint query
+  * becomes a narrow projection. Matches
+  * min(md5(substring(text, i, width))) exactly (ASCII hex compares
+  * lexicographically the same under String and byte order). */
+case class MinGramMd5(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StringType
+
+  override def nullable: Boolean = true
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "min_gram_md5"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Md5Util.minGramMd5(v.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Md5Util.minGramMd5($c, $width)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinGramMd5 = copy(child = newChild)
+}
+
+/** MinHash kernel: the 8 per-slice minima of md5 over every 3-word
+  * shingle of a document, in ONE loop per row — the signature row of
+  * minhashSignatures without the shingle explode or the aggregation
+  * shuffle. Matches min(substring(md5(shingle), 4*i+1, 4)) for i in
+  * 0..7 over shingles built as concat_ws(' ', w[j], w[j+1], w[j+2]) from
+  * split(text, ' ') — including split's empty tokens on repeated
+  * spaces. Returns null when the doc has fewer than 3 words. */
+case class MinhashSlices(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "minhash_slices"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Md5Util.minhashSlices(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Md5Util.minhashSlices($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinhashSlices = copy(child = newChild)
+}
+
 object hashes {
   /** md5 hex digest of a string column (same output as
     * functions.md5(c.cast(binary)), faster per row). */
   def md5(c: Column): Column =
     graftexpr.column(FastMd5(graftexpr.expression(c)))
+
+  /** min md5 over all width-char grams (see MinGramMd5). */
+  def minGramMd5(c: Column, width: Int): Column =
+    graftexpr.column(MinGramMd5(graftexpr.expression(c), width))
+
+  /** 8 minhash slice minima over 3-word shingles (see MinhashSlices). */
+  def minhashSlices(c: Column): Column =
+    graftexpr.column(MinhashSlices(graftexpr.expression(c)))
 }

@@ -50,4 +50,57 @@ class FunctionsSpec extends SparkSuite {
     assert(plan.contains("*(1) Project [cosine_similarity"))
     assert(df.filter(abs(col("c") - 1.0) > 1e-9).count() == 0) // self-cosine ≈ 1
   }
+
+  test("min_gram_md5 matches the explode+min(md5(substring)) formulation") {
+    val docs = Tables.t(spark, Sf, "documents")
+      .filter(length(col("text")) >= 5).limit(50)
+      .select(col("doc_id"), col("text"))
+    val naive = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)-3-1), i -> substring(text, i, 5))"))
+        .as("g"))
+      .groupBy(col("doc_id")).agg(min(md5(col("g").cast("binary"))).as("fp"))
+    val fused = docs.select(col("doc_id"),
+      graft.functions.hashes.minGramMd5(col("text"), 5).as("fp"))
+    assert(fused.join(naive, Seq("doc_id"))
+      .filter(naive("fp") =!= fused("fp")).count() == 0)
+    // edge cases: shorter than width → null; non-ASCII grams hash the
+    // same as substring+md5
+    val edge = Seq("abc", "héllo wörld").toDF("text")
+    val e = edge.select(
+      graft.functions.hashes.minGramMd5(col("text"), 5).as("fp"),
+      when(length(col("text")) >= 5, expr(
+        "array_min(transform(sequence(1, length(text)-4), i -> md5(cast(substring(text, i, 5) as binary))))"))
+        .as("naive"))
+    assert(e.filter(!(col("fp") <=> col("naive"))).count() == 0)
+  }
+
+  test("minhash_slices matches the explode+8-slice-min formulation") {
+    val docs = Tables.t(spark, Sf, "documents").limit(50)
+      .select(col("doc_id"), col("text"))
+      .filter(size(split(col("text"), " ")) >= 3)
+    val sh = docs
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(split(text, ' '))-2),
+          |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+          |    element_at(split(text, ' '), i+1),
+          |    element_at(split(text, ' '), i+2)))""".stripMargin)).as("s"))
+      .withColumn("h", md5(col("s").cast("binary")))
+    val naiveAggs = (0 until 8).map(i =>
+      min(substring(col("h"), 4 * i + 1, 4)).as(s"mh$i"))
+    val naive = sh.groupBy(col("doc_id"))
+      .agg(naiveAggs.head, naiveAggs.tail: _*)
+    val arr = graft.functions.hashes.minhashSlices(col("text"))
+    val fused = docs.select(col("doc_id") +: (0 until 8).map(i =>
+      element_at(arr, i + 1).as(s"mh$i")): _*)
+    val joined = fused.as("f").join(naive.as("n"), Seq("doc_id"))
+    val bad = (0 until 8).map(i =>
+      joined.filter(col(s"f.mh$i") =!= col(s"n.mh$i")).count()).sum
+    assert(bad == 0)
+    // repeated spaces produce empty split tokens — both paths must agree
+    val tricky = Seq("a  b c", "x y z  ").toDF("text")
+    val tf = tricky.select(graft.functions.hashes.minhashSlices(col("text"))
+      .as("a")).collect()
+    assert(tf.forall(!_.isNullAt(0)))
+  }
 }

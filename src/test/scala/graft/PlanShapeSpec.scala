@@ -36,6 +36,26 @@ class PlanShapeSpec extends SparkSuite {
     assert(planOf("q_alert_suppress").contains("BroadcastHashJoin"))
   }
 
+  test("IVF assignment is an aggregation, not a per-vector window sort") {
+    // nearest-centroid argmax must be min_by aggregation (map-side
+    // combined); a row_number window would sort+shuffle every
+    // (vector × centroid) row
+    val plan = planOf("q_ann_ivf")
+    assert(!plan.contains("Window"), "q_ann_ivf plans a Window")
+  }
+
+  test("minhash signatures and fingerprint are shuffle-free projections") {
+    // both fold per-doc state inside one codegen'd expression; the only
+    // exchange allowed is the final presentation sort
+    for (name <- Seq("q_minhash_signatures", "q_fingerprint")) {
+      val plan = planOf(name)
+      assert(!plan.contains("HashAggregate"),
+        s"$name re-grew an aggregation")
+      assert(plan.contains("min_gram_md5") || plan.contains("minhash_slices"),
+        s"$name lost its fused expression")
+    }
+  }
+
   test("dedup pair joins are candidate-keyed, not content self-joins") {
     // the only equi-join keys in the LSH pair plan are bucket/doc ids —
     // a corpus-wide shingle equi-join would show sh#N as a join key
