@@ -54,16 +54,20 @@ object Baselines {
       .orderBy(col("event_type"), col("h_s"))
   }
 
-  /** #11 hour-of-day activity profile. Ref: baseline_modules/temporal_by_day. */
+  /** #11 (pivot, day-of-week, hour-of-day) activity profile — the full
+    * dimensionality of the reference module (which profiles per pivot,
+    * weekday, and hour). dow follows Spark's dayofweek (Sunday=1).
+    * Ref: baseline_modules/temporal_by_day/module.R. */
   def temporalByDay(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"),
+        hour(col("ts")).as("hod"))
       .agg(
         count(lit(1)).as("n"),
         Num.r4(avg(col("value"))).as("value_avg"),
         min(col("value")).as("value_min"),
         max(col("value")).as("value_max"))
-      .orderBy(col("event_type"), col("hod"))
+      .orderBy(col("event_type"), col("dow"), col("hod"))
 
   /** #12 per-entity activity stats. Ref: baseline_modules/login/module.R
     * (num_logins, num_days, percent_of_days, average_per_day_when_active). */
@@ -145,6 +149,62 @@ object Baselines {
       .orderBy(col("event_type"))
   }
 
+  /** The generalized baseline runner (ref: src/runners/baseline_runner
+    * .py + baseline_modules/temporal_by_day/module.R get_percentiles):
+    * runs the percentile module over ANY (source, pivot, event-time,
+    * id) combination — the reference configures modules per landing
+    * table; here the same profile is a function of DataFrame + columns.
+    *
+    * Emits one row per pivot with two profile families, exactly like
+    * the R module: `*_when_present` aggregates over days that HAD
+    * activity; `*_overall` aggregates over the complete day grid
+    * between the first and last day (missing days zero-filled — the
+    * module's tidyr::complete), which is what makes "quiet entity
+    * suddenly active" detectable. Scale: one (pivot, day) count
+    * aggregation, a broadcast day-grid expansion, and two small
+    * per-pivot profile aggs.
+    */
+  def dailyProfile(
+      events: DataFrame,
+      pivot: org.apache.spark.sql.Column,
+      eventTime: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): DataFrame = {
+    val ps = Seq("p025" -> 0.025, "p05" -> 0.05, "p10" -> 0.10,
+      "p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75, "p95" -> 0.95,
+      "p975" -> 0.975)
+    def profile(df: DataFrame, suffix: String): DataFrame = {
+      val aggs = Seq(
+        Num.r4(avg(col("num_events"))).as(s"num_events_avg_$suffix"),
+        Num.r4(avg(col("num_ids"))).as(s"num_ids_avg_$suffix"),
+        min(col("num_events")).as(s"num_events_min_$suffix"),
+        max(col("num_events")).as(s"num_events_max_$suffix"),
+        count(lit(1)).as(s"num_days_$suffix")) ++
+        ps.map { case (name, p) =>
+          Num.r4(percentile(col("num_events"), lit(p)))
+            .as(s"num_events_${name}_$suffix")
+        }
+      df.groupBy(col("pivot")).agg(aggs.head, aggs.tail: _*)
+    }
+    val byDay = events
+      .groupBy(pivot.as("pivot"), to_date(eventTime).as("day"))
+      .agg(count(lit(1)).as("num_events"),
+        countDistinct(id).as("num_ids"))
+    // complete day grid per pivot (global bounds, zero-filled gaps)
+    val bounds = byDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = byDay.select(col("pivot")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("pivot"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val expanded = grid.join(byDay, Seq("pivot", "day"), "left")
+      .na.fill(0, Seq("num_events", "num_ids"))
+    val dates = byDay.groupBy(col("pivot")).agg(
+      min(col("day")).as("earliest_when_present"),
+      max(col("day")).as("latest_when_present"))
+    profile(byDay, "when_present")
+      .join(profile(expanded, "overall"), Seq("pivot"))
+      .join(dates, Seq("pivot"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_closeout_date" -> closeoutDate _,
     "q_baseline_percentiles" -> baselinePercentiles _,
@@ -214,13 +274,15 @@ object Baselines {
          |ORDER BY h.event_type, h_s""".stripMargin,
 
     "q_temporal_by_day" ->
-      """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+      """SELECT event_type,
+        |  CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |  CAST(hour(ts) AS INTEGER) AS hod,
         |  count(*) AS n,
         |  round(avg(value), 4) AS value_avg,
         |  min(value) AS value_min,
         |  max(value) AS value_max
-        |FROM events GROUP BY event_type, hod
-        |ORDER BY event_type, hod""".stripMargin,
+        |FROM events GROUP BY event_type, dow, hod
+        |ORDER BY event_type, dow, hod""".stripMargin,
 
     "q_login_baseline" ->
       """WITH totals AS (

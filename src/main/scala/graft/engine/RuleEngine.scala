@@ -175,6 +175,50 @@ object RuleEngine {
       .drop("__new_chain")
   }
 
+  /** Anchored correlation — the reference's EXACT most-recent-match
+    * semantics (alert_processor.py:11-40): each alert joins the most
+    * recent prior alert of the same actor within `gapMinutes` whose
+    * object OR action matches THIS alert's, and takes that alert's
+    * correlation id (transitively, the chain root's).
+    *
+    * This differs from the gap-sessionization `correlate` exactly when
+    * an unrelated alert interleaves a chain: actor emits A(obj=X),
+    * B(obj=Y), C(obj=X) within the window — sessionization breaks at B
+    * (the IMMEDIATELY previous alert doesn't match C), while the
+    * reference looks past B and correlates C with A. CorrelationSpec
+    * pins this divergence.
+    *
+    * Shape: a self-join on actor bounded by the time window (candidate
+    * pairs only — at scale, co-partition by (actor, time bucket)), a
+    * max_by argmax for the parent pointer (no window sort), then
+    * min-label propagation over the parent forest for the transitive
+    * chain id. */
+  def correlateAnchored(alerts: DataFrame, gapMinutes: Int): DataFrame = {
+    val a = alerts.select(col("alert_id").as("a_id"),
+      col("actor").as("a_actor"), col("object").as("a_object"),
+      col("action").as("a_action"), col("event_time_s").as("a_t"))
+    val p = alerts.select(col("alert_id").as("p_id"),
+      col("actor").as("p_actor"), col("object").as("p_object"),
+      col("action").as("p_action"), col("event_time_s").as("p_t"))
+    val parents = a.join(p,
+        col("a_actor") === col("p_actor") &&
+          (col("p_t") < col("a_t") ||
+            (col("p_t") === col("a_t") && col("p_id") < col("a_id"))) &&
+          col("a_t") - col("p_t") <= gapMinutes * 60L &&
+          (col("p_object") === col("a_object") ||
+            col("p_action") === col("a_action")))
+      .groupBy(col("a_id"))
+      .agg(max_by(col("p_id"), struct(col("p_t"), col("p_id")))
+        .as("parent_id"))
+    val labels = graft.Dedup.connectedComponents(
+      parents.select(col("a_id"), col("parent_id")))
+      .withColumnRenamed("doc_id", "alert_id")
+    alerts.join(labels, Seq("alert_id"), "left")
+      .withColumn("correlation_id",
+        md5(coalesce(col("cluster"), col("alert_id"))))
+      .drop("cluster")
+  }
+
   /** Run a violation rule: one row per violating (target, day) with the
     * reference's identity-hash id: md5 of the canonical identity fields
     * (db.py INSERT_VIOLATIONS_WITH_ID_QUERY). */

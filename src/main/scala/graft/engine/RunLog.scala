@@ -90,6 +90,74 @@ final class RunLog(val runId: String) {
     }
   }
 
+  // ---- observe()-based stages: metrics ride the plan ----------------
+  // The eager timed* variants above run one counting ACTION per stage,
+  // which re-executes the stage's whole subplan when the composed
+  // pipeline later runs — at 100 TB every rule's event scan would
+  // execute twice. These variants attach a CollectMetrics node
+  // (Dataset.observe) instead: the counts are computed as a side
+  // channel of the ONE terminal action, so each rule's scan runs once.
+  // Call flush() after that action to resolve the rows.
+  private val pendingObs = mutable.ArrayBuffer
+    .empty[(String, Long, org.apache.spark.sql.Observation, Boolean)]
+
+  def observedInsert(queryName: String)(stage: => DataFrame): DataFrame = {
+    val t0 = System.currentTimeMillis()
+    val df = stage
+    val obs = org.apache.spark.sql.Observation(s"${runId}_$queryName")
+    synchronized { pendingObs += ((queryName, t0, obs, false)) }
+    df.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("inserted"))
+  }
+
+  def observedSuppress(queryName: String)(stage: => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count_if}
+    val t0 = System.currentTimeMillis()
+    val df = stage
+    val obs = org.apache.spark.sql.Observation(s"${runId}_$queryName")
+    synchronized { pendingObs += ((queryName, t0, obs, true)) }
+    df.observe(obs,
+      count_if(col("suppression_rule") === queryName).as("suppressed"),
+      count_if(!col("suppressed")).as("passed"))
+  }
+
+  /** Resolve all observed stages into metadata rows. Must run after the
+    * pipeline's terminal action (metric delivery is asynchronous —
+    * bounded wait per stage). A stage whose subplan never executed is
+    * recorded as an error row rather than blocking forever. */
+  def flush(timeoutMs: Long = 30000): Unit = {
+    val toFlush = synchronized {
+      val t = pendingObs.toSeq
+      pendingObs.clear()
+      t
+    }
+    toFlush.foreach { case (name, t0, obs, isSuppress) =>
+      // Observation.get blocks until the observed action's metrics are
+      // delivered (asynchronously, shortly after the action) — bound it
+      // so a never-executed stage records an error instead of hanging
+      val m: Map[String, Any] =
+        try {
+          scala.concurrent.Await.result(
+            scala.concurrent.Future(obs.get)(
+              scala.concurrent.ExecutionContext.global),
+            scala.concurrent.duration.Duration(timeoutMs, "ms"))
+        } catch {
+          case _: java.util.concurrent.TimeoutException => Map.empty
+        }
+      val end = System.currentTimeMillis()
+      if (m.isEmpty) {
+        record(name, t0, end, error = Some("metrics never observed"))
+      } else if (isSuppress) {
+        record(name, t0, end,
+          suppressed = m("suppressed").asInstanceOf[Long],
+          passed = m("passed").asInstanceOf[Long])
+      } else {
+        record(name, t0, end, inserted = m("inserted").asInstanceOf[Long])
+      }
+    }
+  }
+
   def entries: Seq[RunMetadataRow] = synchronized(rows.toSeq)
 
   def toDF(spark: SparkSession): DataFrame = {

@@ -46,9 +46,14 @@ object Runner {
       log: RunLog): AlertRunResult = {
 
     // 1. each alert rule over the shared time window (ref:
-    //    alert_queries_runner.main loops rule views)
+    //    alert_queries_runner.main loops rule views). Stage counts ride
+    //    the plan via observe() — the ONE terminal action below (step 5)
+    //    executes every rule's event scan exactly once; the eager
+    //    count-per-stage alternative would scan each rule's events twice
+    //    (once for metadata, once in the composed pipeline) — a real
+    //    cost at 100 TB.
     val perRule = rules.map { r =>
-      log.timedInsert(r.name) {
+      log.observedInsert(r.name) {
         RuleEngine.runAlertRule(
           events, r, idCol, cfg.fromTs, cfg.toTsExclusive, cfg.alertTimeS)
       }
@@ -56,7 +61,7 @@ object Runner {
     val alerts = perRule.reduce(_.unionByName(_))
 
     // 2. merge/dedup (ref: MERGE_ALERTS)
-    val merged = log.timedInsert("alert_merge") {
+    val merged = log.observedInsert("alert_merge") {
       RuleEngine.mergeAlerts(alerts)
     }
 
@@ -66,7 +71,7 @@ object Runner {
       merged.withColumn("suppressed", lit(false))
         .withColumn("suppression_rule", lit(null).cast("string"))) {
       case (acc, rule) =>
-        log.timedSuppress(rule.name) {
+        log.observedSuppress(rule.name) {
           val ids = broadcast(rule.selectIds(acc)
             .select(col("alert_id").as("__sup_id")).distinct())
           acc.join(ids, acc("alert_id") === ids("__sup_id"), "left")
@@ -77,7 +82,7 @@ object Runner {
               col("suppressed") || col("__sup_id").isNotNull)
             .drop("__sup_id")
         }
-    }
+    }.persist() // the run's results table: read by correlate + returned
 
     // 4. correlation over the live (non-suppressed) alerts (ref:
     //    alert_processor processes unsuppressed alerts)
@@ -93,7 +98,12 @@ object Runner {
     //    (alert_id, handler), which every HandlerResult carries.
     val results = Dispatcher.dispatch(live, sinks, cfg.defaultHandler)
       .persist()
+    // THE terminal action: executes rules → merge → suppress →
+    // correlate → dispatch once, delivering every observed stage metric
+    // as a side channel. suppressed is persisted above so the later
+    // recordStatus/store consumers re-read the cache, not the scans.
     results.count()
+    log.flush()
     val handled = log.timedInsert("alert_dispatch") {
       Dispatcher.recordStatus(live, results)
     }

@@ -100,6 +100,121 @@ private object JsonStr {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Extract a top-level string field from the alert payload JSON
+    * (executor-side; Jackson ships with Spark). */
+  def field(json: String, name: String, default: String = ""): String = {
+    val node = mapper.readTree(json).get(name)
+    if (node == null || node.isNull) default else node.asText()
+  }
+}
+
+/** PagerDuty Events-API trigger (ref: runners/handlers/pd.py:29-68):
+  * summary=DESCRIPTION, source=DETECTOR, severity normalized into the
+  * allowed dictionary (unknown values → 'unknown'), dedup_key=alert_id
+  * (delivery idempotence key), custom_details=the whole alert. */
+final class PagerDutySink(routingKey: String, bufferId: String)
+    extends AlertSink {
+  val name = "pd"
+  private val severities =
+    Seq("critical", "error", "warning", "info", "unknown")
+  def send(alertJson: String): String = {
+    val sev0 = JsonStr.field(alertJson, "severity").toLowerCase
+    val sev = if (severities.contains(sev0)) sev0 else severities.last
+    val dedup = JsonStr.field(alertJson, "alert_id")
+    val payload =
+      s"""{"routing_key":${JsonStr.quote(routingKey)},""" +
+        s""""event_action":"trigger",""" +
+        s""""dedup_key":${JsonStr.quote(dedup)},""" +
+        s""""payload":{"summary":${JsonStr.quote(
+            JsonStr.field(alertJson, "description"))},""" +
+        s""""source":${JsonStr.quote(
+            JsonStr.field(alertJson, "detector"))},""" +
+        s""""severity":${JsonStr.quote(sev)},""" +
+        s""""custom_details":$alertJson}}"""
+    MemorySink.buffer(bufferId).add(payload)
+    s"pd:$dedup"
+  }
+}
+
+/** SMTP mail message (ref: runners/handlers/smtp.py:20-76): multipart
+  * with a plain-text part; subject defaults to the alert title, text to
+  * the description. */
+final class SmtpSink(sender: String, recipient: String, bufferId: String)
+    extends AlertSink {
+  val name = "smtp"
+  def send(alertJson: String): String = {
+    val payload =
+      s"""{"from":${JsonStr.quote(sender)},""" +
+        s""""to":${JsonStr.quote(recipient)},""" +
+        s""""subject":${JsonStr.quote(
+            JsonStr.field(alertJson, "title"))},""" +
+        s""""text":${JsonStr.quote(
+            JsonStr.field(alertJson, "description"))}}"""
+    MemorySink.buffer(bufferId).add(payload)
+    s"smtp:$recipient"
+  }
+}
+
+/** SNS publish params (ref: runners/handlers/sns.py:9-53): TopicArn +
+  * Subject + Message (the alert body). */
+final class SnsSink(topicArn: String, bufferId: String) extends AlertSink {
+  val name = "sns"
+  def send(alertJson: String): String = {
+    val payload =
+      s"""{"TopicArn":${JsonStr.quote(topicArn)},""" +
+        s""""Subject":${JsonStr.quote(JsonStr.field(alertJson, "title"))},""" +
+        s""""Message":$alertJson}"""
+    MemorySink.buffer(bufferId).add(payload)
+    s"sns:$topicArn"
+  }
+}
+
+/** SES send_email request (ref: runners/handlers/ses.py:8-70):
+  * Destination/Message/Source with UTF-8 charset markers. */
+final class SesSink(sender: String, recipient: String, bufferId: String)
+    extends AlertSink {
+  val name = "ses"
+  def send(alertJson: String): String = {
+    val payload =
+      s"""{"Destination":{"ToAddresses":[${JsonStr.quote(recipient)}],""" +
+        s""""CcAddresses":[],"BccAddresses":[]},""" +
+        s""""Message":{"Body":{"Text":{"Charset":"UTF-8",""" +
+        s""""Data":${JsonStr.quote(
+            JsonStr.field(alertJson, "description"))}}},""" +
+        s""""Subject":{"Charset":"UTF-8","Data":${JsonStr.quote(
+            JsonStr.field(alertJson, "title"))}}},""" +
+        s""""Source":${JsonStr.quote(sender)}}"""
+    MemorySink.buffer(bufferId).add(payload)
+    s"ses:$recipient"
+  }
+}
+
+/** ServiceNow incident record (ref: runners/handlers/service_now.py:
+  * 87-105): the exact default field set POSTed to /now/table/incident,
+  * with the configurable field prefix. */
+final class ServiceNowSink(
+    fieldPrefix: String, assignee: String, bufferId: String)
+    extends AlertSink {
+  val name = "service_now"
+  def send(alertJson: String): String = {
+    val fp = fieldPrefix
+    val payload =
+      s"""{"${fp}contact_type":"Integration","${fp}impact":"2",""" +
+        s""""${fp}urgency":"2","${fp}category":"IT Security",""" +
+        s""""${fp}subcategory":"Remediation",""" +
+        s""""${fp}assignment_group":"Security Compliance",""" +
+        s""""${fp}short_description":${JsonStr.quote(
+            JsonStr.field(alertJson, "title",
+              "SnowAlert Generate Incident"))},""" +
+        s""""${fp}description":${JsonStr.quote(
+            JsonStr.field(alertJson, "description"))},""" +
+        s""""${fp}assigned_to":${JsonStr.quote(assignee)}}"""
+    MemorySink.buffer(bufferId).add(payload)
+    s"service_now:incident"
+  }
 }
 
 /** One delivery attempt: the Spark row analogue of the dispatcher's

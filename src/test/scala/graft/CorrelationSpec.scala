@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.RuleEngine
+
+/** Pins the semantic relationship between the two correlation
+  * implementations against the reference (alert_processor.py:11-40):
+  * gap-sessionization (`correlate`) chains only via the immediately
+  * previous alert; the reference's most-recent-match rule
+  * (`correlateAnchored`) looks back through the whole window. They agree
+  * on uninterrupted chains and diverge exactly when an unrelated alert
+  * interleaves. */
+class CorrelationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def alert(id: String, actor: String, obj: String, action: String,
+      tMin: Long) =
+    (id, actor, obj, action, tMin * 60L)
+
+  private def df(rows: (String, String, String, String, Long)*) =
+    rows.toSeq
+      .toDF("alert_id", "actor", "object", "action", "event_time_s")
+
+  test("both implementations agree on an uninterrupted chain") {
+    val alerts = df(
+      alert("a1", "u1", "X", "read", 0),
+      alert("a2", "u1", "X", "write", 30), // same object, chains
+      alert("a3", "u1", "Z", "write", 55), // same action as a2, chains
+      alert("b1", "u1", "Q", "other", 300)) // far away: new chain
+    val gap = RuleEngine.correlate(alerts, 60)
+      .select("alert_id", "correlation_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val anch = RuleEngine.correlateAnchored(alerts, 60)
+      .select("alert_id", "correlation_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    for (m <- Seq(gap, anch)) {
+      assert(m("a1") == m("a2") && m("a2") == m("a3"))
+      assert(m("b1") != m("a1"))
+    }
+  }
+
+  test("divergence: an interleaved unrelated alert splits the session " +
+      "but not the reference's anchored chain") {
+    // A(obj=X) .. B(obj=Y, unrelated) .. C(obj=X): the reference's
+    // GET_CORRELATED_ALERT looks past B (most recent alert matching
+    // C's object within 60 min is A) — gap-sessionization breaks at B.
+    val alerts = df(
+      alert("A", "u1", "X", "read", 0),
+      alert("B", "u1", "Y", "other", 30),
+      alert("C", "u1", "X", "read", 50))
+
+    val gap = RuleEngine.correlate(alerts, 60)
+      .select("alert_id", "correlation_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // sessionization: three separate chains (B broke the adjacency)
+    assert(gap("A") != gap("C"))
+    assert(gap("A") != gap("B") && gap("B") != gap("C"))
+
+    val anch = RuleEngine.correlateAnchored(alerts, 60)
+      .select("alert_id", "correlation_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // reference semantics: C correlates with A across B; B stands alone
+    assert(anch("A") == anch("C"))
+    assert(anch("B") != anch("A"))
+  }
+
+  test("anchored window is per-alert lookback, not chain-relative") {
+    // A at t=0, C at t=90: outside C's 60-min lookback even though both
+    // share an object — no chain (the reference's DATEADD window is
+    // anchored to the candidate alert's own event time)
+    val alerts = df(
+      alert("A", "u1", "X", "read", 0),
+      alert("C", "u1", "X", "read", 90))
+    val anch = RuleEngine.correlateAnchored(alerts, 60)
+      .select("alert_id", "correlation_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(anch("A") != anch("C"))
+  }
+
+  test("actors never share chains in either implementation") {
+    val alerts = df(
+      alert("A", "u1", "X", "read", 0),
+      alert("B", "u2", "X", "read", 10))
+    val anch = RuleEngine.correlateAnchored(alerts, 60)
+      .select("alert_id", "correlation_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(anch("A") != anch("B"))
+  }
+}

@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.engine.{ConsoleSink, Dispatcher, JiraSink, MemorySink, RunLog,
-  RuleEngine, SlackSink}
+import graft.engine.{ConsoleSink, Dispatcher, JiraSink, MemorySink,
+  PagerDutySink, RunLog, RuleEngine, ServiceNowSink, SesSink, SlackSink,
+  SmtpSink, SnsSink}
 
 /** SURVEY.md §2 #7 (AlertSink dispatch) + #8 (run metadata). */
 class DispatchSpec extends SparkSuite {
@@ -35,6 +36,55 @@ class DispatchSpec extends SparkSuite {
     // slack stub formatted a channel payload
     val slack = MemorySink.drain(buf + "-slack")
     assert(slack.length == 1 && slack.head.contains("\"channel\":\"#alerts\""))
+  }
+
+  test("pd/smtp/sns/ses/service_now sinks format the reference payloads") {
+    val buf = s"ext-${System.nanoTime()}"
+    val alerts = Seq(
+      ("a9", "Root used", "AWS Root Account Activity", "SnowAlert", "High",
+        Seq("pd", "smtp", "sns", "ses", "service_now"))
+    ).toDF("alert_id", "description", "title", "detector", "severity",
+      "handlers")
+    val sinks = Seq(
+      new PagerDutySink("rk-123", buf + "-pd"),
+      new SmtpSink("noreply@example.com", "sec@example.com", buf + "-smtp"),
+      new SnsSink("arn:aws:sns:us-east-1:111122223333:alerts", buf + "-sns"),
+      new SesSink("noreply@example.com", "sec@example.com", buf + "-ses"),
+      new ServiceNowSink("u_", "analyst", buf + "-sn"))
+    val results = Dispatcher.dispatch(alerts, sinks, "pd").collect()
+    assert(results.length == 5 && results.forall(_.success))
+
+    // PagerDuty Events-API trigger (pd.py): normalized severity,
+    // dedup_key = alert_id, custom_details = whole alert
+    val pd = MemorySink.drain(buf + "-pd").head
+    assert(pd.contains("\"event_action\":\"trigger\""))
+    assert(pd.contains("\"dedup_key\":\"a9\""))
+    assert(pd.contains("\"severity\":\"unknown\"")) // 'High' not in dict
+    assert(pd.contains("\"summary\":\"Root used\""))
+    assert(pd.contains("\"custom_details\":{"))
+
+    // SMTP message (smtp.py): subject = title, text = description
+    val smtp = MemorySink.drain(buf + "-smtp").head
+    assert(smtp.contains("\"subject\":\"AWS Root Account Activity\""))
+    assert(smtp.contains("\"text\":\"Root used\""))
+    assert(smtp.contains("\"to\":\"sec@example.com\""))
+
+    // SNS publish params (sns.py)
+    val sns = MemorySink.drain(buf + "-sns").head
+    assert(sns.contains("\"TopicArn\":\"arn:aws:sns:us-east-1:111122223333:alerts\""))
+    assert(sns.contains("\"Subject\":\"AWS Root Account Activity\""))
+
+    // SES send_email shape (ses.py): Destination/Message/Source
+    val ses = MemorySink.drain(buf + "-ses").head
+    assert(ses.contains("\"ToAddresses\":[\"sec@example.com\"]"))
+    assert(ses.contains("\"Charset\":\"UTF-8\""))
+    assert(ses.contains("\"Source\":\"noreply@example.com\""))
+
+    // ServiceNow incident record (service_now.py) with field prefix
+    val sn = MemorySink.drain(buf + "-sn").head
+    assert(sn.contains("\"u_category\":\"IT Security\""))
+    assert(sn.contains("\"u_short_description\":\"AWS Root Account Activity\""))
+    assert(sn.contains("\"u_assigned_to\":\"analyst\""))
   }
 
   test("unknown handler records failure, matching the missing-type path") {

@@ -79,6 +79,37 @@ class RunnerSpec extends SparkSuite {
     assert(meta(4).inserted == 2) // live handled alerts
   }
 
+  test("each rule's event scan executes once per run (observed metrics)") {
+    // metadata counts ride the plan via observe(); an eager count-per-
+    // stage runner would read every event row at least twice. The
+    // accumulator counts actual row reads of the event source.
+    val acc = spark.sparkContext.longAccumulator("event-row-reads")
+    val tick = udf { () => acc.add(1); true }.asNondeterministic()
+    val counted = mkEvents.filter(tick())
+    val buf = s"runner-scan-${System.nanoTime()}"
+    val log = RunLog.newRun()
+    Runner.runAlerts(
+      events = counted,
+      rules = Seq(
+        rule("errors", col("event_type") === "error"),
+        rule("logins", col("event_type") === "login")),
+      idCol = col("event_id"),
+      suppressions = Nil,
+      sinks = Seq(new MemorySink(buf)),
+      cfg = RunConfig("2024-01-01 00:00:00", "2024-01-02 00:00:00",
+        alertTimeS = 0L, defaultHandler = "memory"),
+      log = log)
+    // 2 rule branches × 5 events: each branch reads the source once
+    assert(acc.value == 10,
+      s"expected 10 event-row reads (one scan per rule), got ${acc.value}")
+    // the observed metadata rows still populate with exact counts
+    assert(log.entries.map(_.query_name) ==
+      Seq("errors", "logins", "alert_merge", "alert_dispatch"))
+    assert(log.entries.head.inserted == 4)
+    assert(log.entries(1).inserted == 1)
+    assert(log.entries(2).inserted == 3)
+  }
+
   test("monitoring rule over run metadata flags failed rule runs") {
     // the reference's snowalert_query_rule_run_errors pattern: the
     // metadata table is itself a rule source (ref: db.record_metadata +

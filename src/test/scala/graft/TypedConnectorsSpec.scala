@@ -100,4 +100,73 @@ class TypedConnectorsSpec extends SparkSuite {
     assert(latest.filter(col("id") === "id1").head
       .getAs[String]("status") == "ACTIVE")
   }
+
+  test("gsuite admin-activity lands flat columns + parameter map") {
+    val path = tmpFile("gs.jsonl",
+      """{"id":{"time":"2024-01-01T10:00:00Z","customerId":"C123"},"etag":"\"abcdef\"","ipAddress":"9.9.9.9","actor":{"email":"admin@corp.example","profileId":"p1"},"events":[{"name":"login_failure","parameters":[{"name":"login_type","value":"google_password"},{"name":"is_suspicious","boolValue":true},{"name":"login_challenge_method","multiValue":["password","idv_preregistered_phone"]}]}]}
+        |""".stripMargin)
+    val df = graft.sources.GSuiteLogs.land(spark, path, "auditor@corp.example")
+    val r = df.head
+    assert(r.getAs[String]("event_name") == "login_failure")
+    assert(r.getAs[String]("etag") == "abcdef") // quotes stripped
+    assert(r.getAs[String]("actor_email") == "admin@corp.example")
+    assert(r.getAs[String]("delegating_subject") == "auditor@corp.example")
+    val params = r.getAs[Map[String, String]]("event_params")
+    assert(params("login_type") == "google_password")
+    assert(params("is_suspicious") == "true") // boolValue fallback
+    assert(params("login_challenge_method") ==
+      "password,idv_preregistered_phone") // multiValue fallback
+  }
+
+  test("umbrella device snapshot lands typed landing columns") {
+    val path = tmpFile("umb.jsonl",
+      """{"deviceId":"d-1","osVersionName":"Monterey","lastSyncStatus":"ok","type":"mac","version":"3.0","lastSync":"2024-01-05T00:00:00Z","osVersion":"12.6","name":"laptop-1","status":"active","originId":42,"appliedBundle":7,"hasIpBlocking":true}
+        |""".stripMargin)
+    val r = graft.sources.UmbrellaDevices.land(spark, path).head
+    assert(r.getAs[String]("device_id") == "d-1")
+    assert(r.getAs[Long]("origin_id") == 42L)
+    assert(r.getAs[Boolean]("has_ip_blocking"))
+    assert(r.getAs[java.sql.Timestamp]("snapshot_at") != null)
+  }
+
+  test("connector runner lands incrementally by watermark on schedule") {
+    import graft.sources.{ConnectorRunner, RegisteredConnector}
+    val path = tmpFile("osq.jsonl",
+      """{"name":"q1","action":"added","hostIdentifier":"i-1","unixTime":1704103200,"columns":{"pid":"1"}}
+        |{"name":"q1","action":"added","hostIdentifier":"i-2","unixTime":1704189600,"columns":{"pid":"2"}}
+        |""".stripMargin)
+    val reg = Seq(RegisteredConnector(
+      "osquery_log", "0 *", "event_time",
+      s => graft.sources.Osquery.land(s, path)))
+    val log = graft.engine.RunLog.newRun()
+
+    // not due: minute >= 15
+    val lateTick = java.time.LocalDateTime.of(2024, 1, 1, 3, 30)
+    assert(ConnectorRunner
+      .runDue(spark, reg, Map.empty, lateTick, log)._1.isEmpty)
+
+    // first due run: no watermark → everything lands
+    val tick = java.time.LocalDateTime.of(2024, 1, 1, 3, 5)
+    val (runs1, wm1) = ConnectorRunner.runDue(spark, reg, Map.empty, tick, log)
+    assert(runs1.head.landed.count() == 2)
+    assert(wm1("osquery_log").startsWith("2024-01-02"))
+
+    // second run with advanced watermark: nothing newer → zero rows,
+    // watermark kept
+    val (runs2, wm2) = ConnectorRunner.runDue(spark, reg, wm1, tick, log)
+    assert(runs2.head.landed.count() == 0)
+    assert(wm2("osquery_log") == wm1("osquery_log"))
+
+    // metadata rows recorded per run
+    assert(log.entries.map(_.query_name) == Seq("osquery_log", "osquery_log"))
+    assert(log.entries.head.inserted == 2 && log.entries(1).inserted == 0)
+
+    // schedule grammar: every-N-hours and the 12h-offset form
+    assert(ConnectorRunner.timeToRun("0 */6",
+      java.time.LocalDateTime.of(2024, 1, 1, 6, 10)))
+    assert(!ConnectorRunner.timeToRun("0 */6",
+      java.time.LocalDateTime.of(2024, 1, 1, 7, 10)))
+    assert(ConnectorRunner.timeToRun("0 1-13/12",
+      java.time.LocalDateTime.of(2024, 1, 1, 13, 2)))
+  }
 }
