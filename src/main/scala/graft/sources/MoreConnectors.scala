@@ -170,6 +170,120 @@ object UmbrellaDevices {
         col("hasIpBlocking").as("has_ip_blocking"))
 }
 
+/** Typed LDAP-log CSV connector (ref: src/connectors/ldap_log.py
+  * LANDING_TABLE_COLUMNS, lines 49-58): directory-account exports with
+  * password-lifecycle timestamps. */
+object LdapLog {
+
+  val schema: StructType = StructType(Seq(
+    StructField("group_name", StringType),
+    StructField("display_name", StringType),
+    StructField("sam", StringType),
+    StructField("email", StringType),
+    StructField("account_created", TimestampType),
+    StructField("account_last_modified", TimestampType),
+    StructField("password_last_set", TimestampType),
+    StructField("password_expires", TimestampType)))
+
+  def land(spark: SparkSession, path: String): DataFrame =
+    Connectors.csvInventory(spark, path, schema)
+}
+
+/** Typed AWS VPC Flow Log connector (ref: src/connectors/aws_flow_log
+  * .py LANDING_TABLE_COLUMNS, lines 48-63): the default
+  * space-separated v2 flow-log format parsed into the landing shape,
+  * with '-' placeholders nulled like the reference's NULL_IF. */
+object AwsFlowLog {
+
+  private val FlowPattern =
+    """^(\d+) (\S+) (\S+) (\S+) (\S+) (\S+) (\S+) (\S+) (\S+) (\S+) (\d+) (\d+) (\S+) (\S+)$"""
+  private val FlowFields = Seq("version", "account_id", "interface_id",
+    "srcaddr", "dstaddr", "srcport", "dstport", "protocol", "packets",
+    "bytes", "start_time", "end_time", "action", "log_status")
+
+  def land(spark: SparkSession, path: String): DataFrame = {
+    val parsed = Connectors.regexTextLog(spark, path, FlowPattern, FlowFields)
+    def dash(c: String) = when(col(c) === "-", lit(null)).otherwise(col(c))
+    parsed.select(
+      col("raw"),
+      col("version").cast("long").as("version"),
+      col("account_id"),
+      col("interface_id"),
+      dash("srcaddr").as("srcaddr"),
+      dash("dstaddr").as("dstaddr"),
+      dash("srcport").cast("long").as("srcport"),
+      dash("dstport").cast("long").as("dstport"),
+      dash("protocol").cast("long").as("protocol"),
+      dash("packets").cast("long").as("packets"),
+      dash("bytes").cast("long").as("bytes"),
+      to_timestamp(col("start_time").cast("long")).as("start_time"),
+      to_timestamp(col("end_time").cast("long")).as("end_time"),
+      col("action"),
+      col("log_status"))
+  }
+}
+
+/** Typed Meraki device-snapshot connector (ref:
+  * src/connectors/meraki_devices.py LANDING_TABLE_COLUMNS_DEVICE,
+  * lines 54-71). */
+object MerakiDevices {
+
+  val deviceSchema: StructType = StructType(Seq(
+    StructField("serial", StringType),
+    StructField("address", StringType),
+    StructField("name", StringType),
+    StructField("networkId", StringType),
+    StructField("model", StringType),
+    StructField("mac", StringType),
+    StructField("lanIp", StringType),
+    StructField("wan1Ip", StringType),
+    StructField("wan2Ip", StringType),
+    StructField("tags", StringType),
+    StructField("lng", DoubleType),
+    StructField("lat", DoubleType)))
+
+  def landDevices(spark: SparkSession, path: String): DataFrame =
+    Connectors.jsonLines(spark, path, deviceSchema)
+      .select(
+        current_timestamp().as("snapshot_at"),
+        col("raw"),
+        col("serial"),
+        col("address"),
+        col("name"),
+        col("networkId").as("network_id"),
+        col("model"),
+        col("mac"),
+        col("lanIp").as("lan_ip"),
+        col("wan1Ip").as("wan_1_ip"),
+        col("wan2Ip").as("wan_2_ip"),
+        col("tags"),
+        col("lng"),
+        col("lat"))
+}
+
+/** Salesforce event-log landing (ref:
+  * src/connectors/salesforce_event_log.py LANDING_TABLE_COLUMNS, line
+  * 58: a raw-VARIANT-only landing table; typed views are derived
+  * downstream). The derived view here projects the event-monitoring
+  * fields common to all log types. */
+object SalesforceEventLog {
+
+  def land(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).select(col("value").as("raw"))
+
+  /** data.*_v-style typed view over the raw landing. */
+  def eventView(landed: DataFrame): DataFrame =
+    landed.select(
+      col("raw"),
+      get_json_object(col("raw"), "$.EVENT_TYPE").as("event_type"),
+      to_timestamp(get_json_object(col("raw"), "$.TIMESTAMP_DERIVED"))
+        .as("event_time"),
+      get_json_object(col("raw"), "$.USER_ID").as("user_id"),
+      get_json_object(col("raw"), "$.SOURCE_IP").as("source_ip"),
+      get_json_object(col("raw"), "$.LOGIN_STATUS").as("login_status"),
+      get_json_object(col("raw"), "$.BROWSER_TYPE").as("browser_type"))
+}
+
 /** The connectors-runner loop (ref: src/runners/connectors_runner.py):
   * a registry of scheduled connectors, each landing only records newer
   * than its watermark, with per-connector run metadata. The data plane

@@ -129,6 +129,55 @@ class TypedConnectorsSpec extends SparkSuite {
     assert(r.getAs[java.sql.Timestamp]("snapshot_at") != null)
   }
 
+  test("ldap CSV export lands typed password-lifecycle columns") {
+    val path = tmpFile("ldap.csv",
+      """group_name,display_name,sam,email,account_created,account_last_modified,password_last_set,password_expires
+        |Admins,Alice A,alicea,alice@corp.example,2020-01-01 00:00:00,2024-01-01 00:00:00,2023-12-01 00:00:00,2024-06-01 00:00:00
+        |""".stripMargin)
+    val r = graft.sources.LdapLog.land(spark, path).head
+    assert(r.getAs[String]("sam") == "alicea")
+    assert(r.getAs[java.sql.Timestamp]("password_expires").toString
+      .startsWith("2024-06-01"))
+  }
+
+  test("vpc flow log parses v2 records, nulling '-' placeholders") {
+    val path = tmpFile("flow.log",
+      """2 111122223333 eni-abc123 10.0.0.1 10.0.0.2 443 49152 6 10 840 1704103200 1704103260 ACCEPT OK
+        |2 111122223333 eni-abc123 - - - - - - - 1704103200 1704103260 - NODATA
+        |""".stripMargin)
+    val df = graft.sources.AwsFlowLog.land(spark, path)
+    val ok = df.filter(col("log_status") === "OK").head
+    assert(ok.getAs[String]("srcaddr") == "10.0.0.1")
+    assert(ok.getAs[Long]("bytes") == 840L)
+    assert(ok.getAs[Long]("protocol") == 6L)
+    assert(ok.getAs[java.sql.Timestamp]("start_time") != null)
+    val nodata = df.filter(col("log_status") === "NODATA").head
+    assert(nodata.isNullAt(nodata.fieldIndex("srcaddr")))
+    assert(nodata.isNullAt(nodata.fieldIndex("bytes")))
+  }
+
+  test("meraki device snapshot lands typed landing columns") {
+    val path = tmpFile("meraki.jsonl",
+      """{"serial":"Q2XX-1","address":"HQ","name":"sw1","networkId":"N_1","model":"MS220","mac":"aa:bb","lanIp":"10.0.0.5","tags":"core","lng":-122.1,"lat":37.4}
+        |""".stripMargin)
+    val r = graft.sources.MerakiDevices.landDevices(spark, path).head
+    assert(r.getAs[String]("serial") == "Q2XX-1")
+    assert(r.getAs[String]("network_id") == "N_1")
+    assert(r.getAs[Double]("lat") == 37.4)
+  }
+
+  test("salesforce event log lands raw variant + typed view") {
+    val path = tmpFile("sf.jsonl",
+      """{"EVENT_TYPE":"Login","TIMESTAMP_DERIVED":"2024-01-01T10:00:00Z","USER_ID":"005xx","SOURCE_IP":"1.2.3.4","LOGIN_STATUS":"LOGIN_NO_ERROR","BROWSER_TYPE":"Chrome"}
+        |""".stripMargin)
+    val landed = graft.sources.SalesforceEventLog.land(spark, path)
+    assert(landed.columns.toSeq == Seq("raw")) // VARIANT-only landing
+    val v = graft.sources.SalesforceEventLog.eventView(landed).head
+    assert(v.getAs[String]("event_type") == "Login")
+    assert(v.getAs[String]("login_status") == "LOGIN_NO_ERROR")
+    assert(v.getAs[java.sql.Timestamp]("event_time") != null)
+  }
+
   test("connector runner lands incrementally by watermark on schedule") {
     import graft.sources.{ConnectorRunner, RegisteredConnector}
     val path = tmpFile("osq.jsonl",
