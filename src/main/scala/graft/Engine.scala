@@ -85,6 +85,12 @@ object Engine {
           col("event_time_s"), col("chain_seq"), col("correlation_id"))
         .orderBy(col("actor"), col("event_time_s"), col("alert_id"))),
 
+    "q_alert_correlate_anchored" -> ((s, dir) =>
+      RuleEngine.correlateAnchored(alerts(s, dir), gapMinutes = 60)
+        .select(col("alert_id"), col("actor"), col("event_time_s"),
+          col("correlation_id"))
+        .orderBy(col("alert_id"))),
+
     "q_violation_rule" -> ((s, dir) =>
       violations(s, dir).orderBy(col("id"))),
 
@@ -192,6 +198,39 @@ object Engine {
          |SELECT alert_id, actor, action, event_time_s, chain_seq,
          |  md5(actor || ':' || chain_seq) AS correlation_id
          |FROM chained ORDER BY actor, event_time_s, alert_id""".stripMargin,
+
+    "q_alert_correlate_anchored" ->
+      s"""$AlertsCte, parented AS (
+         |  SELECT a_id, p_id FROM (
+         |    SELECT a.alert_id AS a_id, p.alert_id AS p_id,
+         |      row_number() OVER (PARTITION BY a.alert_id
+         |        ORDER BY p.event_time_s DESC, p.alert_id DESC) AS rn
+         |    FROM alerts a JOIN alerts p
+         |      ON p.actor = a.actor
+         |      AND (p.event_time_s < a.event_time_s
+         |           OR (p.event_time_s = a.event_time_s
+         |               AND p.alert_id < a.alert_id))
+         |      AND a.event_time_s - p.event_time_s <= 3600
+         |      AND (p.object = a.object OR p.action = a.action)
+         |  ) WHERE rn = 1
+         |), cedges AS (
+         |  SELECT a_id AS src, p_id AS dst FROM parented
+         |  UNION ALL SELECT p_id, a_id FROM parented
+         |), cverts AS (
+         |  SELECT DISTINCT src AS v FROM cedges
+         |), reach AS (
+         |  WITH RECURSIVE walk(v, r) AS (
+         |    SELECT v, v FROM cverts
+         |    UNION
+         |    SELECT e.src, walk.r FROM cedges e JOIN walk ON walk.v = e.dst
+         |  ) SELECT v, r FROM walk
+         |), clusters AS (
+         |  SELECT v AS alert_id, min(r) AS cluster FROM reach GROUP BY v
+         |)
+         |SELECT a.alert_id, a.actor, a.event_time_s,
+         |  md5(coalesce(c.cluster, a.alert_id)) AS correlation_id
+         |FROM alerts a LEFT JOIN clusters c USING (alert_id)
+         |ORDER BY a.alert_id""".stripMargin,
 
     "q_violation_rule" ->
       s"$ViolationsCte\nSELECT * FROM violations ORDER BY id",

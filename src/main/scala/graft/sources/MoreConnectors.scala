@@ -284,6 +284,91 @@ object SalesforceEventLog {
       get_json_object(col("raw"), "$.BROWSER_TYPE").as("browser_type"))
 }
 
+/** AWS API-inventory collection, the aws_collect.py pattern (ref:
+  * src/connectors/aws_collect.py LANDING_TABLES_COLUMNS, lines
+  * 245-257): each API call's response lands as a typed per-call table
+  * stamped with (recorded_at, account_id). One representative table —
+  * iam_list_users — plus the generic response→landing shape. */
+object AwsCollect {
+
+  val iamUsersSchema: StructType = StructType(Seq(
+    StructField("Path", StringType),
+    StructField("UserName", StringType),
+    StructField("UserId", StringType),
+    StructField("Arn", StringType),
+    StructField("CreateDate", TimestampType),
+    StructField("PasswordLastUsed", TimestampType)))
+
+  /** Land one account's iam.list_users response page (JSON lines of
+    * User objects, as the collector receives them). */
+  def landIamUsers(
+      spark: SparkSession, path: String, accountId: String): DataFrame =
+    Connectors.jsonLines(spark, path, iamUsersSchema)
+      .select(
+        current_timestamp().as("recorded_at"),
+        lit(accountId).as("account_id"),
+        col("Path").as("path"),
+        col("UserName").as("user_name"),
+        col("UserId").as("user_id"),
+        col("Arn").as("arn"),
+        col("CreateDate").as("create_date"),
+        col("PasswordLastUsed").as("password_last_used"),
+        col("raw"))
+}
+
+/** Duo admin-log landing (ref: src/connectors/duo_collect.py
+  * LANDING_ADMIN_TABLE_COLUMNS, lines 45-48: raw VARIANT +
+  * recorded_at) with the typed view the monitoring rules consume. */
+object DuoCollect {
+
+  def landAdminLogs(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(col("value").as("raw"),
+        current_timestamp().as("recorded_at"))
+
+  def adminView(landed: DataFrame): DataFrame =
+    landed.select(
+      col("raw"), col("recorded_at"),
+      to_timestamp(get_json_object(col("raw"), "$.timestamp").cast("long"))
+        .as("event_time"),
+      get_json_object(col("raw"), "$.action").as("action"),
+      get_json_object(col("raw"), "$.username").as("username"),
+      get_json_object(col("raw"), "$.object").as("object"))
+}
+
+/** GitHub webhook (push) landing (ref:
+  * src/connectors/github_webhooks_s3.py LANDING_TABLE_COLUMNS, lines
+  * 50-62). */
+object GithubWebhooks {
+
+  val pushSchema: StructType = StructType(Seq(
+    StructField("ref", StringType),
+    StructField("before", StringType),
+    StructField("after", StringType),
+    StructField("created", BooleanType),
+    StructField("deleted", BooleanType),
+    StructField("forced", BooleanType),
+    StructField("base_ref", StringType),
+    StructField("compare", StringType),
+    StructField("commits", ArrayType(MapType(StringType, StringType)))))
+
+  def landPushEvents(spark: SparkSession, path: String): DataFrame =
+    Connectors.jsonLines(spark, path, pushSchema)
+      .select(
+        current_timestamp().as("insert_time"),
+        col("raw"),
+        xxhash64(col("raw")).as("hash_raw"),
+        col("ref"),
+        col("before"),
+        col("after"),
+        col("created"),
+        col("deleted"),
+        col("forced"),
+        col("base_ref"),
+        col("compare"),
+        col("commits"))
+}
+
 /** The connectors-runner loop (ref: src/runners/connectors_runner.py):
   * a registry of scheduled connectors, each landing only records newer
   * than its watermark, with per-connector run metadata. The data plane

@@ -178,6 +178,40 @@ class TypedConnectorsSpec extends SparkSuite {
     assert(v.getAs[java.sql.Timestamp]("event_time") != null)
   }
 
+  test("aws_collect iam users land with account stamp and raw record") {
+    val path = tmpFile("iam.jsonl",
+      """{"Path":"/","UserName":"alice","UserId":"AIDA1","Arn":"arn:aws:iam::111122223333:user/alice","CreateDate":"2020-05-01T00:00:00Z","PasswordLastUsed":"2024-01-10T08:00:00Z"}
+        |""".stripMargin)
+    val r = graft.sources.AwsCollect
+      .landIamUsers(spark, path, "111122223333").head
+    assert(r.getAs[String]("user_name") == "alice")
+    assert(r.getAs[String]("account_id") == "111122223333")
+    assert(r.getAs[java.sql.Timestamp]("password_last_used") != null)
+  }
+
+  test("duo admin logs land raw + typed view") {
+    val path = tmpFile("duo.jsonl",
+      """{"timestamp":1704103200,"action":"admin_login","username":"admin1","object":"portal"}
+        |""".stripMargin)
+    val v = graft.sources.DuoCollect.adminView(
+      graft.sources.DuoCollect.landAdminLogs(spark, path)).head
+    assert(v.getAs[String]("action") == "admin_login")
+    assert(v.getAs[java.sql.Timestamp]("event_time").toString
+      .startsWith("2024-01-01"))
+  }
+
+  test("github push webhooks land typed ref/commit columns") {
+    val path = tmpFile("gh.jsonl",
+      """{"ref":"refs/heads/main","before":"aaa","after":"bbb","created":false,"deleted":false,"forced":true,"compare":"url","commits":[{"id":"bbb","message":"m"}]}
+        |""".stripMargin)
+    val r = graft.sources.GithubWebhooks.landPushEvents(spark, path).head
+    assert(r.getAs[String]("ref") == "refs/heads/main")
+    assert(r.getAs[Boolean]("forced"))
+    assert(r.getAs[Long]("hash_raw") != 0L)
+    assert(r.getAs[scala.collection.Seq[Map[String, String]]]("commits")
+      .head("id") == "bbb")
+  }
+
   test("connector runner lands incrementally by watermark on schedule") {
     import graft.sources.{ConnectorRunner, RegisteredConnector}
     val path = tmpFile("osq.jsonl",
