@@ -213,23 +213,20 @@ object Engine {
          |      AND a.event_time_s - p.event_time_s <= 3600
          |      AND (p.object = a.object OR p.action = a.action)
          |  ) WHERE rn = 1
-         |), cedges AS (
-         |  SELECT a_id AS src, p_id AS dst FROM parented
-         |  UNION ALL SELECT p_id, a_id FROM parented
-         |), cverts AS (
-         |  SELECT DISTINCT src AS v FROM cedges
-         |), reach AS (
-         |  WITH RECURSIVE walk(v, r) AS (
-         |    SELECT v, v FROM cverts
-         |    UNION
-         |    SELECT e.src, walk.r FROM cedges e JOIN walk ON walk.v = e.dst
-         |  ) SELECT v, r FROM walk
-         |), clusters AS (
-         |  SELECT v AS alert_id, min(r) AS cluster FROM reach GROUP BY v
+         |), chase AS (
+         |  WITH RECURSIVE walk(a_id, cur) AS (
+         |    SELECT a_id, p_id FROM parented
+         |    UNION ALL
+         |    SELECT w.a_id, p.p_id FROM walk w
+         |    JOIN parented p ON p.a_id = w.cur
+         |  ) SELECT a_id, cur FROM walk
+         |), roots AS (
+         |  SELECT a_id, cur AS root FROM chase
+         |  WHERE cur NOT IN (SELECT a_id FROM parented)
          |)
          |SELECT a.alert_id, a.actor, a.event_time_s,
-         |  md5(coalesce(c.cluster, a.alert_id)) AS correlation_id
-         |FROM alerts a LEFT JOIN clusters c USING (alert_id)
+         |  md5(coalesce(r.root, a.alert_id)) AS correlation_id
+         |FROM alerts a LEFT JOIN roots r ON r.a_id = a.alert_id
          |ORDER BY a.alert_id""".stripMargin,
 
     "q_violation_rule" ->

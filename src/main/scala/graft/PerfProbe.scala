@@ -26,6 +26,32 @@ object PerfProbe {
       docs.select(col("doc_id"), col("text"))
         .write.mode("overwrite").format("noop").save()
     }
+    val events = Tables.t(spark, dir, "events")
+    time("events_scan") {
+      events.write.mode("overwrite").format("noop").save()
+    }
+    time("events_get_json") {
+      events.withColumn("k",
+        get_json_object(col("props"), "$.k").cast("int"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("events_from_json") {
+      events.withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType))))
+          .getField("k"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("cloudtrail_view") {
+      graft.sources.CloudTrail.fromEvents(events)
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("audit_pack_full") {
+      SparkEntry.queries("q_pack_aws_audit_log_changes")(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+    }
     val sh = Dedup.shingles(spark, dir)
     time("shingles_explode") {
       sh.write.mode("overwrite").format("noop").save()

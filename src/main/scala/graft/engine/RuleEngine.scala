@@ -210,13 +210,38 @@ object RuleEngine {
       .groupBy(col("a_id"))
       .agg(max_by(col("p_id"), struct(col("p_t"), col("p_id")))
         .as("parent_id"))
-    val labels = graft.Dedup.connectedComponents(
-      parents.select(col("a_id"), col("parent_id")))
-      .withColumnRenamed("doc_id", "alert_id")
-    alerts.join(labels, Seq("alert_id"), "left")
+    // Resolve each alert to its chain ROOT (the id the reference
+    // propagates transitively) by pointer jumping over the parent
+    // forest: each round replaces every node's label with its label's
+    // label, so convergence takes O(log depth) rounds — a depth-1000
+    // chain resolves in 10 rounds, where per-edge min-label
+    // propagation would need 1000. The forest is acyclic by
+    // construction (parents are strictly earlier).
+    var lab = alerts.select(col("alert_id").as("node"))
+      .join(parents.withColumnRenamed("a_id", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("parent_id"), col("node"))
+        .as("root"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    val maxRounds = 40 // supports chain depth up to 2^40
+    while (!converged && rounds < maxRounds) {
+      val hop = lab
+        .join(lab.select(col("node").as("r_node"), col("root").as("r_root")),
+          col("root") === col("r_node"))
+        .select(col("node"), col("r_root").as("root"),
+          (col("r_root") =!= col("root")).as("__changed"))
+        .localCheckpoint(true)
+      converged = hop.filter(col("__changed")).isEmpty
+      lab = hop.drop("__changed")
+      rounds += 1
+    }
+    alerts
+      .join(lab.withColumnRenamed("node", "alert_id"), Seq("alert_id"),
+        "left")
       .withColumn("correlation_id",
-        md5(coalesce(col("cluster"), col("alert_id"))))
-      .drop("cluster")
+        md5(coalesce(col("root"), col("alert_id"))))
+      .drop("root")
   }
 
   /** Run a violation rule: one row per violating (target, day) with the

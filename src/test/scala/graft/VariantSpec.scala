@@ -53,6 +53,29 @@ class VariantSpec extends SparkSuite {
     assert(keys.sameElements(Array("login", "logout")))
   }
 
+  test("native VariantType round-trips the props column (Spark 4 VARIANT)") {
+    // the engine's JSON-string columns upgrade in place to Spark 4's
+    // native VariantType: parse_json → binary variant encoding,
+    // variant_get with a path + target type, is_variant_null for the
+    // reference's IS_NULL_VALUE. Cast-to-string round-trips.
+    val df = Tables.t(spark, Sf, "events").limit(100)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+    assert(df.schema("v").dataType ==
+      org.apache.spark.sql.types.VariantType)
+    val typed = df.select(
+      col("event_id"),
+      variant_get(col("v"), "$.k", "int").as("k"),
+      try_variant_get(col("v"), "$.missing", "string").as("nope"))
+    assert(typed.filter(col("k").isNotNull).count() == 100)
+    assert(typed.filter(col("nope").isNotNull).count() == 0)
+    // agrees with the string-JSON path used by the oracle queries
+    val both = Tables.t(spark, Sf, "events").limit(100)
+      .select(
+        variant_get(parse_json(col("props")), "$.k", "int").as("kv"),
+        get_json_object(col("props"), "$.k").cast("int").as("ks"))
+    assert(both.filter(!(col("kv") <=> col("ks"))).count() == 0)
+  }
+
   test("multimodal stub decode is deterministic with the right schema") {
     val df = Multimodal.queries("q_multimodal_meta")(spark, Sf)
     assert(df.columns.toSeq ==
