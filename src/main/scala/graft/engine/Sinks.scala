@@ -217,6 +217,37 @@ final class ServiceNowSink(
   }
 }
 
+/** Twilio SMS create-message params (ref: runners/handlers/sms.py:9-38:
+  * body/from/to). The message body defaults to the alert title — SMS
+  * carries the headline, not the whole record. */
+final class SmsSink(senderPhone: String, recipientPhone: String,
+    bufferId: String) extends AlertSink {
+  val name = "sms"
+  def send(alertJson: String): String = {
+    val payload =
+      s"""{"body":${JsonStr.quote(JsonStr.field(alertJson, "title"))},""" +
+        s""""from":${JsonStr.quote(senderPhone)},""" +
+        s""""to":${JsonStr.quote(recipientPhone)}}"""
+    MemorySink.buffer(bufferId).add(payload)
+    s"sms:$recipientPhone"
+  }
+}
+
+/** Stored-procedure handler (ref: runners/handlers/sp.py:5-40: CALL
+  * proc(alert, params...)). Zero-egress: records the exact CALL
+  * statement the reference would execute; a real deployment points this
+  * at spark.sql over a procedure-bearing catalog. */
+final class StoredProcSink(procedure: String, bufferId: String)
+    extends AlertSink {
+  val name = "sp"
+  def send(alertJson: String): String = {
+    MemorySink.buffer(bufferId).add(
+      s"""{"call":${JsonStr.quote(s"call $procedure(?)")},""" +
+        s""""params":[$alertJson]}""")
+    s"sp:$procedure"
+  }
+}
+
 /** One delivery attempt: the Spark row analogue of the dispatcher's
   * per-handler result object ({'success': bool, 'details': ...}). */
 final case class HandlerResult(

@@ -145,6 +145,60 @@ object AwsPack {
       day = col("day"))).orderBy(col("id"))
   }
 
+  /** packs/cis_aws_pack.sql:51-107 AWS CIS 1.3 — credentials unused for
+    * N days: the login-profile user set LEFT-ANTI-joined against recent
+    * sign-in activity (reference N=90; instantiated at 1 for the 30-day
+    * synthetic span). */
+  def staleCredentials(
+      s: SparkSession, dir: String, days: Int = 1): DataFrame = {
+    val now = "2024-01-30 12:00:00"
+    val ctv = ct(s, dir)
+    val users = ctv.select(col("user_identity_username").as("user_name"))
+      .distinct()
+    val recent = ctv
+      .filter(col("event_time") >=
+        lit(now).cast("timestamp") - expr(s"INTERVAL $days DAYS") &&
+        col("event_time") < lit(now).cast("timestamp"))
+      .select(col("user_identity_username").as("user_name"))
+      .distinct()
+    RuleEngine.runViolationRule(
+      users.join(recent, Seq("user_name"), "left_anti"),
+      ViolationRule(
+        name = "cis_aws_1_3_stale_credentials",
+        queryId = "GVR3N9WQLGG",
+        title = "AWS CIS 1.3: Ensure credentials unused for 90 days or greater are disabled",
+        predicate = lit(true),
+        target = col("user_name"),
+        owner = lit("devsecops"),
+        severity = lit("Medium"),
+        day = lit("2024-01-30").cast("date"))).orderBy(col("id"))
+  }
+
+  /** packs/cis_aws_pack.sql:108-154 AWS CIS 1.4 — access keys rotated
+    * every 90 days: key inventory with derived creation dates, keys
+    * older than 90 days violate. */
+  def keyRotation(s: SparkSession, dir: String): DataFrame = {
+    val keys = ct(s, dir)
+      .select(col("user_identity_username").as("user_name"),
+        col("user_id")).distinct()
+      .withColumn("access_key_id",
+        concat_ws("", lit("AKIA"), upper(col("user_name"))))
+      .withColumn("create_date",
+        date_sub(lit("2024-01-01").cast("date"),
+          (col("user_id") * 13 % 200).cast("int")))
+      .withColumn("age_days",
+        datediff(lit("2024-01-30").cast("date"), col("create_date")))
+    RuleEngine.runViolationRule(keys, ViolationRule(
+      name = "cis_aws_1_4_key_rotation",
+      queryId = "WM00E51BLCE",
+      title = "AWS CIS 1.4: Ensure access keys are rotated every 90 days or less",
+      predicate = col("age_days") > 90,
+      target = col("access_key_id"),
+      owner = lit("devsecops"),
+      severity = lit("Medium"),
+      day = lit("2024-01-30").cast("date"))).orderBy(col("id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_aws_root_activity" -> alertsFor(rootAccountActivity) _,
     "q_pack_aws_permission_denied" ->
@@ -152,7 +206,10 @@ object AwsPack {
     "q_pack_aws_audit_log_changes" ->
       alertsFor(auditLogConfigurationChanges) _,
     "q_pack_cis_mfa_violation" -> (mfaViolations _),
-    "q_pack_aws_bucket_access" -> (internalBucketAccess _)
+    "q_pack_aws_bucket_access" -> (internalBucketAccess _),
+    "q_pack_cis_stale_credentials" -> ((s: SparkSession, dir: String) =>
+      staleCredentials(s, dir)),
+    "q_pack_cis_key_rotation" -> (keyRotation _)
   )
 
   /** Oracle alert template mirroring runAlertRule's output schema. */
@@ -228,6 +285,52 @@ object AwsPack {
          |  AND event_time >= TIMESTAMP '2024-01-01'
          |  AND event_time < TIMESTAMP '2024-02-01'
          |ORDER BY alert_id""".stripMargin,
+
+    "q_pack_cis_stale_credentials" ->
+      s"""${CloudTrail.FromEventsCte}, users AS (
+         |  SELECT DISTINCT user_identity_username AS user_name FROM ct
+         |), recent AS (
+         |  SELECT DISTINCT user_identity_username AS user_name FROM ct
+         |  WHERE event_time >= TIMESTAMP '2024-01-30 12:00:00' - INTERVAL 1 DAY
+         |    AND event_time < TIMESTAMP '2024-01-30 12:00:00'
+         |)
+         |SELECT
+         |  md5('cis_aws_1_3_stale_credentials|' || u.user_name ||
+         |      '|AWS CIS 1.3: Ensure credentials unused for 90 days or greater are disabled|2024-01-30')
+         |    AS id,
+         |  'cis_aws_1_3_stale_credentials' AS query_name,
+         |  'GVR3N9WQLGG' AS query_id,
+         |  'AWS CIS 1.3: Ensure credentials unused for 90 days or greater are disabled'
+         |    AS title,
+         |  u.user_name AS object, 'devsecops' AS owner,
+         |  'Medium' AS severity, DATE '2024-01-30' AS violation_day
+         |FROM users u
+         |WHERE u.user_name NOT IN (SELECT user_name FROM recent)
+         |ORDER BY id""".stripMargin,
+
+    "q_pack_cis_key_rotation" ->
+      s"""${CloudTrail.FromEventsCte}, keys AS (
+         |  SELECT DISTINCT user_identity_username AS user_name, user_id
+         |  FROM ct
+         |), aged AS (
+         |  SELECT 'AKIA' || upper(user_name) AS access_key_id,
+         |    DATE '2024-01-01' - CAST((user_id * 13) % 200 AS INTEGER)
+         |      AS create_date
+         |  FROM keys
+         |)
+         |SELECT
+         |  md5('cis_aws_1_4_key_rotation|' || access_key_id ||
+         |      '|AWS CIS 1.4: Ensure access keys are rotated every 90 days or less|2024-01-30')
+         |    AS id,
+         |  'cis_aws_1_4_key_rotation' AS query_name,
+         |  'WM00E51BLCE' AS query_id,
+         |  'AWS CIS 1.4: Ensure access keys are rotated every 90 days or less'
+         |    AS title,
+         |  access_key_id AS object, 'devsecops' AS owner,
+         |  'Medium' AS severity, DATE '2024-01-30' AS violation_day
+         |FROM aged
+         |WHERE date_diff('day', create_date, DATE '2024-01-30') > 90
+         |ORDER BY id""".stripMargin,
 
     "q_pack_cis_mfa_violation" ->
       s"""${CloudTrail.FromEventsCte}, daily AS (

@@ -87,6 +87,25 @@ class DispatchSpec extends SparkSuite {
     assert(sn.contains("\"u_assigned_to\":\"analyst\""))
   }
 
+  test("sms and stored-proc sinks format the reference payloads") {
+    val buf = s"ext2-${System.nanoTime()}"
+    val alerts = Seq(
+      ("a1", "Root used", "AWS Root Account Activity",
+        Seq("sms", "sp"))
+    ).toDF("alert_id", "description", "title", "handlers")
+    val sinks = Seq(
+      new graft.engine.SmsSink("+15550001111", "+15552223333", buf + "-sms"),
+      new graft.engine.StoredProcSink("results.enrich_alert", buf + "-sp"))
+    val results = Dispatcher.dispatch(alerts, sinks, "sms").collect()
+    assert(results.length == 2 && results.forall(_.success))
+    val sms = MemorySink.drain(buf + "-sms").head
+    assert(sms.contains("\"body\":\"AWS Root Account Activity\""))
+    assert(sms.contains("\"to\":\"+15552223333\""))
+    val sp = MemorySink.drain(buf + "-sp").head
+    assert(sp.contains("\"call\":\"call results.enrich_alert(?)\""))
+    assert(sp.contains("\"alert_id\":\"a1\""))
+  }
+
   test("unknown handler records failure, matching the missing-type path") {
     val results = Dispatcher
       .dispatch(mkAlerts, Seq(new MemorySink(s"x-${System.nanoTime()}")),
