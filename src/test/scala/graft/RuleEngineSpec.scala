@@ -123,6 +123,18 @@ class RuleEngineSpec extends SparkSuite {
       .getAs[Long]("counter") == 6L)
   }
 
+  test("rule output narrows to the typed Alert envelope (graft.model)") {
+    import graft.model.{Alert, Model}
+    val ds = Model.alerts(alerts)
+    val rows: Seq[Alert] = ds.collect().toSeq
+    assert(rows.length == 4)
+    val a = rows.minBy(_.alert_id)
+    assert(a.query_name == "r1" && a.counter == 1L)
+    assert(a.actor.startsWith("u") && a.event_time_s > 0)
+    // typed API composes with Dataset operators
+    assert(ds.filter((x: Alert) => x.severity == "high").count() == 1)
+  }
+
   test("suppress flags exactly the given ids") {
     val sup = alerts.filter(col("actor") === "u3").select("alert_id")
     val out = RuleEngine.suppress(alerts, sup, "squelch1")
