@@ -59,8 +59,15 @@ object Ann {
   }
 
   private def buckets(e: DataFrame): DataFrame = {
-    // dimensionality probe: one-row scan, drives the literal table size
-    val dim = e.select(size(col("v")).as("n")).head.getInt(0)
+    // dimensionality probe: one-row scan drives the literal table size.
+    // Assumes a fixed-dimension embedding column (the standard shape of
+    // an embedding table); an empty table yields an empty result rather
+    // than a probe failure.
+    val probe = e.select(size(col("v")).as("n")).head(1)
+    if (probe.isEmpty) {
+      return e.select(col("vec_id"), lit(0L).as("bucket")).limit(0)
+    }
+    val dim = probe.head.getInt(0)
     val bucket = (0 until 8).map { p =>
       val coefs = array((1 to dim).map(d => lit(planeCoef(p, d))): _*)
       val proj = aggregate(

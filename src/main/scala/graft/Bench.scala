@@ -54,11 +54,23 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", " ") + "\""
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // full JSON string escaping (all control chars) — Spark error
+    // messages routinely contain tabs/newlines
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    // the headline total covers SUCCESSFUL queries only — a failed
+    // query's near-zero elapsed time must not flatter the comparison
+    // (its name is in `errors`, which makes the run non-comparable)
+    val total = results.collect {
+      case (k, v) if !errors.contains(k) => v
+    }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // scalastyle:off println

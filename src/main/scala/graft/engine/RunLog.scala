@@ -103,23 +103,40 @@ final class RunLog(val runId: String) {
 
   def observedInsert(queryName: String)(stage: => DataFrame): DataFrame = {
     val t0 = System.currentTimeMillis()
-    val df = stage
-    val obs = org.apache.spark.sql.Observation(s"${runId}_$queryName")
-    synchronized { pendingObs += ((queryName, t0, obs, false)) }
-    df.observe(obs,
-      org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("inserted"))
+    try {
+      val df = stage
+      val obs = org.apache.spark.sql.Observation(s"${runId}_$queryName")
+      synchronized { pendingObs += ((queryName, t0, obs, false)) }
+      df.observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("inserted"))
+    } catch {
+      // Datasets analyze eagerly: a broken rule (missing column etc.)
+      // throws HERE — record the error row (the monitoring-rules feed,
+      // like timedInsert's path) and rethrow
+      case e: Exception =>
+        record(queryName, t0, System.currentTimeMillis(),
+          error = Some(String.valueOf(e.getMessage)))
+        throw e
+    }
   }
 
   def observedSuppress(queryName: String)(stage: => DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, count_if}
     val t0 = System.currentTimeMillis()
-    val df = stage
-    val obs = org.apache.spark.sql.Observation(s"${runId}_$queryName")
-    synchronized { pendingObs += ((queryName, t0, obs, true)) }
-    df.observe(obs,
-      count_if(col("suppression_rule") === queryName).as("suppressed"),
-      count_if(!col("suppressed")).as("passed"))
+    try {
+      val df = stage
+      val obs = org.apache.spark.sql.Observation(s"${runId}_$queryName")
+      synchronized { pendingObs += ((queryName, t0, obs, true)) }
+      df.observe(obs,
+        count_if(col("suppression_rule") === queryName).as("suppressed"),
+        count_if(!col("suppressed")).as("passed"))
+    } catch {
+      case e: Exception =>
+        record(queryName, t0, System.currentTimeMillis(),
+          error = Some(String.valueOf(e.getMessage)))
+        throw e
+    }
   }
 
   /** Resolve all observed stages into metadata rows. Must run after the
@@ -136,10 +153,14 @@ final class RunLog(val runId: String) {
       // Observation.get blocks until the observed action's metrics are
       // delivered (asynchronously, shortly after the action) — bound it
       // so a never-executed stage records an error instead of hanging
+      // blocking{} lets the global EC spawn a compensating thread, so a
+      // timed-out stage (its get never completes) parks a thread without
+      // starving the pool's fixed parallelism
       val m: Map[String, Any] =
         try {
           scala.concurrent.Await.result(
-            scala.concurrent.Future(obs.get)(
+            scala.concurrent.Future(
+              scala.concurrent.blocking(obs.get))(
               scala.concurrent.ExecutionContext.global),
             scala.concurrent.duration.Duration(timeoutMs, "ms"))
         } catch {

@@ -40,7 +40,11 @@ object Md5Util {
     * an empty set). */
   def minGramMd5(s: UTF8String, width: Int): UTF8String = {
     val str = s.toString
-    val n = str.length
+    // Spark's length()/substring() count CODE POINTS, not UTF-16 units
+    // — index grams by code point so supplementary characters (emoji)
+    // produce the same grams as substring(text, i, width)
+    val cps = str.codePoints().toArray
+    val n = cps.length
     if (n < width) return null
     val md = digest.get()
     val gram = new Array[Byte](width)
@@ -50,14 +54,14 @@ object Md5Util {
       var j = 0
       var ascii = true
       while (j < width && ascii) {
-        val ch = str.charAt(i + j)
-        if (ch < 128) gram(j) = ch.toByte else ascii = false
+        val cp = cps(i + j)
+        if (cp < 128) gram(j) = cp.toByte else ascii = false
         j += 1
       }
       md.reset()
       val d =
         if (ascii) md.digest(gram)
-        else md.digest(str.substring(i, i + width)
+        else md.digest(new String(cps, i, width)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val out = new Array[Byte](32)
       var k = 0
@@ -190,10 +194,15 @@ case class MinGramMd5(child: Expression, width: Int)
   override protected def nullSafeEval(v: Any): Any =
     Md5Util.minGramMd5(v.asInstanceOf[UTF8String], width)
 
+  // nullSafeCodeGen (NOT defineCodeGen) because the result is null for
+  // non-null input shorter than `width` — defineCodeGen never sets
+  // ev.isNull, which would hand a null value flagged non-null to the
+  // consuming UnsafeRow writer under whole-stage codegen.
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.Md5Util.minGramMd5($c, $width)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Md5Util.minGramMd5($c, $width);
+      ${ev.isNull} = (${ev.value} == null);""")
 
   override protected def withNewChildInternal(
       newChild: Expression): MinGramMd5 = copy(child = newChild)
@@ -225,10 +234,13 @@ case class MinhashSlices(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(v: Any): Any =
     Md5Util.minhashSlices(v.asInstanceOf[UTF8String])
 
+  // see MinGramMd5: result is null for <3-word docs, so ev.isNull must
+  // be set explicitly under codegen
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.Md5Util.minhashSlices($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Md5Util.minhashSlices($c);
+      ${ev.isNull} = (${ev.value} == null);""")
 
   override protected def withNewChildInternal(
       newChild: Expression): MinhashSlices = copy(child = newChild)

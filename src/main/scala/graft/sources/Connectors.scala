@@ -14,13 +14,29 @@ import org.apache.spark.sql.types.StructType
   */
 object Connectors {
 
-  /** JSON-lines connector (cloudtrail-shaped nested JSON). Explicit
-    * schema (no inference scan at 100 TB); keeps the raw line. */
-  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.text(path)
+  /** The shared raw+typed landing projection (one definition for batch
+    * and streaming — a schema-handling change applies to both). */
+  private def jsonProjection(lines: DataFrame, schema: StructType): DataFrame =
+    lines
       .withColumn("raw", col("value"))
       .withColumn("rec", from_json(col("value"), schema))
       .select(col("raw"), col("rec.*"))
+
+  /** JSON-lines connector (cloudtrail-shaped nested JSON). Explicit
+    * schema (no inference scan at 100 TB); keeps the raw line. */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    jsonProjection(spark.read.text(path), schema)
+
+  /** Streaming variant of jsonLines: the same landing projection over
+    * a file-source stream, so every typed connector (CloudTrail, Okta,
+    * osquery, ...) lands continuously by pointing its select at this
+    * reader — the Structured Streaming analogue of the reference's
+    * scheduled connectors_runner polling loop (micro-batches instead of
+    * 15-minute cron ticks; the incremental watermark contract is the
+    * stream's own file tracking). */
+  def jsonLinesStream(
+      spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    jsonProjection(spark.readStream.format("text").load(dir), schema)
 
   /** CSV inventory connector (device/asset inventories). */
   def csvInventory(spark: SparkSession, path: String, schema: StructType): DataFrame =

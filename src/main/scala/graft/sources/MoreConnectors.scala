@@ -117,12 +117,27 @@ object GSuiteLogs {
         col("id.time").as("event_time"),
         regexp_replace(col("etag"), "^\"|\"$", "").as("etag"),
         lit(delegatingSubject).as("delegating_subject"),
-        element_at(col("events"), 1).getField("name").as("event_name"),
+        // get() is 0-based and null on out-of-bounds — a record with
+        // "events":[] lands with null event_name instead of throwing
+        // under ANSI element_at
+        get(col("events"), lit(0)).getField("name").as("event_name"),
+        // last-wins per parameter name (the reference's dict
+        // comprehension semantics); null-named and duplicate parameters
+        // must not abort the landing job (ANSI map_from_entries throws
+        // on duplicate keys)
         map_from_entries(expr(
-          """transform(events[0].parameters,
-            |  p -> struct(p.name, coalesce(p.value,
-            |    cast(p.boolValue as string),
-            |    array_join(p.multiValue, ','))))""".stripMargin))
+          """transform(
+            |  array_distinct(transform(
+            |    filter(coalesce(get(events, 0).parameters, array()),
+            |           p -> p.name IS NOT NULL),
+            |    p -> p.name)),
+            |  n -> struct(n, element_at(
+            |    transform(
+            |      filter(coalesce(get(events, 0).parameters, array()),
+            |             p -> p.name = n),
+            |      p -> coalesce(p.value, cast(p.boolValue as string),
+            |                    array_join(p.multiValue, ','))), -1)))"""
+            .stripMargin))
           .as("event_params"),
         col("id.customerId").as("customer_id"),
         col("actor.email").as("actor_email"),

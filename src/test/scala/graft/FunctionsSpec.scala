@@ -103,4 +103,33 @@ class FunctionsSpec extends SparkSuite {
       .as("a")).collect()
     assert(tf.forall(!_.isNullAt(0)))
   }
+
+  test("fused md5 kernels return null correctly UNDER CODEGEN") {
+    // spark.range is not folded by ConvertToLocalRelation, so this
+    // projection runs through WholeStageCodegen — the path where a
+    // null result with an unset isNull flag would corrupt the row
+    val df = spark.range(3).select(
+      when(col("id") === 0, "ab")          // < width → null fingerprint
+        .when(col("id") === 1, "one two")  // < 3 words → null minhash
+        .otherwise("alpha beta gamma delta").as("text"))
+    val out = df.select(
+      graft.functions.hashes.minGramMd5(col("text"), 5).as("fp"),
+      graft.functions.hashes.minhashSlices(col("text")).as("mh"))
+      .collect()
+    assert(out.count(_.isNullAt(0)) == 1) // only "ab"
+    assert(out.count(_.isNullAt(1)) == 2) // "ab" and "one two"
+    assert(out.exists(r => !r.isNullAt(0) && !r.isNullAt(1)))
+  }
+
+  test("min_gram_md5 counts code points, not UTF-16 units") {
+    // a supplementary char (surrogate pair in UTF-16) must gram like
+    // Spark's substring — by code point
+    val df = spark.range(1).select(lit("😀abcdef").as("text"))
+    val fused = df.select(
+      graft.functions.hashes.minGramMd5(col("text"), 5)).head.getString(0)
+    val naive = df.select(expr(
+      "array_min(transform(sequence(1, length(text)-4), i -> md5(cast(substring(text, i, 5) as binary))))"))
+      .head.getString(0)
+    assert(fused == naive)
+  }
 }

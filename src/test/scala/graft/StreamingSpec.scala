@@ -16,6 +16,29 @@ case class StreamEv(event_id: Long, ts: Timestamp, user_id: Long,
 class StreamingSpec extends SparkSuite {
   import spark.implicits._
 
+  test("typed connectors land continuously over a file stream") {
+    // drop a CloudTrail JSON-lines file, stream it through the SAME
+    // landing projection the batch connector uses, and read the typed
+    // columns from the sink — the continuous analogue of
+    // connectors_runner's scheduled landing
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-land")
+    java.nio.file.Files.writeString(dir.resolve("ct1.jsonl"),
+      """{"eventID":"e1","eventTime":"2024-01-01T10:00:00Z","eventName":"CreateUser","awsRegion":"us-east-1","recipientAccountId":"111122223333","userIdentity":{"type":"IAMUser","arn":"arn:a","userName":"alice"}}
+        |""".stripMargin)
+    val stream = graft.sources.Connectors.jsonLinesStream(
+      spark, dir.toString, graft.sources.CloudTrail.schema)
+      .select(col("raw"), col("eventID").as("event_id"),
+        col("eventName").as("event_name"),
+        col("userIdentity.userName").as("user_identity_username"))
+    val q = stream.writeStream.format("memory").queryName("land_out")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("land_out").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("event_name") == "CreateUser")
+    assert(rows.head.getAs[String]("user_identity_username") == "alice")
+  }
+
   private def ts(s: String) = Timestamp.valueOf(s)
 
   private val rule = AlertRule(

@@ -118,6 +118,23 @@ class TypedConnectorsSpec extends SparkSuite {
       "password,idv_preregistered_phone") // multiValue fallback
   }
 
+  test("gsuite landing tolerates empty events and duplicate params") {
+    // the reference connector's dict comprehension is last-wins and its
+    // indexing tolerates empty event lists — ANSI element_at /
+    // map_from_entries must not abort the landing job
+    val path = tmpFile("gs-edge.jsonl",
+      """{"id":{"time":"2024-01-01T10:00:00Z","customerId":"C1"},"etag":"\"e\"","actor":{"email":"a@c"},"events":[]}
+        |{"id":{"time":"2024-01-01T11:00:00Z","customerId":"C1"},"etag":"\"e\"","actor":{"email":"b@c"},"events":[{"name":"login_success","parameters":[{"name":"login_type","value":"first"},{"name":"login_type","value":"second"},{"value":"orphan"}]}]}
+        |""".stripMargin)
+    val df = graft.sources.GSuiteLogs.land(spark, path)
+    val rows = df.orderBy(col("event_time")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("event_name"))) // events:[]
+    val params = rows(1).getAs[Map[String, String]]("event_params")
+    assert(params("login_type") == "second") // last-wins like the dict
+    assert(params.size == 1) // null-named parameter dropped
+  }
+
   test("umbrella device snapshot lands typed landing columns") {
     val path = tmpFile("umb.jsonl",
       """{"deviceId":"d-1","osVersionName":"Monterey","lastSyncStatus":"ok","type":"mac","version":"3.0","lastSync":"2024-01-05T00:00:00Z","osVersion":"12.6","name":"laptop-1","status":"active","originId":42,"appliedBundle":7,"hasIpBlocking":true}
