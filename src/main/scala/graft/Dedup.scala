@@ -110,17 +110,19 @@ object Dedup {
     * docs costs f rows here, never f²; no pairwise work happens before
     * the candidate filter. */
   def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val aggs = minhashAggs :+ collect_set(col("sh")).as("shs")
-    // One linear pass builds the whole per-doc state (signatures + set;
-    // the distinct-shingle count is the set's size — no separate
-    // distinct pass), then the result is MATERIALIZED once with an
-    // eager localCheckpoint: three consumers read it (banding + both
-    // pair-side joins), and at 100 TB this is exactly the signature
-    // table you'd persist — without it Catalyst re-runs the
-    // explode+aggregate per consumer.
-    val docSh = withShingleHash(shingles(s, dir))
-      .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
+    // The whole per-doc state (8-slice minhash signature + distinct
+    // shingle set + its count) is a PROJECTION — MinhashSlices +
+    // DistinctShingles fold per-doc, so there is no shingle explode and
+    // no aggregation shuffle at all. The frame is then MATERIALIZED
+    // once with an eager localCheckpoint: three consumers read it
+    // (banding + both pair-side joins), and at 100 TB this is exactly
+    // the signature table you'd persist.
+    val arr = graft.functions.hashes.minhashSlices(col("text"))
+    val docSh = t(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id") +:
+        ((0 until NumHashes).map(i => element_at(arr, i + 1).as(s"mh$i")) :+
+          graft.functions.hashes.distinctShingles(col("text")).as("shs")): _*)
       .withColumn("nsh", size(col("shs")).cast("long"))
       .localCheckpoint(true)
     val cand = lshCandidates(docSh)
@@ -223,16 +225,14 @@ object Dedup {
     // shingle→signature→banding per consumer
     val cand = lshCandidates(minhashSignatures(s, dir))
       .localCheckpoint(true)
-    // collect_set dedups the grams; its size is the distinct count — no
-    // separate distinct shuffle. Materialized once, joined twice.
+    // the distinct-gram set folds per doc inside DistinctGrams — a
+    // projection, no explode or aggregation. Materialized once, joined
+    // twice.
     val docG = t(s, dir, "documents")
       .join(candidateDocs(cand), Seq("doc_id"), "left_semi")
       .filter(length(col("text")) >= 4)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text)-3), i -> substring(text, i, 4))"))
-        .as("g"))
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("g")).as("gs"))
+      .select(col("doc_id"),
+        graft.functions.hashes.distinctGrams(col("text"), 4).as("gs"))
       .withColumn("ng", size(col("gs")).cast("long"))
       .localCheckpoint(true)
     cand

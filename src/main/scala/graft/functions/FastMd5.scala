@@ -131,6 +131,42 @@ object Md5Util {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       mins.map(UTF8String.fromBytes(_)).asInstanceOf[Array[Any]])
   }
+
+  /** Distinct 3-word shingles (insertion order; see DistinctShingles). */
+  def distinctShingles(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val words = s.toString.split(" ", -1)
+    val n = words.length
+    if (n < 3) return null
+    val seen = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j + 3 <= n) {
+      seen.add(words(j) + " " + words(j + 1) + " " + words(j + 2))
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Distinct `width`-code-point grams (see DistinctGrams). */
+  def distinctGrams(s: UTF8String, width: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < width) return null
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + width <= n) {
+      seen.add(new String(cps, i, width))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Drop-in replacement for the built-in md5() over string input with
@@ -246,6 +282,74 @@ case class MinhashSlices(child: Expression) extends UnaryExpression {
       newChild: Expression): MinhashSlices = copy(child = newChild)
 }
 
+/** Distinct word-3-shingle set per document as an array, in one loop —
+  * with MinhashSlices this makes the whole per-doc dedup state
+  * (signature + shingle set + count) a PROJECTION: no explode, no
+  * aggregation shuffle. Element order is insertion order; every
+  * consumer (size, array_intersect cardinality) is order-insensitive,
+  * matching collect_set semantics. Null for docs with <3 words. */
+case class DistinctShingles(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "distinct_shingles"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Md5Util.distinctShingles(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Md5Util.distinctShingles($c);
+      ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DistinctShingles = copy(child = newChild)
+}
+
+/** Distinct char n-gram set per document as an array (see
+  * DistinctShingles — same contract for the ngram-Jaccard verifier).
+  * Null for docs shorter than `width` code points. */
+case class DistinctGrams(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "distinct_grams"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Md5Util.distinctGrams(v.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Md5Util.distinctGrams($c, $width);
+      ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DistinctGrams = copy(child = newChild)
+}
+
 object hashes {
   /** md5 hex digest of a string column (same output as
     * functions.md5(c.cast(binary)), faster per row). */
@@ -259,4 +363,12 @@ object hashes {
   /** 8 minhash slice minima over 3-word shingles (see MinhashSlices). */
   def minhashSlices(c: Column): Column =
     graftexpr.column(MinhashSlices(graftexpr.expression(c)))
+
+  /** distinct 3-word shingle set as array (see DistinctShingles). */
+  def distinctShingles(c: Column): Column =
+    graftexpr.column(DistinctShingles(graftexpr.expression(c)))
+
+  /** distinct width-gram set as array (see DistinctGrams). */
+  def distinctGrams(c: Column, width: Int): Column =
+    graftexpr.column(DistinctGrams(graftexpr.expression(c), width))
 }

@@ -121,6 +121,37 @@ class FunctionsSpec extends SparkSuite {
     assert(out.exists(r => !r.isNullAt(0) && !r.isNullAt(1)))
   }
 
+  test("distinct_shingles / distinct_grams match the explode+collect_set sets") {
+    val docs = Tables.t(spark, Sf, "documents").limit(50)
+      .select(col("doc_id"), col("text"))
+    // shingle sets: same elements (order-insensitive compare via sort)
+    val naiveSh = docs.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(split(text, ' '))-2),
+          |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+          |    element_at(split(text, ' '), i+1),
+          |    element_at(split(text, ' '), i+2)))""".stripMargin)).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("sh"))).as("expect"))
+    val fusedSh = docs.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), sort_array(
+        graft.functions.hashes.distinctShingles(col("text"))).as("got"))
+    assert(fusedSh.join(naiveSh, Seq("doc_id"))
+      .filter(col("got") =!= col("expect")).count() == 0)
+    // gram sets
+    val naiveG = docs.filter(length(col("text")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)-3), i -> substring(text, i, 4))"))
+        .as("g"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("g"))).as("expect"))
+    val fusedG = docs.filter(length(col("text")) >= 4)
+      .select(col("doc_id"), sort_array(
+        graft.functions.hashes.distinctGrams(col("text"), 4)).as("got"))
+    assert(fusedG.join(naiveG, Seq("doc_id"))
+      .filter(col("got") =!= col("expect")).count() == 0)
+  }
+
   test("min_gram_md5 counts code points, not UTF-16 units") {
     // a supplementary char (surrogate pair in UTF-16) must gram like
     // Spark's substring — by code point
