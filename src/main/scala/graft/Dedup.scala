@@ -178,13 +178,18 @@ object Dedup {
         .groupBy(col("src"))
         .agg(min(col("nc")).as("nbmin"))
         .select(col("src").as("doc_id"), col("nbmin"))
+      // the convergence check rides the checkpoint action as an
+      // observed metric — one Spark job per round, not two
+      val obs = org.apache.spark.sql.Observation(
+        s"cc_${System.identityHashCode(labels)}_$rounds")
       val updated = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbmin"), col("cluster")))
             .as("cluster"),
           (col("nbmin") < col("cluster")).as("__changed"))
+        .observe(obs, count_if(col("__changed")).as("n"))
         .localCheckpoint(true)
-      converged = updated.filter(col("__changed")).isEmpty
+      converged = obs.get("n").asInstanceOf[Long] == 0L
       labels = updated.drop("__changed")
       rounds += 1
     }

@@ -226,13 +226,18 @@ object RuleEngine {
     var rounds = 0
     val maxRounds = 40 // supports chain depth up to 2^40
     while (!converged && rounds < maxRounds) {
+      // convergence count rides the checkpoint action (observe metric)
+      // — one job per round instead of two
+      val obs = org.apache.spark.sql.Observation(
+        s"anchor_${System.identityHashCode(lab)}_$rounds")
       val hop = lab
         .join(lab.select(col("node").as("r_node"), col("root").as("r_root")),
           col("root") === col("r_node"))
         .select(col("node"), col("r_root").as("root"),
           (col("r_root") =!= col("root")).as("__changed"))
+        .observe(obs, count_if(col("__changed")).as("n"))
         .localCheckpoint(true)
-      converged = hop.filter(col("__changed")).isEmpty
+      converged = obs.get("n").asInstanceOf[Long] == 0L
       lab = hop.drop("__changed")
       rounds += 1
     }
