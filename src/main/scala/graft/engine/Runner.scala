@@ -113,21 +113,25 @@ object Runner {
 
   /** The violation runner loop (ref: violation_queries_runner.py +
     * violation_suppressions_runner.py): each rule's grouped input →
-    * identity-hashed violations → suppression flags, metadata-recorded. */
+    * identity-hashed violations → suppression flags. Like runAlerts,
+    * stage counts ride the plan via observe(); the returned results
+    * table is materialized ONCE (that materialization is the terminal
+    * action resolving every stage metric), so no rule input is scanned
+    * twice for metadata. */
   def runViolations(
       ruleInputs: Seq[(ViolationRule, DataFrame)],
       suppressions: Seq[SuppressionRule],
       log: RunLog): DataFrame = {
     val violations = ruleInputs.map { case (rule, grouped) =>
-      log.timedInsert(rule.name) {
+      log.observedInsert(rule.name) {
         RuleEngine.runViolationRule(grouped, rule)
       }
     }.reduce(_.unionByName(_))
-    suppressions.foldLeft(
+    val flagged = suppressions.foldLeft(
       violations.withColumn("suppressed", lit(false))
         .withColumn("suppression_rule", lit(null).cast("string"))) {
       case (acc, rule) =>
-        log.timedSuppress(rule.name) {
+        log.observedSuppress(rule.name) {
           val ids = broadcast(rule.selectIds(acc)
             .select(col("id").as("__sup_id")).distinct())
           acc.join(ids, acc("id") === ids("__sup_id"), "left")
@@ -138,6 +142,8 @@ object Runner {
               col("suppressed") || col("__sup_id").isNotNull)
             .drop("__sup_id")
         }
-    }
+    }.localCheckpoint(true)
+    log.flush()
+    flagged
   }
 }
