@@ -384,6 +384,61 @@ object GithubWebhooks {
         col("commits"))
 }
 
+/** Device-inventory snapshot connectors. Every inventory module in the
+  * reference (crowdstrike_devices.py, airwatch_devices.py,
+  * jamf_inventory.py, meraki_devices.py ...) lands the same shape —
+  * SNAPSHOT_AT + RAW + typed snake_case columns — so the lander is one
+  * generic function parameterized by (schema, camelCase→snake renames);
+  * each vendor is a config, not a copy. */
+object DeviceInventory {
+
+  def land(
+      spark: SparkSession, path: String, schema: StructType,
+      renames: Seq[(String, String)]): DataFrame =
+    Connectors.jsonLines(spark, path, schema)
+      .select(current_timestamp().as("snapshot_at") +: col("raw") +:
+        renames.map { case (from, to) => col(from).as(to) }: _*)
+
+  /** ref crowdstrike_devices.py LANDING_TABLE_COLUMNS (lines 43-70),
+    * key subset. */
+  val crowdstrikeSchema: StructType = StructType(Seq(
+    StructField("device_id", StringType),
+    StructField("first_seen", TimestampType),
+    StructField("last_seen", TimestampType),
+    StructField("hostname", StringType),
+    StructField("mac_address", StringType),
+    StructField("platform_name", StringType),
+    StructField("external_ip", StringType),
+    StructField("status", StringType),
+    StructField("agent_version", StringType)))
+
+  def landCrowdstrike(spark: SparkSession, path: String): DataFrame =
+    land(spark, path, crowdstrikeSchema,
+      crowdstrikeSchema.fieldNames.toSeq.map(n => n -> n))
+
+  /** ref airwatch_devices.py LANDING_TABLE_COLUMNS_DEVICE (lines
+    * 52-104), key subset. */
+  val airwatchSchema: StructType = StructType(Seq(
+    StructField("Udid", StringType),
+    StructField("SerialNumber", StringType),
+    StructField("MacAddress", StringType),
+    StructField("DeviceFriendlyName", StringType),
+    StructField("UserName", StringType),
+    StructField("Model", StringType),
+    StructField("OperatingSystem", StringType),
+    StructField("LastSeen", TimestampType),
+    StructField("CompromisedStatus", BooleanType)))
+
+  def landAirwatch(spark: SparkSession, path: String): DataFrame =
+    land(spark, path, airwatchSchema, Seq(
+      "Udid" -> "udid", "SerialNumber" -> "serial_number",
+      "MacAddress" -> "mac_address",
+      "DeviceFriendlyName" -> "device_friendly_name",
+      "UserName" -> "user_name", "Model" -> "model",
+      "OperatingSystem" -> "operating_system", "LastSeen" -> "last_seen",
+      "CompromisedStatus" -> "compromised_status"))
+}
+
 /** The connectors-runner loop (ref: src/runners/connectors_runner.py):
   * a registry of scheduled connectors, each landing only records newer
   * than its watermark, with per-connector run metadata. The data plane

@@ -229,6 +229,24 @@ class TypedConnectorsSpec extends SparkSuite {
       .head("id") == "bbb")
   }
 
+  test("device inventories land via the generic snapshot lander") {
+    val cs = tmpFile("cs.jsonl",
+      """{"device_id":"cs-1","hostname":"host1","platform_name":"Linux","external_ip":"5.6.7.8","status":"normal","last_seen":"2024-01-29T00:00:00Z"}
+        |""".stripMargin)
+    val r1 = graft.sources.DeviceInventory.landCrowdstrike(spark, cs).head
+    assert(r1.getAs[String]("device_id") == "cs-1")
+    assert(r1.getAs[String]("platform_name") == "Linux")
+    assert(r1.getAs[java.sql.Timestamp]("snapshot_at") != null)
+
+    val aw = tmpFile("aw.jsonl",
+      """{"Udid":"u-1","SerialNumber":"SN9","MacAddress":"aa:bb","DeviceFriendlyName":"Pixel","UserName":"alice","Model":"Pixel 8","OperatingSystem":"Android 14","CompromisedStatus":false}
+        |""".stripMargin)
+    val r2 = graft.sources.DeviceInventory.landAirwatch(spark, aw).head
+    assert(r2.getAs[String]("serial_number") == "SN9")
+    assert(r2.getAs[String]("user_name") == "alice")
+    assert(!r2.getAs[Boolean]("compromised_status"))
+  }
+
   test("connector runner lands incrementally by watermark on schedule") {
     import graft.sources.{ConnectorRunner, RegisteredConnector}
     val path = tmpFile("osq.jsonl",
