@@ -74,6 +74,24 @@ object PerfProbe {
       Dedup.minhashSignatures(spark, dir)
         .write.mode("overwrite").format("noop").save()
     }
+    time("qs_full") {
+      TextOps.qualityScore(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("qs_no_regex") {
+      docs.withColumn("w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("w")).cast("long"))
+        .withColumn("n_stop", size(expr(
+          "filter(w, x -> x IN ('the', 'a', 'of', 'and'))")).cast("long"))
+        .select(col("doc_id"), col("n_tok"), col("n_stop"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("qs_regex_only") {
+      docs.withColumn("n_digit",
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
+        .select(col("doc_id"), col("n_digit"))
+        .write.mode("overwrite").format("noop").save()
+    }
     time("fingerprint_explode") {
       TextOps.fingerprint(spark, dir)
         .write.mode("overwrite").format("noop").save()

@@ -30,15 +30,17 @@ object TextOps {
   }
 
   /** #36 document quality score: token stats + digit/stopword ratios
-    * folded into one [0,1] score (all exact integer-derived ratios). */
+    * folded into one [0,1] score (all exact integer-derived ratios).
+    * The stopword and digit counts run in codegen'd kernels — a
+    * higher-order filter lambda evaluates interpreted and knocks the
+    * whole fused projection out of whole-stage codegen, and the regex
+    * digit strip pays a per-row regex engine. */
   def qualityScore(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("n_tok", size(col("w")).cast("long"))
-      .withColumn("n_stop", size(expr(
-        "filter(w, x -> x IN ('the', 'a', 'of', 'and'))")).cast("long"))
-      .withColumn("n_digit",
-        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_stop", graft.functions.text.tokenInListCount(
+        col("text"), Seq("the", "a", "of", "and")))
+      .withColumn("n_digit", graft.functions.text.digitCount(col("text")))
       .withColumn("mean_tok_len",
         Num.r4((length(col("text")) - (col("n_tok") - 1)) / col("n_tok")))
       .withColumn("stop_ratio", Num.r4(col("n_stop") / col("n_tok")))
