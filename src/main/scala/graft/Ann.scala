@@ -85,7 +85,7 @@ object Ann {
     // materialize the signature table once (it feeds both the probe
     // lookup and the corpus join) — the "signatures are a table, not a
     // subplan" shape SURVEY §5 promises at 100 TB
-    val b = buckets(e).localCheckpoint(true)
+    val b = buckets(e).transform(graft.Materialize.frame)
     val probeBucket = broadcast(
       b.filter(col("vec_id") === 0).select(col("bucket")))
     val probe = broadcast(e.filter(col("vec_id") === 0)
@@ -107,8 +107,8 @@ object Ann {
   def lshRecall(s: SparkSession, dir: String): DataFrame = {
     // both top-k lists are a handful of rows consumed twice —
     // materialize so the full ANN pipelines run once, not per consumer
-    val bf = bruteForce(s, dir).select(col("vec_id")).localCheckpoint(true)
-    val lsh = lshAnn(s, dir).select(col("vec_id")).localCheckpoint(true)
+    val bf = bruteForce(s, dir).select(col("vec_id")).transform(graft.Materialize.frame)
+    val lsh = lshAnn(s, dir).select(col("vec_id")).transform(graft.Materialize.frame)
     lsh.join(bf, Seq("vec_id"), "left_semi")
       .agg(count(lit(1)).as("n_overlap"))
       .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
@@ -129,7 +129,7 @@ object Ann {
     // signatures materialized once, shared by the probe side and the
     // corpus side (otherwise Catalyst recomputes the explode+agg per
     // consumer)
-    val withB = e.join(signatures(e).localCheckpoint(true), Seq("vec_id"))
+    val withB = e.join(graft.Materialize.frame(signatures(e)), Seq("vec_id"))
     val probes = broadcast(
       withB.filter(col("vec_id").isin(probeIds: _*))
         .select(col("vec_id").as("probe_id"), col("v").as("pv"),
@@ -179,7 +179,7 @@ object Ann {
       // the assignment table feeds both the probe-cell lookup and the
       // corpus join — materialize once (at scale: the inverted file IS
       // a stored table)
-      .localCheckpoint(true)
+      .transform(graft.Materialize.frame)
     val probeCell = broadcast(
       assign.filter(col("vec_id") === probeId).select(col("cell")))
     val probe = broadcast(e.filter(col("vec_id") === probeId)

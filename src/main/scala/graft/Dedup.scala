@@ -124,7 +124,7 @@ object Dedup {
         ((0 until NumHashes).map(i => element_at(arr, i + 1).as(s"mh$i")) :+
           graft.functions.hashes.distinctShingles(col("text")).as("shs")): _*)
       .withColumn("nsh", size(col("shs")).cast("long"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.frame)
     val cand = lshCandidates(docSh)
     cand
       .join(docSh.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
@@ -165,7 +165,7 @@ object Dedup {
     val edges = pairs.select(col(a), col(b))
       .union(pairs.select(col(b), col(a)))
       .toDF("src", "dst")
-      .localCheckpoint(true) // pairs pipeline runs once, not per round
+      .transform(graft.Materialize.frame) // pairs pipeline runs once, not per round
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
     var converged = false
@@ -188,7 +188,7 @@ object Dedup {
             .as("cluster"),
           (col("nbmin") < col("cluster")).as("__changed"))
         .observe(obs, count_if(col("__changed")).as("n"))
-        .localCheckpoint(true)
+        .transform(graft.Materialize.frame)
       converged = obs.get("n").asInstanceOf[Long] == 0L
       labels = updated.drop("__changed")
       rounds += 1
@@ -229,7 +229,7 @@ object Dedup {
     // sides' doc lists) — materialize once instead of re-running
     // shingle→signature→banding per consumer
     val cand = lshCandidates(minhashSignatures(s, dir))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.frame)
     // the distinct-gram set folds per doc inside DistinctGrams — a
     // projection, no explode or aggregation. Materialized once, joined
     // twice.
@@ -239,7 +239,7 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.hashes.distinctGrams(col("text"), 4).as("gs"))
       .withColumn("ng", size(col("gs")).cast("long"))
-      .localCheckpoint(true)
+      .transform(graft.Materialize.frame)
     cand
       .join(docG.select(col("doc_id").as("doc_a"), col("gs").as("ga"),
         col("ng").as("na")), Seq("doc_a"))

@@ -68,7 +68,7 @@ object Engine {
       // the alert set feeds three consumers (noisy-actor profile, the
       // id selection, and the suppression join) — materialize once
       // instead of re-scanning events per consumer
-      val a = alerts(s, dir).localCheckpoint(true)
+      val a = alerts(s, dir).transform(graft.Materialize.frame)
       val noisy = a.groupBy(col("actor"))
         .agg(count(lit(1)).as("n")).filter(col("n") >= 8)
         .select(col("actor"))

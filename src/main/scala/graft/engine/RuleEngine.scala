@@ -188,28 +188,26 @@ object RuleEngine {
     * reference looks past B and correlates C with A. CorrelationSpec
     * pins this divergence.
     *
-    * Shape: a self-join on actor bounded by the time window (candidate
-    * pairs only — at scale, co-partition by (actor, time bucket)), a
-    * max_by argmax for the parent pointer (no window sort), then
-    * min-label propagation over the parent forest for the transitive
-    * chain id. */
-  def correlateAnchored(alerts: DataFrame, gapMinutes: Int): DataFrame = {
-    val a = alerts.select(col("alert_id").as("a_id"),
-      col("actor").as("a_actor"), col("object").as("a_object"),
-      col("action").as("a_action"), col("event_time_s").as("a_t"))
-    val p = alerts.select(col("alert_id").as("p_id"),
-      col("actor").as("p_actor"), col("object").as("p_object"),
-      col("action").as("p_action"), col("event_time_s").as("p_t"))
-    val parents = a.join(p,
-        col("a_actor") === col("p_actor") &&
-          (col("p_t") < col("a_t") ||
-            (col("p_t") === col("a_t") && col("p_id") < col("a_id"))) &&
-          col("a_t") - col("p_t") <= gapMinutes * 60L &&
-          (col("p_object") === col("a_object") ||
-            col("p_action") === col("a_action")))
-      .groupBy(col("a_id"))
-      .agg(max_by(col("p_id"), struct(col("p_t"), col("p_id")))
-        .as("parent_id"))
+    * Shape: a candidate self-join keyed by (actor, gap-length time
+    * bucket) — NOT actor alone. A parent within `gapMinutes` of an alert
+    * at time t lives in t's bucket or the one before it, so the probe
+    * side is duplicated into those two buckets and the join is a plain
+    * two-key equi-join: candidates are bounded per (actor, bucket), and
+    * a noisy service account with f alerts in the store costs
+    * sum-per-bucket f_b·(f_b + f_b-1) candidates, never f² globally.
+    * Buckets whose parent count exceeds `maxActorBucketAlerts` are
+    * dropped from the PARENT side entirely (their alerts root their own
+    * chains) — the same hot-bucket hygiene the LSH dedup join applies,
+    * sized so it never fires below truly degenerate skew. The bucket
+    * count rides a window over the join's own shuffle keys, so it is
+    * co-partitioned with the join — no extra shuffle. Then a max_by
+    * argmax picks the parent pointer (no window sort) and pointer
+    * jumping resolves the transitive chain root. */
+  def correlateAnchored(
+      alerts: DataFrame,
+      gapMinutes: Int,
+      maxActorBucketAlerts: Int = 10000): DataFrame = {
+    val parents = anchoredParents(alerts, gapMinutes, maxActorBucketAlerts)
     // Resolve each alert to its chain ROOT (the id the reference
     // propagates transitively) by pointer jumping over the parent
     // forest: each round replaces every node's label with its label's
@@ -217,11 +215,11 @@ object RuleEngine {
     // chain resolves in 10 rounds, where per-edge min-label
     // propagation would need 1000. The forest is acyclic by
     // construction (parents are strictly earlier).
-    var lab = alerts.select(col("alert_id").as("node"))
-      .join(parents.withColumnRenamed("a_id", "node"), Seq("node"), "left")
-      .select(col("node"), coalesce(col("parent_id"), col("node"))
-        .as("root"))
-      .localCheckpoint(true)
+    var lab = graft.Materialize.frame(
+      alerts.select(col("alert_id").as("node"))
+        .join(parents.withColumnRenamed("a_id", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("parent_id"), col("node"))
+          .as("root")))
     var converged = false
     var rounds = 0
     val maxRounds = 40 // supports chain depth up to 2^40
@@ -230,13 +228,12 @@ object RuleEngine {
       // — one job per round instead of two
       val obs = org.apache.spark.sql.Observation(
         s"anchor_${System.identityHashCode(lab)}_$rounds")
-      val hop = lab
+      val hop = graft.Materialize.frame(lab
         .join(lab.select(col("node").as("r_node"), col("root").as("r_root")),
           col("root") === col("r_node"))
         .select(col("node"), col("r_root").as("root"),
           (col("r_root") =!= col("root")).as("__changed"))
-        .observe(obs, count_if(col("__changed")).as("n"))
-        .localCheckpoint(true)
+        .observe(obs, count_if(col("__changed")).as("n")))
       converged = obs.get("n").asInstanceOf[Long] == 0L
       lab = hop.drop("__changed")
       rounds += 1
@@ -247,6 +244,42 @@ object RuleEngine {
       .withColumn("correlation_id",
         md5(coalesce(col("root"), col("alert_id"))))
       .drop("root")
+  }
+
+  /** The anchored-correlation candidate join: (alert → most-recent
+    * matching parent) keyed by (actor, gap-length time bucket).
+    * Package-visible so PlanShapeSpec can pin that the equi-join keys
+    * include the bucket column — the property that bounds a hot actor's
+    * candidate blowup. */
+  private[graft] def anchoredParents(
+      alerts: DataFrame,
+      gapMinutes: Int,
+      maxActorBucketAlerts: Int): DataFrame = {
+    val W = gapMinutes * 60L
+    val a = alerts.select(col("alert_id").as("a_id"),
+      col("actor").as("a_actor"), col("object").as("a_object"),
+      col("action").as("a_action"), col("event_time_s").as("a_t"))
+      .withColumn("__abk",
+        explode(array(floor(col("a_t") / W), floor(col("a_t") / W) - 1)))
+    val p = alerts.select(col("alert_id").as("p_id"),
+      col("actor").as("p_actor"), col("object").as("p_object"),
+      col("action").as("p_action"), col("event_time_s").as("p_t"))
+      .withColumn("__pbk", floor(col("p_t") / W))
+      .withColumn("__bsz", count(lit(1)).over(
+        Window.partitionBy(col("p_actor"), col("__pbk"))))
+      .filter(col("__bsz") <= maxActorBucketAlerts)
+      .drop("__bsz")
+    a.join(p,
+        col("a_actor") === col("p_actor") &&
+          col("__abk") === col("__pbk") &&
+          (col("p_t") < col("a_t") ||
+            (col("p_t") === col("a_t") && col("p_id") < col("a_id"))) &&
+          col("a_t") - col("p_t") <= W &&
+          (col("p_object") === col("a_object") ||
+            col("p_action") === col("a_action")))
+      .groupBy(col("a_id"))
+      .agg(max_by(col("p_id"), struct(col("p_t"), col("p_id")))
+        .as("parent_id"))
   }
 
   /** Run a violation rule: one row per violating (target, day) with the

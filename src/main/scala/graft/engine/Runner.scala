@@ -142,7 +142,7 @@ object Runner {
               col("suppressed") || col("__sup_id").isNotNull)
             .drop("__sup_id")
         }
-    }.localCheckpoint(true)
+    }.transform(graft.Materialize.frame)
     log.flush()
     flagged
   }

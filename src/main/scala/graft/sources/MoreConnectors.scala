@@ -478,7 +478,7 @@ object ConnectorRunner {
       watermark: Option[String]): ConnectorRun = {
     val all = c.land(spark)
     val fresh = watermark.fold(all)(w => Connectors.incremental(all, c.tsCol, w))
-      .localCheckpoint(true) // land once; consumers read the batch
+      .transform(graft.Materialize.frame) // land once; consumers read the batch
     val wm = fresh.agg(max(col(c.tsCol)).cast("string")).head.getString(0)
     ConnectorRun(c.name, fresh, Option(wm).orElse(watermark))
   }

@@ -78,6 +78,38 @@ class CorrelationSpec extends SparkSuite {
     assert(anch("A") != anch("C"))
   }
 
+  test("bucketed candidate join still chains across a bucket boundary") {
+    // W = 3600 s: A at t=3500 (bucket 0) and C at t=3700 (bucket 1) are
+    // 200 s apart — the probe side's adjacent-bucket duplication must
+    // find A even though floor(t/W) differs
+    val alerts = df(
+      ("A", "u1", "X", "read", 3500L),
+      ("C", "u1", "X", "read", 3700L))
+    val anch = RuleEngine.correlateAnchored(alerts, 60)
+      .select("alert_id", "correlation_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(anch("A") == anch("C"))
+  }
+
+  test("hot actor-bucket cap drops parents, alerts root their own chains") {
+    // three same-object alerts in one bucket: with the cap at 2 the
+    // bucket's parents are dropped, so no alert finds a parent — each
+    // roots its own chain (degenerate-skew hygiene, off by default)
+    val alerts = df(
+      alert("A", "u1", "X", "read", 0),
+      alert("B", "u1", "X", "read", 5),
+      alert("C", "u1", "X", "read", 10))
+    val capped = RuleEngine.correlateAnchored(alerts, 60,
+        maxActorBucketAlerts = 2)
+      .select("alert_id", "correlation_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(capped.values.toSet.size == 3)
+    val uncapped = RuleEngine.correlateAnchored(alerts, 60)
+      .select("alert_id", "correlation_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(uncapped.values.toSet.size == 1)
+  }
+
   test("actors never share chains in either implementation") {
     val alerts = df(
       alert("A", "u1", "X", "read", 0),

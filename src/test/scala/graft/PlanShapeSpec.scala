@@ -56,6 +56,22 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("anchored-correlation candidate join is keyed by (actor, bucket)") {
+    // the self-join must equi-join on the time bucket as well as the
+    // actor — actor-only keys let one hot actor generate f² candidates
+    import org.apache.spark.sql.functions.col
+    val alerts = SparkEntry.queries("q_alert_rule")(spark, Sf)
+      .select(col("alert_id"), col("actor"), col("object"), col("action"),
+        col("event_time_s"))
+    val plan = graft.engine.RuleEngine
+      .anchoredParents(alerts, 60, 10000)
+      .queryExecution.executedPlan.toString
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("a_actor"))
+    assert(joinLine.exists(l => l.contains("__abk") && l.contains("__pbk")),
+      s"anchored parent join not keyed by time bucket:\n$plan")
+  }
+
   test("dedup pair joins are candidate-keyed, not content self-joins") {
     // the only equi-join keys in the LSH pair plan are bucket/doc ids —
     // a corpus-wide shingle equi-join would show sh#N as a join key
