@@ -22,7 +22,8 @@ object SparkEntry {
       graft.packs.SnowflakePack.queries ++ graft.packs.OktaPack.queries ++
       graft.packs.SnowflakeMonitoringPack.queries ++
       graft.packs.OsqueryPack.queries ++ graft.packs.UmbrellaPack.queries ++
-      graft.packs.AzureCisPack.queries ++ graft.packs.CisAwsPack.queries
+      graft.packs.AzureCisPack.queries ++ graft.packs.CisAwsPack.queries ++
+      graft.packs.CisAzurePack.queries
 
   /** DuckDB-equivalent ANSI SQL per query key (omitted → rows-only check). */
   def oracleSql: Map[String, String] =
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.packs.SnowflakePack.oracle ++ graft.packs.OktaPack.oracle ++
       graft.packs.SnowflakeMonitoringPack.oracle ++
       graft.packs.OsqueryPack.oracle ++ graft.packs.UmbrellaPack.oracle ++
-      graft.packs.AzureCisPack.oracle ++ graft.packs.CisAwsPack.oracle
+      graft.packs.AzureCisPack.oracle ++ graft.packs.CisAwsPack.oracle ++
+      graft.packs.CisAzurePack.oracle
 }

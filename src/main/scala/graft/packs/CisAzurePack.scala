@@ -552,20 +552,21 @@ object CisAzurePack {
 
   // --- DuckDB oracles -------------------------------------------------
 
-  /** Violation-row oracle template over a `hits` CTE exposing `obj`. */
+  /** Violation-row oracle template over a `hits` CTE exposing `obj`.
+    * Assembled by plain concatenation — no stripMargin here, because the
+    * interpolated fragments are already margin-stripped and a second
+    * pass would eat the first `|` of any line-leading `||` concat. */
   private def oSql(name: String, qid: String, title: String, sev: String,
       hitsSql: String): String =
-    s"""${AzureCollectViews.AzureCtes}, hits AS (
-       |$hitsSql
-       |)
-       |SELECT
-       |  md5('$name|' || obj || '|$title|$Day') AS id,
-       |  '$name' AS query_name, '$qid' AS query_id,
-       |  '$title' AS title,
-       |  obj AS object, 'devsecops' AS owner,
-       |  '$sev' AS severity, DATE '$Day' AS violation_day
-       |FROM hits
-       |ORDER BY id""".stripMargin
+    AzureCollectViews.AzureCtes + ", hits AS (\n" + hitsSql + "\n)\n" +
+      s"""SELECT
+  md5('$name|' || obj || '|$title|$Day') AS id,
+  '$name' AS query_name, '$qid' AS query_id,
+  '$title' AS title,
+  obj AS object, 'devsecops' AS owner,
+  '$sev' AS severity, DATE '$Day' AS violation_day
+FROM hits
+ORDER BY id"""
 
   private val SubObjSql =
     """'Subscription `' || subscription_id || '`, in tenant `' ||

@@ -460,19 +460,7 @@ object AzureCollectViews {
          |    ELSE 'Disabled' END AS $p""".stripMargin
     }.mkString(",\n")
 
-  /** DuckDB twins of every view above, value logic verbatim. */
-  val AzureCtes: String =
-    s"""az_policy_body AS (
-      |  SELECT 't' || (n_nationkey % 3) AS tenant_id,
-      |    'sub-' || n_nationkey AS subscription_id,
-      |    'SecurityCenterBuiltIn' AS name, recorded_at,
-      |$PolicyColsSql
-      |  FROM nation, az_snaps
-      |)""".stripMargin + "" // placeholder; real value assembled below
-
-  private val unused = () // keep structure; see AzureCtesFull
-
-  val AzureCtesHead: String =
+  private val AzureCtesHead: String =
     """WITH az_snaps(recorded_at) AS (
       |  VALUES (TIMESTAMP '2024-01-20 00:00:00'),
       |         (TIMESTAMP '2024-01-30 00:00:00')
@@ -733,5 +721,17 @@ object AzureCollectViews {
       |           ELSE 'Microsoft.Compute/read' END
       |    END AS value
       |  FROM nation, (VALUES (0), (1)) i(i)
+      |)""".stripMargin
+
+  /** The full DuckDB WITH preamble — twins of every view above plus the
+    * `az_policy` CTE the ASC-default oracles read; value logic verbatim
+    * against the Spark views. */
+  val AzureCtes: String = AzureCtesHead +
+    s""", az_policy AS (
+      |  SELECT 't' || (n_nationkey % 3) AS tenant_id,
+      |    'sub-' || n_nationkey AS subscription_id,
+      |    'SecurityCenterBuiltIn' AS name, recorded_at,
+      |$PolicyColsSql
+      |  FROM nation, az_snaps
       |)""".stripMargin
 }
