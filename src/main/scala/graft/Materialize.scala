@@ -25,7 +25,10 @@ object Materialize {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        if (!spark.sparkContext.getCheckpointDir.contains(dir))
+        // getCheckpointDir is the qualified path plus a random UUID
+        // subdir, so compare by substring — an equality check would
+        // re-mint a checkpoint directory on every call.
+        if (!spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
           spark.sparkContext.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case None =>

@@ -86,7 +86,7 @@ object TextOps {
     * /24 — the standard privacy pass before security logs leave the
     * trust boundary. Pure projection + one aggregation. */
   def pseudonymize(s: SparkSession, dir: String): DataFrame =
-    graft.sources.CloudTrail.fromEvents(t(s, dir, "events"))
+    graft.sources.CloudTrail.sharedFromEvents(s, dir)
       .select(
         col("aws_region"),
         md5(col("user_identity_arn")).as("actor_pseudo"),

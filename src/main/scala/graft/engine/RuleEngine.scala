@@ -255,6 +255,9 @@ object RuleEngine {
       alerts: DataFrame,
       gapMinutes: Int,
       maxActorBucketAlerts: Int): DataFrame = {
+    // W = 0 would divide by zero in the bucket keys (null buckets under
+    // non-ANSI mode → every alert silently roots its own chain).
+    require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
     val W = gapMinutes * 60L
     val a = alerts.select(col("alert_id").as("a_id"),
       col("actor").as("a_actor"), col("object").as("a_object"),

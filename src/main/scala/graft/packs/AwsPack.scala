@@ -84,7 +84,7 @@ object AwsPack {
     detector = "SnowAlert")
 
   private def ct(s: SparkSession, dir: String): DataFrame =
-    CloudTrail.fromEvents(t(s, dir, "events"))
+    CloudTrail.sharedFromEvents(s, dir)
 
   /** packs/aws_query_pack.sql:116-147 aws_internal_bucket_access:
     * S3 access to a non-public bucket by an account NOT in the known

@@ -43,7 +43,7 @@ object CisAwsPack {
   /** cis_aws_pack.sql:1-48 CIS 1.1 — root account used in the last 30
     * days (one violation per distinct root identity per account). */
   private def rootAccountUse(s: SparkSession, dir: String): DataFrame = {
-    val ctv = CloudTrail.fromEvents(t(s, dir, "events"))
+    val ctv = CloudTrail.sharedFromEvents(s, dir)
     val roots = ctv
       .filter(col("user_identity_type") === "Root" &&
         col("source_ip_address") =!= "support.amazonaws.com" &&

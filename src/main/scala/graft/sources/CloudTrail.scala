@@ -143,6 +143,32 @@ object CloudTrail {
             when(col("k") % 7 === 0, "-public").otherwise(lit("")))))
   }
 
+  /** Per-(session, sf-dir) shared CloudTrail frame — the reference's
+    * `data.cloudtrail_v` view layer (aws_query_pack.sql FROM clauses):
+    * every AWS pack rule reads this one frame, so the per-row JSON
+    * extraction and column derivation are computed once per run and
+    * served from the persisted columnar form for the other eight rules,
+    * instead of re-parsed nine times. MEMORY_AND_DISK so a large SF
+    * spills instead of OOMing; the cluster-scale analog is materializing
+    * the projected view to parquet once per collection cycle. The map is
+    * weak-keyed on the session so stopped test sessions don't pin
+    * frames.
+    */
+  private val shared =
+    new java.util.WeakHashMap[
+      SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+
+  def sharedFromEvents(spark: SparkSession, dir: String): DataFrame =
+    shared.synchronized {
+      val perDir = shared.computeIfAbsent(
+        spark, _ => scala.collection.mutable.Map.empty)
+      perDir.getOrElseUpdate(dir, {
+        val df = fromEvents(graft.Tables.t(spark, dir, "events"))
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df
+      })
+    }
+
   /** DuckDB CTE mirroring fromEvents exactly (oracle side). */
   val FromEventsCte: String =
     """WITH ct0 AS (
