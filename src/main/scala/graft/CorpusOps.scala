@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators for training-data pipelines: the
+  * selection half of the story (dedup/quality are Dedup/TextOps) —
+  * deciding WHICH documents enter a training mix, deterministically and
+  * without any global sort, so the same code produces the same corpus
+  * on 500 docs or 100 TB.
+  *
+  * All three operators key every decision off an md5 prefix of a
+  * stable identity (the repo's cross-engine hash idiom — hex-string
+  * comparison, identical in Spark and the DuckDB oracle):
+  *
+  *  - sampling is a FILTER, not RAND(): re-runs and retried tasks pick
+  *    identical docs, and the sample composes with incremental loads;
+  *  - mixture quotas become per-stratum hash THRESHOLDS (quota/count
+  *    mapped to a 24-bit hex cutoff), so stratified sampling is a tiny
+  *    count aggregate + broadcast join + filter — no per-stratum
+  *    row_number window, which at web scale would sort billions of rows
+  *    inside the 'en' partition;
+  *  - train/valid/test folds hash the SOURCE, not the document, so all
+  *    docs from one origin land in one fold (the standard guard against
+  *    near-dup leakage across splits).
+  */
+object CorpusOps {
+  import Tables.t
+
+  /** Fraction → 6-hex-char cutoff: floor(frac·2^24) zero-padded, or a
+    * sentinel above every hex digit when the stratum fits entirely
+    * ('g' > 'f' lexicographically, so the filter keeps all rows). */
+  private def hexCutoff(frac: Column): Column =
+    when(frac >= 1.0, lit("g")).otherwise(
+      lower(lpad(hex(floor(frac * (1 << 24)).cast("long")), 6, "0")))
+
+  private def hashPrefix(salt: String, key: Column, len: Int): Column =
+    substring(md5(concat_ws("", lit(salt + ":"), key)), 1, len)
+
+  /** #63 deterministic ~10% corpus sample: keep docs whose salted
+    * doc-id hash prefix falls below 0x1a/0x100 (26/256 ≈ 10.2%). A
+    * pushdown-friendly projection+filter — no shuffle, no RNG state. */
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(hashPrefix("smp", col("doc_id"), 2) < "1a")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** #64 stratified mixture: target ≤40 docs per language. Per-lang
+    * counts (tiny agg) → keep-fraction → hash threshold, broadcast back
+    * and filtered. Two jobs, one scan each, zero wide shuffles; the
+    * per-stratum quota error is O(sqrt(n)) of the hash uniformity,
+    * which is how production mixtures are actually drawn at scale. */
+  def stratifiedMix(s: SparkSession, dir: String, quota: Int = 40)
+      : DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cut = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cut", hexCutoff(lit(quota.toDouble) / col("cnt")))
+      .select(col("lang"), col("cut"))
+    docs.join(broadcast(cut), Seq("lang"))
+      .filter(hashPrefix("mix", col("doc_id"), 6) < col("cut"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #65 leakage-safe split: fold assignment hashes the SOURCE (80/10/
+    * 10 by hex range), so near-duplicate docs from one origin can never
+    * straddle train and eval. Output is the per-(fold, lang) census the
+    * pipeline uses to validate the split. */
+  def leakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = hashPrefix("split", col("source"), 2)
+    t(s, dir, "documents")
+      .withColumn("fold",
+        when(h < "cc", "train").when(h < "e6", "valid").otherwise("test"))
+      .groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("fold"), col("lang"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_sample" -> (hashSample _),
+    "q_corpus_mix" -> ((s: SparkSession, dir: String) =>
+      stratifiedMix(s, dir)),
+    "q_leakage_split" -> (leakageSplit _))
+
+  def oracle: Map[String, String] = Map(
+    "q_corpus_sample" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE substr(md5('smp:' || doc_id), 1, 2) < '1a'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_mix" ->
+      """WITH cut AS (
+        |  SELECT lang,
+        |    CASE WHEN 40.0 / count(*) >= 1.0 THEN 'g'
+        |         ELSE lower(lpad(to_hex(CAST(
+        |           floor(40.0 / count(*) * 16777216) AS BIGINT)), 6, '0'))
+        |    END AS cut
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN cut USING (lang)
+        |WHERE substr(md5('mix:' || d.doc_id), 1, 6) < cut.cut
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_leakage_split" ->
+      """SELECT
+        |  CASE WHEN substr(md5('split:' || source), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5('split:' || source), 1, 2) < 'e6' THEN 'valid'
+        |       ELSE 'test' END AS fold,
+        |  lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY fold, lang""".stripMargin)
+}

@@ -17,7 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreSql.queries ++ Engine.queries ++ Baselines.queries ++
-      Dedup.queries ++ Ann.queries ++ TextOps.queries ++
+      Dedup.queries ++ Ann.queries ++ TextOps.queries ++ CorpusOps.queries ++
       Multimodal.queries ++ graft.packs.AwsPack.queries ++
       graft.packs.SnowflakePack.queries ++ graft.packs.OktaPack.queries ++
       graft.packs.SnowflakeMonitoringPack.queries ++
@@ -28,7 +28,7 @@ object SparkEntry {
   /** DuckDB-equivalent ANSI SQL per query key (omitted → rows-only check). */
   def oracleSql: Map[String, String] =
     CoreSql.oracle ++ Engine.oracle ++ Baselines.oracle ++
-      Dedup.oracle ++ Ann.oracle ++ TextOps.oracle ++
+      Dedup.oracle ++ Ann.oracle ++ TextOps.oracle ++ CorpusOps.oracle ++
       Multimodal.oracle ++ graft.packs.AwsPack.oracle ++
       graft.packs.SnowflakePack.oracle ++ graft.packs.OktaPack.oracle ++
       graft.packs.SnowflakeMonitoringPack.oracle ++
