@@ -120,6 +120,25 @@ class InventoryConnectorsSpec extends SparkSuite {
     assert(r.getAs[String]("subscription_policies").contains("quota_id"))
   }
 
+  test("inventory connectors integrate with the runner registry loop") {
+    import graft.sources.{ConnectorRunner, RegisteredConnector}
+    val path = tmpFile("jamf2.jsonl",
+      """{"computer_id":1,"recorded_at":"2024-01-05T10:00:00Z","general":{"id":1,"name":"m1","serial_number":"S1"}}
+        |{"computer_id":2,"recorded_at":"2024-01-06T10:00:00Z","general":{"id":2,"name":"m2","serial_number":"S2"}}
+        |""".stripMargin)
+    val reg = Seq(RegisteredConnector("jamf_inventory", "0 */6",
+      "recorded_at",
+      s => InventoryConnectors.landJamfComputers(s, path)))
+    val log = graft.engine.RunLog.newRun()
+    val tick = java.time.LocalDateTime.of(2024, 1, 7, 6, 3)
+    val (runs1, wm1) =
+      ConnectorRunner.runDue(spark, reg, Map.empty, tick, log)
+    assert(runs1.head.landed.count() == 2)
+    val (runs2, wm2) = ConnectorRunner.runDue(spark, reg, wm1, tick, log)
+    assert(runs2.head.landed.count() == 0)
+    assert(wm2("jamf_inventory") == wm1("jamf_inventory"))
+  }
+
   test("azure vms land typed identity plus variant profiles") {
     val path = tmpFile("vms.jsonl",
       """{"id":"/subscriptions/s1/providers/Microsoft.Compute/virtualMachines/vm1","location":"eastus","name":"vm1","provisioning_state":"Succeeded","type":"Microsoft.Compute/virtualMachines","vm_id":"uuid-1","hardware_profile":{"vm_size":"Standard_D2"},"os_profile":{"computer_name":"vm1"},"storage_profile":{"os_disk":{"name":"osdisk1"}}}
