@@ -79,13 +79,56 @@ object CorpusOps {
       .orderBy(col("fold"), col("lang"))
   }
 
+  /** #66 benchmark decontamination: flag training docs sharing any
+    * n-gram with the held-out eval set (every 50th doc here; 4-grams
+    * because the synthetic vocabulary is ~30 words — production uses
+    * 8-13-gram windows, same plan). The eval side is tiny by
+    * construction (benchmarks vs a 100 TB corpus), so its distinct
+    * gram-hash set BROADCASTS and the corpus-side scan joins without
+    * shuffling; grams are md5'd to fixed width before the join so the
+    * broadcast carries 32-byte keys, not raw text. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w)-3),
+          |  i -> md5(concat_ws(' ', element_at(w,i), element_at(w,i+1),
+          |                     element_at(w,i+2), element_at(w,i+3))))"""
+          .stripMargin)).as("g"))
+    val bench = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("g")).distinct()
+    grams.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> (decontaminate _),
     "q_corpus_sample" -> (hashSample _),
     "q_corpus_mix" -> ((s: SparkSession, dir: String) =>
       stratifiedMix(s, dir)),
     "q_leakage_split" -> (leakageSplit _))
 
   def oracle: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    md5(list_aggregate(w[i:i+3], 'string_agg', ' ')) AS g
+        |  FROM words, UNNEST(range(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 4
+        |), bench AS (
+        |  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+        |)
+        |SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_shared
+        |FROM grams
+        |WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_corpus_sample" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents
