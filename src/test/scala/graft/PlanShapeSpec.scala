@@ -72,6 +72,21 @@ class PlanShapeSpec extends SparkSuite {
       s"anchored parent join not keyed by time bucket:\n$plan")
   }
 
+  test("corpus ops broadcast their small sides and push their filters") {
+    // the mixture quota dim and the eval gram-hash set are tiny by
+    // construction — a SortMergeJoin would shuffle the corpus scan
+    for (name <- Seq("q_corpus_mix", "q_decontaminate")) {
+      val plan = planOf(name)
+      assert(plan.contains("BroadcastHashJoin"), s"$name lost its broadcast")
+      assert(!plan.contains("SortMergeJoin"), s"$name shuffles the corpus")
+    }
+    // deterministic sampling is a pushdown-friendly filter, never an RNG
+    // or a shuffle: the only exchange allowed is the presentation sort
+    val sample = planOf("q_corpus_sample")
+    assert(!sample.contains("HashAggregate") && !sample.contains("Window"),
+      "q_corpus_sample re-grew an aggregation or window")
+  }
+
   test("dedup pair joins are candidate-keyed, not content self-joins") {
     // the only equi-join keys in the LSH pair plan are bucket/doc ids —
     // a corpus-wide shingle equi-join would show sh#N as a join key
