@@ -42,8 +42,37 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** #67 frame sampling over a binary payload: fixed-size frames, every
+    * `Stride`-th sampled — the video/audio pre-processing shape (pick
+    * keyframes / chunk audio for ASR) with NO codec involved: byte
+    * arithmetic only, so it is fully real, not a stub. The per-frame
+    * hashes are computed by a `transform` over the frame-index sequence
+    * INSIDE one projection, and only (idx, md5) structs are exploded —
+    * the payload itself is never duplicated per frame, which is the
+    * difference between shipping 32-byte digests and re-shuffling the
+    * whole 100 TB blob column. */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val FrameBytes = 32
+    val Stride = 4
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("nf",
+        (length(col("payload")) / FrameBytes).cast("long"))
+      .filter(col("nf") > 0)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0L, nf-1, $Stride),
+           |  i -> struct(i AS frame_idx,
+           |    md5(substring(payload, cast(i*$FrameBytes+1 AS int),
+           |        $FrameBytes)) AS frame_md5))""".stripMargin).as("fr"))
+      .select(col("doc_id"), explode(col("fr")).as("f"))
+      .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+        col("f.frame_md5").as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_meta" -> decodeMeta _
+    "q_multimodal_meta" -> decodeMeta _,
+    "q_frame_sample" -> frameSample _
   )
 
   /** The stub decode is pure byte arithmetic, so even the decode path
@@ -57,6 +86,18 @@ object Multimodal {
         |  CAST(64 + (octet_length(encode(text)) * 31) % 512 AS BIGINT)
         |    AS height,
         |  CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the payload is UTF-8 of ascii text, so byte slicing == char
+    // slicing and the oracle can hash string substrings
+    "q_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, len(text) // 32 AS nf
+        |  FROM documents WHERE len(text) >= 32
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  md5(substring(text, CAST(i*32+1 AS INTEGER), 32)) AS frame_md5
+        |FROM f, UNNEST(range(0, nf, 4)) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
