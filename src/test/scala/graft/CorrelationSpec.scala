@@ -119,4 +119,52 @@ class CorrelationSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(anch("A") != anch("B"))
   }
+
+  /** O(n²) in-memory transcription of the reference loop
+    * (alert_processor.py:11-40): most recent prior same-actor alert
+    * within the gap sharing object or action; chains resolve to their
+    * transitive root. The distributed bucket-join + pointer-jumping
+    * implementation must partition alerts into exactly these chains. */
+  private def bruteChains(
+      rows: Seq[(String, String, String, String, Long)],
+      gapS: Long): Set[Set[String]] = {
+    val parent = scala.collection.mutable.Map[String, String]()
+    for (a <- rows) {
+      val cands = rows.filter(p =>
+        p._2 == a._2 &&
+          (p._5 < a._5 || (p._5 == a._5 && p._1 < a._1)) &&
+          a._5 - p._5 <= gapS &&
+          (p._3 == a._3 || p._4 == a._4))
+      if (cands.nonEmpty)
+        parent(a._1) = cands.maxBy(p => (p._5, p._1))._1
+    }
+    @annotation.tailrec
+    def root(id: String): String =
+      parent.get(id) match {
+        case Some(p) => root(p)
+        case None => id
+      }
+    rows.groupBy(r => root(r._1)).values.map(_.map(_._1).toSet).toSet
+  }
+
+  test("randomized: anchored chains match the brute-force reference") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(15)
+      val rows = (0 until n).map { i =>
+        (f"a$i%03d",
+          s"u${rnd.nextInt(3)}",
+          s"obj${rnd.nextInt(3)}",
+          s"act${rnd.nextInt(3)}",
+          rnd.nextInt(10800).toLong) // 3h span vs 60-min gap
+      }
+      val expected = bruteChains(rows, 3600L)
+      val got = RuleEngine.correlateAnchored(df(rows: _*), 60)
+        .select("alert_id", "correlation_id").collect()
+        .groupBy(_.getString(1)).values.map(_.map(_.getString(0)).toSet)
+        .toSet
+      assert(got == expected, s"trial $trial: chains diverge\n" +
+        s"rows=$rows\nexpected=$expected\ngot=$got")
+    }
+  }
 }
