@@ -29,6 +29,31 @@ class DedupSpec extends SparkSuite {
     assert(got.sameElements(Array(5L)))
   }
 
+  test("randomized: connectedComponents matches union-find") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val nNodes = 30 + rnd.nextInt(20)
+      val edges = (0 until nNodes).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter { case (a, b) => a != b }
+      // union-find reference with min-id canonical labels
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map(n => n -> find(n)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: edges=$edges")
+    }
+  }
+
   test("lsh candidate pairs never include a doc paired with itself") {
     val cand = Dedup.lshCandidates(Dedup.minhashSignatures(spark, Sf))
       .filter(col("doc_a") >= col("doc_b"))
