@@ -151,7 +151,28 @@ object CoreSql {
         countDistinct(col("value")).as("n_values"))
       .orderBy(col("key"))
 
+  /** #26b as-of join (operators.AsOf): for each error event, the most
+    * recent prior click by the same user within one hour — session
+    * attribution. Second-truncated epoch times on both engines (events
+    * ts is ns-precision parquet). */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("long").as("t_s"))
+    graft.operators.AsOf.asofJoin(
+      left = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("t_s")),
+      right = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("t_s")),
+      keys = Seq("user_id"),
+      leftId = "event_id", leftTimeS = "t_s",
+      rightId = "event_id", rightTimeS = "t_s",
+      toleranceS = 3600L)
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> asofJoin _,
     "q_variant_flatten" -> variantFlatten _,
     "q_agg_pushdown" -> aggPushdown _,
     "q_join_broadcast" -> joinBroadcast _,
@@ -165,6 +186,29 @@ object CoreSql {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS t_s
+        |  FROM events
+        |), err AS (
+        |  SELECT event_id, user_id, t_s FROM ev WHERE event_type = 'error'
+        |), clk AS (
+        |  SELECT event_id, user_id, t_s FROM ev WHERE event_type = 'click'
+        |), j AS (
+        |  SELECT e.event_id,
+        |    c.event_id AS r_event_id, c.t_s AS r_t_s,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY c.t_s DESC, c.event_id DESC) AS rn
+        |  FROM err e JOIN clk c ON c.user_id = e.user_id
+        |    AND c.t_s <= e.t_s AND e.t_s - c.t_s <= 3600
+        |)
+        |SELECT e.event_id, e.user_id, e.t_s, j.r_event_id, j.r_t_s
+        |FROM err e LEFT JOIN (
+        |  SELECT event_id, r_event_id, r_t_s FROM j WHERE rn = 1
+        |) j ON j.event_id = e.event_id
+        |ORDER BY e.event_id""".stripMargin,
+
     "q_variant_flatten" ->
       """WITH kv AS (
         |  SELECT props, unnest(json_keys(props)) AS key FROM events
