@@ -19,17 +19,30 @@ object Materialize {
 
   val ConfKey = "spark.graft.checkpointDir"
 
+  /** Last checkpoint dir this class set, per context (weak-keyed: a
+    * String value cannot reference the SparkContext key). */
+  private val lastSet = new scala.collection.mutable.WeakHashMap[
+    org.apache.spark.SparkContext, String]()
+
   /** Materialize `df` eagerly and truncate its lineage. Reliable iff
     * [[ConfKey]] is set on the session. */
   def frame(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        // getCheckpointDir is the qualified path plus a random UUID
-        // subdir, so compare by substring — an equality check would
-        // re-mint a checkpoint directory on every call.
-        if (!spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
-          spark.sparkContext.setCheckpointDir(dir)
+        // getCheckpointDir returns the qualified path plus a random
+        // UUID subdir, so it can't be compared to the conf value
+        // directly (equality never matches → a new checkpoint dir per
+        // call; substring containment can false-positive on prefixes,
+        // e.g. '/a/ck' vs a stale '/a/ckpt-old'). Track what THIS
+        // class last set per context and re-set only on change.
+        val ctx = spark.sparkContext
+        lastSet.synchronized {
+          if (!lastSet.get(ctx).contains(dir)) {
+            ctx.setCheckpointDir(dir)
+            lastSet(ctx) = dir
+          }
+        }
         df.checkpoint(eager = true)
       case None =>
         df.localCheckpoint(eager = true)

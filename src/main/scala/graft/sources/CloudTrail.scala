@@ -150,19 +150,24 @@ object CloudTrail {
     * served from the persisted columnar form for the other eight rules,
     * instead of re-parsed nine times. MEMORY_AND_DISK so a large SF
     * spills instead of OOMing; the cluster-scale analog is materializing
-    * the projected view to parquet once per collection cycle. The map is
-    * weak-keyed on the session so stopped test sessions don't pin
-    * frames.
+    * the projected view to parquet once per collection cycle.
+    *
+    * A weak-keyed map would never evict here — a cached DataFrame
+    * strongly references its own SparkSession, pinning the key — so the
+    * cache instead drops entries for stopped sessions on every lookup
+    * (the persisted blocks died with the session's context; only the
+    * stale map entries need collecting). Bounded: a JVM holds a handful
+    * of (session, dir) pairs.
     */
-  private val shared =
-    new java.util.WeakHashMap[
-      SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private val shared = scala.collection.mutable.Map[
+    (SparkSession, String), DataFrame]()
 
   def sharedFromEvents(spark: SparkSession, dir: String): DataFrame =
     shared.synchronized {
-      val perDir = shared.computeIfAbsent(
-        spark, _ => scala.collection.mutable.Map.empty)
-      perDir.getOrElseUpdate(dir, {
+      shared.filterInPlace { case ((s, _), _) =>
+        !s.sparkContext.isStopped
+      }
+      shared.getOrElseUpdate((spark, dir), {
         val df = fromEvents(graft.Tables.t(spark, dir, "events"))
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         df

@@ -17,9 +17,11 @@ import org.apache.spark.sql.types._
   */
 object InventoryConnectors {
 
-  /** Land-time snapshot instant, overridable for deterministic tests
-    * (the reference stamps `datetime.utcnow()` at ingest). */
-  private def snapshotAt(): Column = current_timestamp()
+  // Each lander takes the land instant as a parameter defaulting to
+  // current_timestamp() — the reference stamps one utcnow() per ingest
+  // batch, and a per-action re-evaluation of current_timestamp() would
+  // stamp retried writes differently; callers that need a fixed batch
+  // instant (or a deterministic test) pass a literal.
 
   // --- tenable_io (tenable_io.py:46-68 landing tables) ---------------
 
@@ -41,7 +43,8 @@ object InventoryConnectors {
   /** tenable_io.py:101-140 ingest_users — USER_LANDING_TABLE with the
     * role derived from the permissions code (the reference's literal
     * fallback string, unformatted braces included, is kept verbatim). */
-  def landTenableUsers(spark: SparkSession, path: String): DataFrame =
+  def landTenableUsers(spark: SparkSession, path: String,
+      at: Column = current_timestamp()): DataFrame =
     Connectors.jsonLines(spark, path, tenableUserSchema)
       .select(
         col("username"),
@@ -51,7 +54,7 @@ object InventoryConnectors {
           .when(col("permissions") === 40, "Scan Manager")
           .when(col("permissions") === 64, "Administrator")
           .otherwise("unknown permissions {permissions}").as("role"),
-        col("raw"), snapshotAt().as("snapshot_at"),
+        col("raw"), at.as("snapshot_at"),
         col("uuid"), col("id"), col("user_name"), col("email"),
         col("type"), col("permissions").as("permission"),
         col("last_login_attempt"), col("login_fail_count"),
@@ -61,9 +64,10 @@ object InventoryConnectors {
 
   /** tenable_io.py:66-68 — agent and vuln exports land raw-only:
     * (raw VARIANT, export_at). */
-  def landTenableExport(spark: SparkSession, path: String): DataFrame =
+  def landTenableExport(spark: SparkSession, path: String,
+      at: Column = current_timestamp()): DataFrame =
     spark.read.text(path)
-      .select(col("value").as("raw"), snapshotAt().as("export_at"))
+      .select(col("value").as("raw"), at.as("export_at"))
 
   // --- jamf_inventory (jamf_inventory.py:53-72) -----------------------
 
@@ -99,11 +103,12 @@ object InventoryConnectors {
     * object id + insert time. IDENTITY requires unique increasing ids,
     * not dense ones, so the distributed monotonic id is used — a global
     * row_number would funnel the whole scan through one partition. */
-  def landAssetpanda(spark: SparkSession, path: String): DataFrame =
+  def landAssetpanda(spark: SparkSession, path: String,
+      at: Column = current_timestamp()): DataFrame =
     Connectors.jsonLines(spark, path, assetpandaSchema)
       .select(
         (monotonically_increasing_id() + 1).as("insert_id"),
-        col("raw"), col("id"), snapshotAt().as("insert_at"))
+        col("raw"), col("id"), at.as("insert_at"))
 
   // --- aws_config (aws_config.py:49-66, 170-193) ----------------------
 
@@ -161,10 +166,11 @@ object InventoryConnectors {
 
   /** aws_accounts.py ingest — Organizations list_accounts pages landed
     * with the account Name as account_alias. */
-  def landAwsAccounts(spark: SparkSession, path: String): DataFrame =
+  def landAwsAccounts(spark: SparkSession, path: String,
+      at: Column = current_timestamp()): DataFrame =
     Connectors.jsonLines(spark, path, awsAccountsSchema)
       .select(
-        col("raw"), snapshotAt().as("created_at"),
+        col("raw"), at.as("created_at"),
         col("Arn").as("arn"), col("Email").as("email"),
         col("Id").as("account_id"),
         col("JoinedMethod").as("joined_method"),
@@ -269,10 +275,11 @@ object InventoryConnectors {
   /** aws_inventory.py create_asset_table/ingest: land one asset type's
     * snapshot (monitored time stamped at land). */
   def landAwsInventory(
-      spark: SparkSession, path: String, assetType: String): DataFrame = {
+      spark: SparkSession, path: String, assetType: String,
+      at: Column = current_timestamp()): DataFrame = {
     val (schema, renames) = awsInventoryShapes(assetType)
     Connectors.jsonLines(spark, path, schema)
-      .select(col("raw") +: snapshotAt().as("monitored_time") +:
+      .select(col("raw") +: at.as("monitored_time") +:
         renames.map { case (from, to) => col(from).as(to) }: _*)
   }
 
@@ -289,10 +296,11 @@ object InventoryConnectors {
     * tenant_id is the connection option, subscription_policies stays a
     * VARIANT subtree. */
   def landAzureSubscriptions(
-      spark: SparkSession, path: String, tenantId: String): DataFrame =
+      spark: SparkSession, path: String, tenantId: String,
+      at: Column = current_timestamp()): DataFrame =
     Connectors.jsonLines(spark, path, azureSubscriptionSchema)
       .select(
-        snapshotAt().as("event_time"),
+        at.as("event_time"),
         lit(tenantId).as("tenant_id"),
         col("raw"), col("id"), col("subscription_id"),
         col("display_name"), col("state"),
@@ -314,10 +322,11 @@ object InventoryConnectors {
     * subscription_id parameter mirrors GET_SUBSCRIPTION_IDS_SQL's
     * fan-out); profile subtrees stay VARIANT JSON text. */
   def landAzureVms(
-      spark: SparkSession, path: String, subscriptionId: String): DataFrame =
+      spark: SparkSession, path: String, subscriptionId: String,
+      at: Column = current_timestamp()): DataFrame =
     Connectors.jsonLines(spark, path, azureVmSchema)
       .select(
-        snapshotAt().as("event_time"),
+        at.as("event_time"),
         col("raw"),
         get_json_object(col("raw"), "$.hardware_profile")
           .as("hardware_profile"),

@@ -32,6 +32,13 @@ class InventoryConnectorsSpec extends SparkSuite {
     val b = df.filter(col("username") === "bob").head
     assert(b.getAs[String]("role") == "unknown permissions {permissions}")
     assert(df.columns.contains("snapshot_at"))
+    // the land instant is injectable — one stamp per batch, not a
+    // per-action current_timestamp() re-evaluation
+    val stamped = InventoryConnectors.landTenableUsers(spark, path,
+        lit("2024-01-05 00:00:00").cast("timestamp"))
+      .select(col("snapshot_at")).distinct().collect()
+    assert(stamped.map(_.getTimestamp(0).toInstant.toString).toSeq ==
+      Seq("2024-01-05T00:00:00Z"))
   }
 
   test("tenable agent/vuln exports land raw-only") {
