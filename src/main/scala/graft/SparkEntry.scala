@@ -23,7 +23,7 @@ object SparkEntry {
       graft.packs.SnowflakeMonitoringPack.queries ++
       graft.packs.OsqueryPack.queries ++ graft.packs.UmbrellaPack.queries ++
       graft.packs.AzureCisPack.queries ++ graft.packs.CisAwsPack.queries ++
-      graft.packs.CisAzurePack.queries
+      graft.packs.CisAzurePack.queries ++ graft.packs.SarsPack.queries
 
   /** DuckDB-equivalent ANSI SQL per query key (omitted → rows-only check). */
   def oracleSql: Map[String, String] =
@@ -34,5 +34,5 @@ object SparkEntry {
       graft.packs.SnowflakeMonitoringPack.oracle ++
       graft.packs.OsqueryPack.oracle ++ graft.packs.UmbrellaPack.oracle ++
       graft.packs.AzureCisPack.oracle ++ graft.packs.CisAwsPack.oracle ++
-      graft.packs.CisAzurePack.oracle
+      graft.packs.CisAzurePack.oracle ++ graft.packs.SarsPack.oracle
 }

@@ -69,6 +69,29 @@ object TextOps {
         Num.r4(avg(col("ws_tokens"))).as("ws_avg"))
       .orderBy(col("source"))
 
+  /** #36b intra-document repetition ratio — the standard corpus-quality
+    * signal (fraction of duplicate word trigrams; boilerplate and
+    * degenerate generations score high). The trigram build + dedup runs
+    * entirely inside per-row array expressions (transform/array_distinct
+    * on the token array) — a narrow shuffle-free projection, never an
+    * explode: at 100 TB the naive explode+groupBy(doc, trigram) shape
+    * would materialize ~n_tokens rows per document. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tri", greatest(size(col("w")) - 2, lit(0)).cast("long"))
+      .withColumn("tri", when(size(col("w")) >= 3, expr(
+        "transform(sequence(0, size(w)-3)," +
+          " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("n_uniq",
+        size(array_distinct(col("tri"))).cast("long"))
+      .withColumn("rep_ratio", Num.r4(
+        when(col("n_tri") > 0,
+          lit(1.0) - col("n_uniq") / col("n_tri")).otherwise(lit(0.0))))
+      .select(col("doc_id"), col("n_tri"), col("n_uniq"), col("rep_ratio"))
+      .orderBy(col("doc_id"))
+
   /** #38 rolling-hash document fingerprint: min md5 over char 5-grams
     * (winnowing with a single global window). The whole per-doc fold
     * runs inside one codegen'd expression (MinGramMd5) — a narrow
@@ -101,6 +124,7 @@ object TextOps {
     "q_pseudonymize" -> pseudonymize _,
     "q_lang_id" -> langId _,
     "q_quality_score" -> qualityScore _,
+    "q_repetition" -> repetition _,
     "q_token_count" -> tokenCount _,
     "q_fingerprint" -> fingerprint _
   )
@@ -132,6 +156,25 @@ object TextOps {
         |)
         |SELECT lang, guess, count(*) AS n
         |FROM guessed GROUP BY lang, guess ORDER BY lang, guess""".stripMargin,
+
+    "q_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), tri AS (
+        |  SELECT doc_id,
+        |    GREATEST(len(w) - 2, 0) AS n_tri,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [] END AS tri
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri,
+        |  CAST(len(list_distinct(tri)) AS BIGINT) AS n_uniq,
+        |  ROUND(CASE WHEN n_tri > 0
+        |    THEN 1.0 - len(list_distinct(tri)) * 1.0 / n_tri
+        |    ELSE 0.0 END, 4) AS rep_ratio
+        |FROM tri ORDER BY doc_id""".stripMargin,
 
     "q_quality_score" ->
       """WITH base AS (

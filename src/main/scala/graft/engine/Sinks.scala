@@ -26,6 +26,12 @@ trait AlertSink extends Serializable {
     * throws on failure (the dispatcher records the error). Runs on
     * executors — implementations must be serializable. */
   def send(alertJson: String): String
+
+  /** Deliver with a per-alert handler config object — the dispatcher's
+    * RECORD-format handler entries ({'type': 'slack', 'channel': ...}
+    * kwargs passed through apply_some, alert_dispatcher.py:66-85).
+    * Default ignores the config; config-aware sinks override. */
+  def send(alertJson: String, configJson: String): String = send(alertJson)
 }
 
 /** Console delivery (the reference's smoke-test path). */
@@ -304,6 +310,102 @@ object Dispatcher {
                   HandlerResult(alertId, handler, success = false,
                     String.valueOf(e.getMessage))
               }
+          }
+        }
+      }
+  }
+
+  /** The dispatcher's poll-batch selection (alert_dispatcher.py
+    * GET_ALERTS_QUERY): `IFF(alert:HANDLERS IS NULL, ticket IS NULL,
+    * handled IS NULL) AND suppressed = FALSE ORDER BY event_time ASC
+    * LIMIT 1000` — alerts routed by explicit handlers are pending until
+    * `handled` is recorded; default-routed alerts are pending until a
+    * `ticket` exists. Missing ticket/handled columns read as null (a
+    * fresh store has neither). orderBy+limit is a TakeOrdered — no full
+    * sort at scale. */
+  def pendingBatch(alerts: DataFrame, limit: Int = 1000): DataFrame = {
+    def colOrNull(n: String) =
+      if (alerts.columns.contains(n)) col(n) else lit(null)
+    alerts
+      .filter(!coalesce(col("suppressed"), lit(false)) &&
+        when(col("handlers").isNull,
+          colOrNull("ticket").isNull).otherwise(colOrNull("handled").isNull))
+      .orderBy(col("event_time").asc)
+      .limit(limit)
+  }
+
+  /** RECORD-format dispatch: `handlersJson` is a VARIANT-style JSON
+    * string column whose value may be NULL (→ `defaultHandler`, the
+    * reference's `handlers = 'jira'` fallback), a scalar string, a
+    * single object, or a heterogeneous array mixing nulls, strings, and
+    * {'type': ..., **kwargs} objects (alert_dispatcher.py:44-92).
+    * Normalization runs executor-side with Jackson (the array is
+    * heterogeneous — a Catalyst from_json schema can't hold it):
+    *   - null entry → the reference appends a literal None; here a
+    *     (handler=null, success=false) row stands in for it
+    *   - string entry → {'type': entry}
+    *   - object without 'type' → success=false 'missing type key'
+    *   - object with 'type' → sink.send(payload, configJson), kwargs
+    *     passed through to config-aware sinks
+    * Same at-least-once semantics as `dispatch`. */
+  def dispatchRecord(
+      alerts: DataFrame,
+      sinks: Seq[AlertSink],
+      handlersJson: String = "handlers",
+      defaultHandler: String = "jira"): Dataset[HandlerResult] = {
+    val routed = alerts.select(
+      col("alert_id").cast("string").as("_1"),
+      (if (alerts.columns.contains(handlersJson))
+        col(handlersJson).cast("string") else lit(null)).as("_2"),
+      to_json(struct(alerts.columns.map(col).toIndexedSeq: _*)).as("_3"))
+    val byName = sinks.map(s => s.name -> s).toMap
+    implicit val enc = Encoders.product[HandlerResult]
+    routed.as[(String, String, String)](Encoders.tuple(
+      Encoders.STRING, Encoders.STRING, Encoders.STRING))
+      .mapPartitions { it =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        it.flatMap { case (alertId, handlersStr, payload) =>
+          val entries: Seq[com.fasterxml.jackson.databind.JsonNode] =
+            if (handlersStr == null || handlersStr.trim.isEmpty)
+              Seq(mapper.getNodeFactory.textNode(defaultHandler))
+            else {
+              val node =
+                try mapper.readTree(handlersStr)
+                catch { // bare handler name landed unquoted
+                  case _: Exception =>
+                    mapper.getNodeFactory.textNode(handlersStr)
+                }
+              if (node == null || node.isNull)
+                Seq(mapper.getNodeFactory.textNode(defaultHandler))
+              else if (node.isArray) node.elements().asScala.toSeq
+              else Seq(node) // scalar string or single object
+            }
+          entries.map { e =>
+            if (e == null || e.isNull)
+              HandlerResult(alertId, null, success = false, null)
+            else {
+              val (tpe, config) =
+                if (e.isTextual) (e.asText(), "{}")
+                else if (e.isObject && e.hasNonNull("type"))
+                  (e.get("type").asText(), e.toString)
+                else (null, e.toString)
+              if (tpe == null)
+                HandlerResult(alertId, null, success = false,
+                  s"missing type key: $config")
+              else byName.get(tpe) match {
+                case None =>
+                  HandlerResult(alertId, tpe, success = false,
+                    s"missing handler: $tpe")
+                case Some(sink) =>
+                  try HandlerResult(alertId, tpe, success = true,
+                    sink.send(payload, config))
+                  catch {
+                    case ex: Exception =>
+                      HandlerResult(alertId, tpe, success = false,
+                        String.valueOf(ex.getMessage))
+                  }
+              }
+            }
           }
         }
       }

@@ -1,0 +1,137 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference's SARs (search-and-respond) process-baseline pipeline
+  * (src/sars/run.py + writeBack.py) re-expressed Spark-first: run.py
+  * pages `raw:"columns":"path"` / `raw:"instance_id"` out of the
+  * osquery_v process_events union over a [-35d, -60min) window, counts
+  * hits per (process, day, instance), and writeBack.py re-creates the
+  * PROCESS_BASELINE table from the result. The driver-side CSV
+  * stdout/stdin plumbing and the LIMIT/OFFSET pagination loop are
+  * client-side workarounds the reference needed because it computed on a
+  * warehouse connection row-by-row; in Spark the whole thing is one
+  * map-side-combined aggregation and a parquet overwrite — no paging, no
+  * driver loop, and the baseline build survives 100 TB because nothing
+  * ever leaves the executors.
+  *
+  * The process_events view is derived deterministically from `events`
+  * (same convention as every other pack) so both queries carry full
+  * DuckDB oracles.
+  */
+object SarsPack {
+  import Tables.t
+
+  // run.py window: event_time >= now-35d AND event_time < now-60min,
+  // anchored like the other packs at 2024-01-30 12:00:00.
+  private val From = "2023-12-26 12:00:00"
+  private val To = "2024-01-30 11:00:00"
+  // new-process detection: the trailing day vs the baseline before it
+  private val DayAgo = "2024-01-29 11:00:00"
+
+  /** osquery_v-shaped process-event view (ref sars/run.py query: columns
+    * path, instance_id, NAME like 'process_events'): every second event
+    * is a process event; the path cycles over 25 binaries per the
+    * deterministic `k` key. Mirrored exactly by the `pe` oracle CTE. */
+  def processEventsFromEvents(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    events
+      .select(col("ts").as("event_time"), col("user_id"), k.as("k"))
+      .withColumn("name",
+        when(col("k") % 2 === 0, "process_events").otherwise("file_events"))
+      .withColumn("process",
+        concat_ws("", lit("/usr/bin/p"), col("k") % 25))
+      .withColumn("instance_id", concat_ws("", lit("i-"), col("user_id")))
+  }
+
+  private val PeCte: String =
+    """WITH pe AS (
+      |  SELECT ts AS event_time, user_id,
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      |    CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+      |           % 2 = 0
+      |         THEN 'process_events' ELSE 'file_events' END AS name,
+      |    '/usr/bin/p' ||
+      |      (CAST(json_extract_string(props, '$.k') AS INTEGER) % 25)
+      |      AS process,
+      |    'i-' || user_id AS instance_id
+      |  FROM events
+      |)""".stripMargin
+
+  /** The baseline build (sars/run.py query): hits per (process, day,
+    * instance) over the trailing window. One shuffle on the group keys,
+    * partial aggregation map-side; the NAME + window filters reach the
+    * scan. */
+  def processBaseline(pe: DataFrame, from: String = From,
+      to: String = To): DataFrame =
+    pe.filter(col("event_time") >= lit(from).cast("timestamp") &&
+        col("event_time") < lit(to).cast("timestamp") &&
+        col("name").like("process_events"))
+      .groupBy(
+        col("process"), to_date(col("event_time")).as("day"),
+        col("instance_id"))
+      .agg(count(lit(1)).as("hits"))
+
+  /** writeBack.py: CREATE OR REPLACE TABLE ... — a parquet overwrite. */
+  def writeBack(baseline: DataFrame, path: String): Unit =
+    baseline.write.mode("overwrite").parquet(path)
+
+  /** The SAR the baseline powers: (process, instance) pairs active in
+    * the trailing day that the 34-day baseline before it never saw —
+    * a broadcast-friendly LEFT ANTI join of two pre-aggregated sides
+    * (never event×event). */
+  def newProcesses(pe: DataFrame): DataFrame = {
+    val recent = processBaseline(pe, DayAgo, To)
+      .groupBy(col("process"), col("instance_id"))
+      .agg(sum(col("hits")).as("hits"))
+    val known = pe
+      .filter(col("event_time") >= lit(From).cast("timestamp") &&
+        col("event_time") < lit(DayAgo).cast("timestamp") &&
+        col("name").like("process_events"))
+      .select(col("process"), col("instance_id")).distinct()
+    recent.join(known, Seq("process", "instance_id"), "left_anti")
+      .orderBy(col("process"), col("instance_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sars_process_baseline" -> ((s: SparkSession, dir: String) =>
+      processBaseline(processEventsFromEvents(t(s, dir, "events")))
+        .orderBy(col("day"), col("process"), col("instance_id"))),
+    "q_sars_new_process" -> ((s: SparkSession, dir: String) =>
+      newProcesses(processEventsFromEvents(t(s, dir, "events"))))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_sars_process_baseline" ->
+      s"""$PeCte
+         |SELECT process, CAST(event_time AS DATE) AS day, instance_id,
+         |  CAST(count(*) AS BIGINT) AS hits
+         |FROM pe
+         |WHERE event_time >= TIMESTAMP '$From'
+         |  AND event_time < TIMESTAMP '$To'
+         |  AND name LIKE 'process_events'
+         |GROUP BY 1, 2, 3
+         |ORDER BY day, process, instance_id""".stripMargin,
+    "q_sars_new_process" ->
+      s"""$PeCte, recent AS (
+         |  SELECT process, instance_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM pe
+         |  WHERE event_time >= TIMESTAMP '$DayAgo'
+         |    AND event_time < TIMESTAMP '$To'
+         |    AND name LIKE 'process_events'
+         |  GROUP BY 1, 2
+         |), known AS (
+         |  SELECT DISTINCT process, instance_id FROM pe
+         |  WHERE event_time >= TIMESTAMP '$From'
+         |    AND event_time < TIMESTAMP '$DayAgo'
+         |    AND name LIKE 'process_events'
+         |)
+         |SELECT r.process, r.instance_id, r.hits FROM recent r
+         |WHERE NOT EXISTS (SELECT 1 FROM known k
+         |  WHERE k.process = r.process AND k.instance_id = r.instance_id)
+         |ORDER BY process, instance_id""".stripMargin
+  )
+}

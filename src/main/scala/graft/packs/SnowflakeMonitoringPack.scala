@@ -41,7 +41,7 @@ object SnowflakeMonitoringPack {
   private val AlertTimeS = 1706616000L // 2024-01-30T12:00:00Z
 
   private def lh(s: SparkSession, dir: String): DataFrame =
-    SnowflakePack.loginHistoryFromEvents(t(s, dir, "events"))
+    SnowflakePack.sharedLoginHistory(s, dir)
 
   /** query_history-shaped view (ref account_usage.query_history):
     * deterministic query_type / query_text / execution_status / error
@@ -156,8 +156,12 @@ object SnowflakeMonitoringPack {
       |  FROM qh1
       |)""".stripMargin
 
+  /** Shared query_history frame (the reference's `query_history_v`):
+    * 6 rules read this one persisted derivation per (session, dir). */
   private def qh(s: SparkSession, dir: String): DataFrame =
-    queryHistoryFromEvents(t(s, dir, "events"))
+    graft.sources.SharedFrames.get(s, dir, "query_history_v") {
+      queryHistoryFromEvents(t(s, dir, "events"))
+    }
 
   private def win(c: Column, from: String, to: String): Column =
     c >= lit(from).cast("timestamp") && c < lit(to).cast("timestamp")

@@ -81,6 +81,15 @@ object SnowflakePack {
       |  FROM lh0
       |)""".stripMargin
 
+  /** Per-(session, sf-dir) shared login_history frame (the reference's
+    * `snowflake.login_history_v` view layer): the 4 login-profiling
+    * rules across this pack + the monitoring pack read this one
+    * persisted frame instead of re-deriving it from `events` per rule. */
+  def sharedLoginHistory(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.SharedFrames.get(spark, dir, "login_history_v") {
+      loginHistoryFromEvents(t(spark, dir, "events"))
+    }
+
   /** packs/snowflake_query_pack.sql:50-71
     * snowflake_authentication_failure: every failed login is an alert. */
   val authenticationFailure: AlertRule = AlertRule(
@@ -104,7 +113,7 @@ object SnowflakePack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sf_auth_failure" -> ((s: SparkSession, dir: String) =>
       RuleEngine.runAlertRule(
-        loginHistoryFromEvents(t(s, dir, "events")),
+        sharedLoginHistory(s, dir),
         authenticationFailure, col("event_id"),
         From, To, AlertTimeS).orderBy(col("alert_id")))
   )

@@ -145,33 +145,13 @@ object CloudTrail {
 
   /** Per-(session, sf-dir) shared CloudTrail frame — the reference's
     * `data.cloudtrail_v` view layer (aws_query_pack.sql FROM clauses):
-    * every AWS pack rule reads this one frame, so the per-row JSON
-    * extraction and column derivation are computed once per run and
-    * served from the persisted columnar form for the other eight rules,
-    * instead of re-parsed nine times. MEMORY_AND_DISK so a large SF
-    * spills instead of OOMing; the cluster-scale analog is materializing
-    * the projected view to parquet once per collection cycle.
-    *
-    * A weak-keyed map would never evict here — a cached DataFrame
-    * strongly references its own SparkSession, pinning the key — so the
-    * cache instead drops entries for stopped sessions on every lookup
-    * (the persisted blocks died with the session's context; only the
-    * stale map entries need collecting). Bounded: a JVM holds a handful
-    * of (session, dir) pairs.
-    */
-  private val shared = scala.collection.mutable.Map[
-    (SparkSession, String), DataFrame]()
-
+    * every AWS pack rule reads this one frame via [[SharedFrames]], so
+    * the per-row JSON extraction and column derivation are computed once
+    * per run and served from the persisted columnar form for the other
+    * eight rules, instead of re-parsed nine times. */
   def sharedFromEvents(spark: SparkSession, dir: String): DataFrame =
-    shared.synchronized {
-      shared.filterInPlace { case ((s, _), _) =>
-        !s.sparkContext.isStopped
-      }
-      shared.getOrElseUpdate((spark, dir), {
-        val df = fromEvents(graft.Tables.t(spark, dir, "events"))
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df
-      })
+    SharedFrames.get(spark, dir, "cloudtrail_v") {
+      fromEvents(graft.Tables.t(spark, dir, "events"))
     }
 
   /** DuckDB CTE mirroring fromEvents exactly (oracle side). */

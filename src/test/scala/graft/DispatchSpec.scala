@@ -193,4 +193,68 @@ class DispatchSpec extends SparkSuite {
     }
     assert(log.entries.last.error.isDefined)
   }
+
+  // --- alert_dispatcher.py RECORD-format edge cases (lines 44-92) ---
+
+  private def mkVariantAlerts = Seq(
+    // heterogeneous array: string + config object + null entry
+    ("v1", """["memory", {"type": "slack", "channel": "#sec"}, null]"""),
+    ("v2", null.asInstanceOf[String]), // NULL → default handler
+    ("v3", "memory"), // bare scalar (unquoted string value)
+    ("v4", """{"type": "memory"}"""), // single object
+    ("v5", """[{"channel": "#no-type"}]"""), // object missing 'type'
+    ("v6", """"memory"""") // quoted scalar
+  ).toDF("alert_id", "handlers")
+
+  test("dispatchRecord normalizes VARIANT handlers like the dispatcher") {
+    val buf = s"rec-${System.nanoTime()}"
+    val sinks = Seq(new MemorySink(buf), new SlackSink("#alerts", buf + "-s"))
+    val rs = Dispatcher.dispatchRecord(mkVariantAlerts, sinks,
+      defaultHandler = "memory").collect()
+
+    // v1 → memory ok, slack ok (config passed), null entry → null row
+    val v1 = rs.filter(_.alert_id == "v1")
+    assert(v1.length == 3)
+    assert(v1.count(_.success) == 2)
+    assert(v1.exists(r => !r.success && r.handler == null))
+    // v2 NULL handlers → default
+    val v2 = rs.filter(_.alert_id == "v2")
+    assert(v2.map(r => (r.handler, r.success)).toSeq == Seq(("memory", true)))
+    // v3/v6 scalars and v4 single object all route to memory
+    for (id <- Seq("v3", "v4", "v6")) {
+      val r = rs.filter(_.alert_id == id)
+      assert(r.length == 1 && r.head.success && r.head.handler == "memory",
+        s"$id: ${r.toSeq}")
+    }
+    // v5 object without 'type' → the reference's 'missing type key' error
+    val v5 = rs.filter(_.alert_id == "v5")
+    assert(v5.length == 1 && !v5.head.success &&
+      v5.head.details.contains("missing type key"))
+    // deliveries: v1+v2+v3+v4+v6 memory sends
+    assert(MemorySink.drain(buf).length == 5)
+  }
+
+  test("pendingBatch applies the GET_ALERTS gating predicate") {
+    val alerts = Seq(
+      // (id, handlers, ticket, handled, suppressed, event_time)
+      ("p1", null, null, null, false, "2024-01-01 00:00:03"),
+      ("p2", null, "SEC-1", null, false, "2024-01-01 00:00:01"), // ticketed
+      ("p3", """["memory"]""", null, null, false, "2024-01-01 00:00:02"),
+      ("p4", """["memory"]""", null, "[...]", false, "2024-01-01 00:00:04"),
+      ("p5", null, null, null, true, "2024-01-01 00:00:00") // suppressed
+    ).toDF("alert_id", "handlers", "ticket", "handled", "suppressed", "et")
+      .withColumn("event_time", col("et").cast("timestamp"))
+
+    val got = Dispatcher.pendingBatch(alerts).select("alert_id")
+      .as[String].collect().toSeq
+    // p2 handled-by-ticket, p4 already handled, p5 suppressed; ordered
+    // by event_time ascending: p3 (00:02) before p1 (00:03)
+    assert(got == Seq("p3", "p1"))
+    // LIMIT honored
+    assert(Dispatcher.pendingBatch(alerts, limit = 1).count() == 1)
+    // a store with no ticket/handled columns treats both as null:
+    // everything unsuppressed (p1-p4) is pending
+    val bare = alerts.drop("ticket", "handled")
+    assert(Dispatcher.pendingBatch(bare).count() == 4)
+  }
 }

@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
 class MaterializeSpec extends SparkSuite {
   import spark.implicits._
 
+  test("SharedFrames builds a view once per (session, dir, view) and " +
+      "persists it") {
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build = { builds.incrementAndGet(); Seq(1, 2).toDF("x") }
+    val key = s"spec-view-${System.nanoTime()}"
+    val a = graft.sources.SharedFrames.get(spark, "/tmp/a", key)(build)
+    val b = graft.sources.SharedFrames.get(spark, "/tmp/a", key)(build)
+    assert(builds.get() == 1) // second lookup served from the registry
+    assert(a eq b)
+    assert(a.storageLevel.useMemory) // persisted columnar form
+    // a different sf dir or view name is a different frame
+    graft.sources.SharedFrames.get(spark, "/tmp/b", key)(build)
+    assert(builds.get() == 2)
+    a.unpersist()
+  }
+
   test("default path truncates lineage without touching a checkpoint dir") {
     spark.conf.unset(Materialize.ConfKey)
     val out = Materialize.frame(Seq(1, 2, 3).toDF("x"))

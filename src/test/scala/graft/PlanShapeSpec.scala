@@ -56,6 +56,15 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("repetition ratio is a shuffle-free per-row projection") {
+    // trigram build + dedup stay inside array expressions; an
+    // explode+groupBy(doc, trigram) shape would shuffle ~n_tokens rows
+    // per document
+    val plan = planOf("q_repetition")
+    assert(!plan.contains("HashAggregate"), "q_repetition re-grew an agg")
+    assert(!plan.contains("Generate"), "q_repetition explodes trigrams")
+  }
+
   test("anchored-correlation candidate join is keyed by (actor, bucket)") {
     // the self-join must equi-join on the time bucket as well as the
     // actor — actor-only keys let one hot actor generate f² candidates
