@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench session runs 140 queries x2 in one JVM;
+  // localCheckpoint blocks + broadcast relations live in the unified
+  // region until the async ContextCleaner catches up, and a tight heap
+  // turns that into disk eviction stalls on a contended host.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -48,10 +48,31 @@ object Bench {
     // BASELINE.md.)
     def run(name: String): Double = math.min(runOnce(name), runOnce(name))
 
+    // Storage hygiene between queries: Materialize.frame localCheckpoints
+    // (alert frames, per-round cluster state) are only reclaimed when the
+    // JVM GCs the RDD reference and the async ContextCleaner runs. Over
+    // 280 query executions the orphaned blocks accumulate in the unified
+    // memory region, evicting to disk under pressure — which serializes
+    // later checkpoint/broadcast builds behind disk I/O on a contended
+    // host (observed: the three Materialize/broadcast-heavy queries at
+    // 5-19x their steady time in a driver-side run, BASELINE.md
+    // host-variance note). Explicitly unpersisting after each query keeps
+    // storage occupancy bounded by ONE query's working set; SharedFrames
+    // views use df.persist (not localCheckpoint) and are kept.
+    def reclaim(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .filter(graft.RddCheckpointAccess.isLocallyCheckpointed)
+        .foreach(_.unpersist(blocking = false))
+    }
+
     try runOnce("q_agg_pushdown") // session warm-up, untimed
     finally errors.remove("q_agg_pushdown")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+      val r = n -> run(n)
+      reclaim()
+      r
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // full JSON string escaping (all control chars) — Spark error

@@ -88,25 +88,78 @@ object CorpusOps {
     * shuffling; grams are md5'd to fixed width before the join so the
     * broadcast carries 32-byte keys, not raw text. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    // per-doc grams are DEDUPED inside the projection (array_distinct on
+    // the row-local gram array) before the explode: (doc_id, g) is then
+    // unique by construction, so the final aggregate is a plain count —
+    // no distinct-aggregate expand, and the exploded row count shrinks
+    // by the intra-doc repetition factor before it ever hits the join
     val grams = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 4)
       .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(w)-3),
+        """array_distinct(transform(sequence(1, size(w)-3),
           |  i -> md5(concat_ws(' ', element_at(w,i), element_at(w,i+1),
-          |                     element_at(w,i+2), element_at(w,i+3))))"""
+          |                     element_at(w,i+2), element_at(w,i+3)))))"""
           .stripMargin)).as("g"))
     val bench = grams.filter(col("doc_id") % 50 === 0)
       .select(col("g")).distinct()
     grams.filter(col("doc_id") % 50 =!= 0)
       .join(broadcast(bench), Seq("g"))
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("g")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #67 unigram-LM quality score: the corpus IS the language model —
+    * token frequencies over the whole corpus give each word a log-prob,
+    * and a document's quality signal is its mean token log-prob (docs of
+    * rare/garbled tokens score low; the cheap stand-in for a KenLM
+    * perplexity filter, same plan shape). Two aggregates over one
+    * tokenized stream: the vocabulary (word → count) is orders of
+    * magnitude smaller than the corpus, so the scored pass is a
+    * BROADCAST join against the vocab — the 100 TB corpus shuffles only
+    * into the final per-doc aggregate, map-side combined. At production
+    * scale the vocab is capped to top-V with an OOV floor; the synthetic
+    * vocabulary here fits whole. */
+  def lmQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("total"))
+    val lp = freq.crossJoin(broadcast(tot))
+      .select(col("word"), log(col("cnt") / col("total")).as("logp"))
+    toks.join(broadcast(lp), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        Num.r4(avg(col("logp"))).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #68 temperature-scaled mixture sampling: per-language sampling
+    * weight ∝ count^α (α=0.5 — the multilingual-training upsampling of
+    * low-resource strata), mapped to a per-stratum hash cutoff exactly
+    * like [[stratifiedMix]]: tiny census agg → broadcast → filter. No
+    * per-stratum windows, no RNG; re-runs pick identical docs. */
+  def temperatureMix(s: SparkSession, dir: String, alpha: Double = 0.5,
+      target: Int = 200): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val wsum = counts.agg(sum(pow(col("cnt"), alpha)).as("wsum"))
+    val cut = counts.crossJoin(broadcast(wsum))
+      .withColumn("cut",
+        hexCutoff(pow(col("cnt"), alpha) / col("wsum") * target / col("cnt")))
+      .select(col("lang"), col("cut"))
+    docs.join(broadcast(cut), Seq("lang"))
+      .filter(hashPrefix("tmp", col("doc_id"), 6) < col("cut"))
+      .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (decontaminate _),
+    "q_lm_quality" -> (lmQuality _),
+    "q_mix_temperature" -> ((s: SparkSession, dir: String) =>
+      temperatureMix(s, dir)),
     "q_corpus_sample" -> (hashSample _),
     "q_corpus_mix" -> ((s: SparkSession, dir: String) =>
       stratifiedMix(s, dir)),
@@ -129,6 +182,36 @@ object CorpusOps {
         |WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_lm_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), freq AS (
+        |  SELECT word, count(*) AS cnt FROM toks GROUP BY word
+        |), tot AS (SELECT sum(cnt) AS total FROM freq),
+        |lp AS (SELECT word, ln(cnt / total) AS logp FROM freq, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(logp), 4) AS avg_logprob
+        |FROM toks JOIN lp USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+        |), w AS (SELECT sum(power(cnt, 0.5)) AS wsum FROM c),
+        |cut AS (
+        |  SELECT lang,
+        |    CASE WHEN power(cnt,0.5)/wsum*200/cnt >= 1.0 THEN 'g'
+        |         ELSE lower(lpad(to_hex(CAST(floor(
+        |           power(cnt,0.5)/wsum*200/cnt*16777216) AS BIGINT)), 6, '0'))
+        |    END AS cut
+        |  FROM c, w
+        |)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN cut USING (lang)
+        |WHERE substr(md5('tmp:' || d.doc_id), 1, 6) < cut.cut
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_corpus_sample" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents

@@ -355,8 +355,29 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** #66b FUZZY eval-set decontamination: where q_decontaminate flags
+    * exact n-gram overlap, this catches paraphrased/near-duplicate
+    * contamination — training docs whose MinHash-LSH buckets collide
+    * with a held-out eval doc (doc_id % 50 == 0, the same eval split as
+    * q_decontaminate) and whose exact shingle Jaccard confirms the
+    * match. Pure reuse of the lshPairs bucketed plan (never all-pairs:
+    * at 100 TB the eval side is a benchmark suite, so its bucket keys
+    * are a tiny fraction and the join prunes to them), reoriented to
+    * (train_doc, eval_doc). */
+  def fuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val evalA = col("doc_a") % 50 === 0
+    lshPairs(s, dir)
+      .filter(evalA =!= (col("doc_b") % 50 === 0))
+      .select(
+        when(evalA, col("doc_b")).otherwise(col("doc_a")).as("train_doc"),
+        when(evalA, col("doc_a")).otherwise(col("doc_b")).as("eval_doc"),
+        col("jaccard"))
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_curation" -> corpusCuration _,
+    "q_decontaminate_fuzzy" -> fuzzyDecontaminate _,
     "q_dedup_exact" -> exactDedup _,
     "q_minhash_signatures" -> ((s: SparkSession, dir: String) =>
       minhashSignatures(s, dir).orderBy(col("doc_id"))),
@@ -466,6 +487,15 @@ object Dedup {
       s"""$LshPairsCore
          |SELECT doc_a, doc_b, inter, na, nb, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_decontaminate_fuzzy" ->
+      s"""$LshPairsCore
+         |SELECT
+         |  CASE WHEN doc_a % 50 = 0 THEN doc_b ELSE doc_a END AS train_doc,
+         |  CASE WHEN doc_a % 50 = 0 THEN doc_a ELSE doc_b END AS eval_doc,
+         |  jaccard
+         |FROM pairs WHERE (doc_a % 50 = 0) <> (doc_b % 50 = 0)
+         |ORDER BY train_doc, eval_doc""".stripMargin,
 
     "q_corpus_curation" ->
       s"""$LshPairsCore, cedges AS (

@@ -26,6 +26,12 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // bound storage occupancy to one query's working set (see
+        // Bench.reclaim): orphaned localCheckpoint blocks otherwise
+        // accumulate across the 140-query dump
+        spark.sparkContext.getPersistentRDDs.values
+          .filter(graft.RddCheckpointAccess.isLocallyCheckpointed)
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
