@@ -54,7 +54,7 @@ object CisAwsPack {
           .as("actor_id"),
         col("recipient_account_id").as("account_id"))
       .distinct()
-      .join(AwsCollectViews.aliasDim(s, t(s, dir, "nation")),
+      .join(AwsCollectViews.Shared.aliasDim(s, dir),
         Seq("account_id"), "left")
     vioRule("cis_aws_1_1", "QBYAC8Z2RBF",
       "AWS CIS 1.1: Avoid the use of the \"root\" account")(
@@ -68,9 +68,8 @@ object CisAwsPack {
   private def pwRule(
       name: String, queryId: String, title: String, pred: Column)(
       s: SparkSession, dir: String): DataFrame = {
-    val nation = t(s, dir, "nation")
-    val rows = AwsCollectViews.passwordPolicy(nation).filter(pred)
-      .join(AwsCollectViews.aliasDim(s, nation), Seq("account_id"), "left")
+    val rows = AwsCollectViews.Shared.passwordPolicy(s, dir).filter(pred)
+      .join(AwsCollectViews.Shared.aliasDim(s, dir), Seq("account_id"), "left")
     vioRule(name, queryId, title)(rows, aliasObj)
   }
 
@@ -78,9 +77,8 @@ object CisAwsPack {
     * latest credential report per account, root row with an active
     * key. */
   private def rootAccessKey(s: SparkSession, dir: String): DataFrame = {
-    val nation = t(s, dir, "nation")
     val rows = AwsCollectViews
-      .latestBy(AwsCollectViews.credentialReport(s, nation), "account_id")
+      .latestBy(AwsCollectViews.Shared.credentialReport(s, dir), "account_id")
       .filter(col("user_name") === "<root_account>" &&
         (col("access_key_1_active") || col("access_key_2_active")))
     vioRule("cis_aws_1_12", "YO2KZE2JCG9",
@@ -91,12 +89,11 @@ object CisAwsPack {
   /** cis_aws_pack.sql:543-605 CIS 1.13 — root MFA off: latest account
     * summary with account_mfa_enabled <> 1 (or unreported). */
   private def rootMfa(s: SparkSession, dir: String): DataFrame = {
-    val nation = t(s, dir, "nation")
     val rows = AwsCollectViews
-      .latestBy(AwsCollectViews.accountSummary(s, nation), "account_id")
+      .latestBy(AwsCollectViews.Shared.accountSummary(s, dir), "account_id")
       .filter(col("account_mfa_enabled").isNull ||
         col("account_mfa_enabled") =!= 1)
-      .join(AwsCollectViews.aliasDim(s, nation), Seq("account_id"), "left")
+      .join(AwsCollectViews.Shared.aliasDim(s, dir), Seq("account_id"), "left")
     vioRule("cis_aws_1_13", "NLDRNE9GIQB",
       "AWS CIS 1.13: Ensure MFA is enabled for the \"root\" account")(
       rows, aliasObj)
@@ -108,19 +105,18 @@ object CisAwsPack {
     * reproduced verbatim), flagging accounts without MFA or whose MFA
     * is satisfied by a VIRTUAL root device. */
   private def rootHardwareMfa(s: SparkSession, dir: String): DataFrame = {
-    val nation = t(s, dir, "nation")
-    val devices = AwsCollectViews.virtualMfaDevices(nation)
+    val devices = AwsCollectViews.Shared.virtualMfaDevices(s, dir)
       .filter(col("serial_number").like("%root%"))
       .select(col("serial_number"))
     val rows = AwsCollectViews
-      .latestBy(AwsCollectViews.accountSummary(s, nation), "account_id")
+      .latestBy(AwsCollectViews.Shared.accountSummary(s, dir), "account_id")
       .crossJoin(broadcast(devices))
       .filter(col("account_mfa_enabled").isNull ||
         col("account_mfa_enabled") =!= 1 ||
         (col("account_mfa_enabled") === 1 &&
           col("serial_number").like("%root%")))
       .select(col("account_id")).distinct()
-      .join(AwsCollectViews.aliasDim(s, nation), Seq("account_id"), "left")
+      .join(AwsCollectViews.Shared.aliasDim(s, dir), Seq("account_id"), "left")
     vioRule("cis_aws_1_14", "ZDIAEIEAMP",
       "AWS CIS 1.14: Ensure hardware MFA is enabled for the \"root\" account")(
       rows, aliasObj)
@@ -130,12 +126,10 @@ object CisAwsPack {
     * users (one violation per distinct account/policy — the
     * reference's identity hash). */
   private def policyOnUser(s: SparkSession, dir: String): DataFrame = {
-    val nation = t(s, dir, "nation")
-    val rows = AwsCollectViews
-      .entitiesForPolicy(s, t(s, dir, "customer"), nation)
+    val rows = AwsCollectViews.Shared.entitiesForPolicy(s, dir)
       .filter(col("user_id").isNotNull || col("user_name").isNotNull)
       .select(col("account_id"), col("policy_arn")).distinct()
-      .join(AwsCollectViews.aliasDim(s, nation), Seq("account_id"), "left")
+      .join(AwsCollectViews.Shared.aliasDim(s, dir), Seq("account_id"), "left")
     vioRule("cis_aws_1_16", "ASKJ865AQ9",
       "AWS CIS 1.16: Ensure IAM policies are attached only to groups or roles")(
       rows, concat_ws("", col("policy_arn"), lit(" at "), aliasObj))
@@ -144,16 +138,15 @@ object CisAwsPack {
   /** cis_aws_pack.sql:725-789 CIS 1.20 — AWSSupportAccess policy with
     * no attached entity at the latest snapshot. */
   private def supportRole(s: SparkSession, dir: String): DataFrame = {
-    val nation = t(s, dir, "nation")
     val rows = AwsCollectViews.latestBy(
-        AwsCollectViews.entitiesForPolicy(s, t(s, dir, "customer"), nation)
+        AwsCollectViews.Shared.entitiesForPolicy(s, dir)
           .filter(col("policy_arn") ===
             "arn:aws:iam::aws:policy/AWSSupportAccess"),
         "account_id", "policy_arn")
       .filter(col("group_name").isNull && col("user_name").isNull &&
         col("role_name").isNull)
       .select(col("account_id")).distinct()
-      .join(AwsCollectViews.aliasDim(s, nation), Seq("account_id"), "left")
+      .join(AwsCollectViews.Shared.aliasDim(s, dir), Seq("account_id"), "left")
     vioRule("cis_aws_1_20", "ZIXF9ISIDDB",
       "AWS CIS 1.20: Ensure a support role has been created to manage incidents with AWS Support")(
       rows, aliasObj)
@@ -164,7 +157,7 @@ object CisAwsPack {
     * reference's LATERAL FLATTEN of document:Statement). */
   private def fullAdminPolicy(s: SparkSession, dir: String): DataFrame = {
     val rows = AwsCollectViews.latestBy(
-        AwsCollectViews.policyVersions(s, t(s, dir, "customer")),
+        AwsCollectViews.Shared.policyVersions(s, dir),
         "account_id", "policy_arn")
       .filter(col("effect") === "Allow" &&
         (col("action").like("%\"*\"%") || col("action") === "*") &&
@@ -180,7 +173,7 @@ object CisAwsPack {
     * validation at the latest describe-trails snapshot. */
   private def trailValidation(s: SparkSession, dir: String): DataFrame = {
     val rows = AwsCollectViews.latestBy(
-        AwsCollectViews.describeTrails(s, t(s, dir, "nation")),
+        AwsCollectViews.Shared.describeTrails(s, dir),
         "account_id", "name")
       .filter(col("log_file_validation_enabled") === "FALSE")
     vioRule("cis_aws_2_2", "G8HQTE899ZL",
@@ -192,14 +185,13 @@ object CisAwsPack {
     * policy has a public Allow block (the reference's LIKE/RLIKE
     * pattern stack over flattened Statement blocks, verbatim). */
   private def trailBucketPublic(s: SparkSession, dir: String): DataFrame = {
-    val nation = t(s, dir, "nation")
     val trailBuckets = AwsCollectViews
-      .latestBy(AwsCollectViews.describeTrails(s, nation), "account_id", "name")
+      .latestBy(AwsCollectViews.Shared.describeTrails(s, dir), "account_id", "name")
       .select(col("account_id").as("tb_account_id"),
         col("s3_bucket_name")).distinct()
     val condExempt =
       "\"Condition\":\\s*\\{\\s*\"ArnEquals\":\\s*\\{\\s*\"aws:SourceArn\":\\s*\"arn:aws:iam"
-    val rows = AwsCollectViews.bucketPolicies(s, nation)
+    val rows = AwsCollectViews.Shared.bucketPolicies(s, dir)
       .join(trailBuckets,
         col("tb_account_id") === col("account_id") &&
           col("s3_bucket_name") === col("bucket"))
@@ -222,11 +214,10 @@ object CisAwsPack {
     * fully-scoped Config recorder (anti-join of the alias dimension
     * against compliant recorder accounts). */
   private def configEnabled(s: SparkSession, dir: String): DataFrame = {
-    val nation = t(s, dir, "nation")
-    val good = AwsCollectViews.configRecorders(nation)
+    val good = AwsCollectViews.Shared.configRecorders(s, dir)
       .filter(col("all_supported") && col("include_global"))
       .select(col("account_id"))
-    val rows = AwsCollectViews.aliasDim(s, nation)
+    val rows = AwsCollectViews.Shared.aliasDim(s, dir)
       .join(good, Seq("account_id"), "left_anti")
     vioRule("cis_aws_2_5", "PWXDLM6H16",
       "AWS CIS 2.5: Ensure AWS Config is enabled in all regions")(
@@ -240,7 +231,7 @@ object CisAwsPack {
       name: String, queryId: String, title: String, port: Int,
       protPred: Column)(s: SparkSession, dir: String): DataFrame = {
     val rows = AwsCollectViews.latestBy(
-        AwsCollectViews.securityGroups(s, t(s, dir, "supplier")),
+        AwsCollectViews.Shared.securityGroups(s, dir),
         "group_id")
       .filter(protPred &&
         ((col("range_start").isNull && col("range_end").isNull) ||
@@ -255,7 +246,7 @@ object CisAwsPack {
     * any non-`-1`-protocol permission. */
   private def defaultSgOpen(s: SparkSession, dir: String): DataFrame = {
     val rows = AwsCollectViews.latestBy(
-        AwsCollectViews.securityGroups(s, t(s, dir, "supplier")),
+        AwsCollectViews.Shared.securityGroups(s, dir),
         "group_id")
       .filter(col("group_name") === "default" && col("prot") =!= "-1")
       .select(col("group_id")).distinct()

@@ -68,7 +68,7 @@ object CisAzurePack {
     * role-definition property paths: root/subscription assignable scope
     * AND wildcard action, custom roles only. */
   private def customOwnerRoles(s: SparkSession, dir: String): DataFrame = {
-    val rows = AzureCollectViews.roleDefinitions(s, t(s, dir, "nation"))
+    val rows = AzureCollectViews.Shared.roleDefinitions(s, dir)
       .groupBy(col("id"), col("tenant_id"), col("subscription_id"),
         col("prop_type"))
       .agg(
@@ -91,7 +91,7 @@ object CisAzurePack {
 
   /** cis_azure_pack.sql:219-260 CIS 2.1 — non-Standard pricing tier. */
   private def pricingStandard(s: SparkSession, dir: String): DataFrame = {
-    val rows = AzureCollectViews.pricings(s, t(s, dir, "nation"))
+    val rows = AzureCollectViews.Shared.pricings(s, dir)
       .filter(after(W2))
       .select(col("tenant_id"), col("subscription_id"), col("name"),
         col("pricing_tier")).distinct()
@@ -103,7 +103,7 @@ object CisAzurePack {
 
   /** cis_azure_pack.sql:262-303 CIS 2.2 — auto-provisioning off. */
   private def autoProvisionOn(s: SparkSession, dir: String): DataFrame = {
-    val rows = AzureCollectViews.autoProvisioning(s, t(s, dir, "nation"))
+    val rows = AzureCollectViews.Shared.autoProvisioning(s, dir)
       .filter(after(W2))
       .select(col("tenant_id"), col("subscription_id"), col("name"),
         col("auto_provision")).distinct()
@@ -142,7 +142,7 @@ object CisAzurePack {
 
   private def ascRule(no: String, qid: String, setting: String,
       param: String)(s: SparkSession, dir: String): DataFrame = {
-    val rows = AzureCollectViews.policyAssignments(s, t(s, dir, "nation"))
+    val rows = AzureCollectViews.Shared.policyAssignments(s, dir)
       .filter(after(W2))
       .select(col("tenant_id"), col("subscription_id"), col("name"),
         col(param)).distinct()
@@ -154,7 +154,7 @@ object CisAzurePack {
     * hygiene over the same contacts view. */
   private def contactRule(no: String, qid: String, title: String,
       pred: Column)(s: SparkSession, dir: String): DataFrame = {
-    val rows = AzureCollectViews.securityContacts(s, t(s, dir, "nation"))
+    val rows = AzureCollectViews.Shared.securityContacts(s, dir)
       .filter(after(W2) && col("type").isNotNull)
       .select(col("tenant_id"), col("subscription_id"), col("name"),
         col("email"), col("phone"), col("alert_notifications"),
@@ -169,7 +169,7 @@ object CisAzurePack {
     * cover read+write+delete; QUALIFY latest-snapshot per account. */
   private def queueLogging(s: SparkSession, dir: String): DataFrame = {
     val rows = latestBy(
-        AzureCollectViews.queueServices(s, t(s, dir, "supplier")),
+        AzureCollectViews.Shared.queueServices(s, dir),
         "tenant_id", "subscription_id", "account_name")
       .filter(!(col("logging_read") && col("logging_write") &&
         col("logging_delete")))
@@ -182,8 +182,8 @@ object CisAzurePack {
   /** cis_azure_pack.sql:1144-1187 CIS 3.6 — containers with any public
     * access level. */
   private def containerPublic(s: SparkSession, dir: String): DataFrame = {
-    val rows = AzureCollectViews
-      .storageContainers(s, t(s, dir, "supplier"))
+    val rows = AzureCollectViews.Shared
+      .storageContainers(s, dir)
       .filter(after(W2))
       .select(col("tenant_id"), col("subscription_id"), col("account_name"),
         col("container_name"), col("public_access")).distinct()
@@ -206,7 +206,7 @@ object CisAzurePack {
     * Allow. */
   private def storageNetworkDefault(s: SparkSession, dir: String)
       : DataFrame = {
-    val rows = AzureCollectViews.storageAccounts(s, t(s, dir, "supplier"))
+    val rows = AzureCollectViews.Shared.storageAccounts(s, dir)
       .filter(after(W2))
       .select(col("tenant_id"), col("subscription_id"), col("account_name"),
         col("network_default_action")).distinct()
@@ -220,7 +220,7 @@ object CisAzurePack {
     * granted (the reference's REGEXP_INSTR word-boundary check). */
   private def storageTrustedServices(s: SparkSession, dir: String)
       : DataFrame = {
-    val rows = AzureCollectViews.storageAccounts(s, t(s, dir, "supplier"))
+    val rows = AzureCollectViews.Shared.storageAccounts(s, dir)
       .filter(after(W2))
       .select(col("tenant_id"), col("subscription_id"), col("account_name"),
         col("network_bypass")).distinct()
@@ -234,8 +234,8 @@ object CisAzurePack {
 
   /** cis_azure_pack.sql:1232-1266 CIS 4.1 — auditing not Enabled. */
   private def sqlAuditing(s: SparkSession, dir: String): DataFrame = {
-    val rows = AzureCollectViews
-      .sqlServersAuditing(s, t(s, dir, "supplier"))
+    val rows = AzureCollectViews.Shared
+      .sqlServersAuditing(s, dir)
       .filter(after(W2))
       .select(col("tenant_id"), col("server_full_id"), col("auditing_state"))
       .distinct()
@@ -249,7 +249,7 @@ object CisAzurePack {
   // --- 5.1.x log profiles ---------------------------------------------
 
   private def profiles(s: SparkSession, dir: String): DataFrame =
-    AzureCollectViews.logProfiles(s, t(s, dir, "nation")).filter(after(W1))
+    AzureCollectViews.Shared.logProfiles(s, dir).filter(after(W1))
 
   /** cis_azure_pack.sql:1312-1358 CIS 5.1.1 — subscriptions with no log
     * profile (NULL name sentinel rows). */
@@ -288,8 +288,8 @@ object CisAzurePack {
         explode(col("locations")).as("location_name"))
       .distinct()
       .withColumn("__covered", lit(1))
-    val rows = AzureCollectViews
-      .subscriptionLocations(t(s, dir, "nation"))
+    val rows = AzureCollectViews.Shared
+      .subscriptionLocations(s, dir)
       .join(covered,
         Seq("tenant_id", "subscription_id", "location_name"), "left")
       .filter(col("__covered").isNull)
@@ -314,7 +314,7 @@ object CisAzurePack {
           .as("account_name"),
         lit("insight-operational-logs").as("container_name"))
       .distinct()
-    val ct = AzureCollectViews.storageContainers(s, t(s, dir, "supplier"))
+    val ct = AzureCollectViews.Shared.storageContainers(s, dir)
       .filter(after(W7))
       .select(col("tenant_id"), col("subscription_id"), col("account_name"),
         col("container_name"), col("public_access")).distinct()
@@ -337,7 +337,7 @@ object CisAzurePack {
       .select(element_at(split(col("storage_account_id"), "/"), 9)
         .as("account_name"))
       .distinct()
-    val sa = AzureCollectViews.storageAccounts(s, t(s, dir, "supplier"))
+    val sa = AzureCollectViews.Shared.storageAccounts(s, dir)
       .filter(after(W7))
       .select(col("tenant_id"), col("subscription_id"), col("account_name"),
         col("key_source"), col("key_vault_properties")).distinct()
@@ -355,10 +355,9 @@ object CisAzurePack {
   /** cis_azure_pack.sql:1658-1726 CIS 5.1.7 — key-vault diagnostic
     * logging absent, wrong category, disabled, or zero retention. */
   private def vaultLogging(s: SparkSession, dir: String): DataFrame = {
-    val nation = t(s, dir, "nation")
-    val rows = AzureCollectViews.vaults(nation)
+    val rows = AzureCollectViews.Shared.vaults(s, dir)
       .filter(col("name").isNotNull)
-      .join(AzureCollectViews.diagnosticSettings(nation)
+      .join(AzureCollectViews.Shared.diagnosticSettings(s, dir)
         .withColumnRenamed("resource_uri", "vault_id"),
         Seq("vault_id"), "left")
       .filter(col("log_category").isNull ||
@@ -386,8 +385,8 @@ object CisAzurePack {
       (dpr.contains("-") &&
         split(dpr, "-").getItem(0).cast("int") <= port &&
         split(dpr, "-").getItem(1).cast("int") >= port)
-    val rows = AzureCollectViews
-      .networkSecurityGroups(s, t(s, dir, "supplier"))
+    val rows = AzureCollectViews.Shared
+      .networkSecurityGroups(s, dir)
       .filter(after(W2))
       .filter(col("access") === "Allow" && col("direction") === "Inbound" &&
         col("protocol") === "TCP" && covers &&
@@ -404,12 +403,11 @@ object CisAzurePack {
     * without a provisioned Network Watcher. */
   private def networkWatcherCoverage(s: SparkSession, dir: String)
       : DataFrame = {
-    val nation = t(s, dir, "nation")
-    val nws = AzureCollectViews.networkWatchers(nation)
+    val nws = AzureCollectViews.Shared.networkWatchers(s, dir)
       .filter(col("provisioning_state") === "Succeeded")
       .select(col("tenant_id"), col("subscription_id"),
         col("location_name"), col("nw_id"))
-    val rows = AzureCollectViews.subscriptionLocations(nation)
+    val rows = AzureCollectViews.Shared.subscriptionLocations(s, dir)
       .join(nws, Seq("tenant_id", "subscription_id", "location_name"),
         "left")
       .filter(col("nw_id").isNull)
@@ -427,10 +425,10 @@ object CisAzurePack {
     * customer-key encryption (visibility-gap disks excluded like the
     * reference's disk_id IS NOT NULL workaround). */
   private def osDiskEncrypted(s: SparkSession, dir: String): DataFrame = {
-    val dsk = AzureCollectViews
-      .disks(s, t(s, dir, "customer"), t(s, dir, "nation"))
+    val dsk = AzureCollectViews.Shared
+      .disks(s, dir)
       .select(col("disk_id"), col("encryption_type"))
-    val rows = AzureCollectViews.virtualMachines(t(s, dir, "customer"))
+    val rows = AzureCollectViews.Shared.virtualMachines(s, dir)
       .join(dsk, col("os_disk_id") === col("disk_id"))
       .filter(!col("encryption_type").isin(GoodEncryption: _*))
       .select(col("tenant_id"), col("subscription_id"), col("vm_id"))
@@ -443,10 +441,10 @@ object CisAzurePack {
   /** cis_azure_pack.sql:2010-2073 CIS 7.2 — any data disk without
     * customer-key encryption (per-element dataDisks landing). */
   private def dataDiskEncrypted(s: SparkSession, dir: String): DataFrame = {
-    val dsk = AzureCollectViews
-      .disks(s, t(s, dir, "customer"), t(s, dir, "nation"))
+    val dsk = AzureCollectViews.Shared
+      .disks(s, dir)
       .select(col("disk_id"), col("encryption_type"))
-    val rows = AzureCollectViews.vmDataDisks(t(s, dir, "customer"))
+    val rows = AzureCollectViews.Shared.vmDataDisks(s, dir)
       .join(dsk, col("data_disk_id") === col("disk_id"))
       .filter(!col("encryption_type").isin(GoodEncryption: _*))
       .select(col("tenant_id"), col("subscription_id"), col("vm_id"))
@@ -460,8 +458,8 @@ object CisAzurePack {
     * customer-key encryption. */
   private def unattachedDiskEncrypted(s: SparkSession, dir: String)
       : DataFrame = {
-    val rows = AzureCollectViews
-      .disks(s, t(s, dir, "customer"), t(s, dir, "nation"))
+    val rows = AzureCollectViews.Shared
+      .disks(s, dir)
       .filter(col("managed_by").isNull &&
         !col("encryption_type").isin(GoodEncryption: _*))
     vio("azure_cis_7_3", "CN4YBO0X01B",
@@ -472,7 +470,7 @@ object CisAzurePack {
   /** cis_azure_pack.sql:2120-2152 CIS 7.4 — unapproved VM extensions
     * (one violation per VM, the reference's identity). */
   private def approvedExtensions(s: SparkSession, dir: String): DataFrame = {
-    val rows = AzureCollectViews.vmExtensions(t(s, dir, "customer"))
+    val rows = AzureCollectViews.Shared.vmExtensions(s, dir)
       .filter(col("name").isNotNull &&
         !col("name").isin("LinuxDiagnostic", "AzureNetworkWatcherExtension"))
       .select(col("tenant_id"), col("vm_id")).distinct()
@@ -486,7 +484,7 @@ object CisAzurePack {
   /** cis_azure_pack.sql:2155-2193 CIS 8.1 — enabled keys without an
     * expiration date (error rows excluded). */
   private def keyExpiration(s: SparkSession, dir: String): DataFrame = {
-    val rows = AzureCollectViews.vaultsKeys(t(s, dir, "customer"))
+    val rows = AzureCollectViews.Shared.vaultsKeys(s, dir)
       .filter(col("error").isNull && col("enabled") &&
         col("expires").isNull)
     vio("azure_cis_8_1", "J9SXTR77OP",
@@ -497,7 +495,7 @@ object CisAzurePack {
   /** cis_azure_pack.sql:2195-2232 CIS 8.2 (the reference titles it
     * "keys" — kept verbatim). */
   private def secretExpiration(s: SparkSession, dir: String): DataFrame = {
-    val rows = AzureCollectViews.vaultsSecrets(t(s, dir, "customer"))
+    val rows = AzureCollectViews.Shared.vaultsSecrets(s, dir)
       .filter(col("error").isNull && col("enabled") &&
         col("expires").isNull)
     vio("azure_cis_8_2", "HSUI200N9J",

@@ -483,4 +483,56 @@ object AwsCollectViews {
       |      THEN '::/0' ELSE '[]' END AS source_ips_v6
       |  FROM supplier, snaps, (VALUES (0), (1)) p(i)
       |)""".stripMargin
+
+  /** Per-(session, sf-dir) persisted snapshot views — the landed
+    * `aws_collect_*` tables (connectors/aws_collect.py lands each API
+    * response once per collection cycle; the 20 CIS rules then scan
+    * the landed tables). Raw views only: latest-snapshot dedup and
+    * recency windows stay inside the rules so the stale-snapshot traps
+    * keep biting. The broadcast alias dimension is persisted too — it
+    * is left-joined by every rule. */
+  object Shared {
+    import graft.Tables.t
+    private def v(s: SparkSession, dir: String, name: String)(
+        b: => DataFrame): DataFrame =
+      SharedFrames.get(s, dir, "aws_" + name)(b)
+    private def nat(s: SparkSession, dir: String) = t(s, dir, "nation")
+
+    // re-hint outside the persisted frame: a broadcast hint inside an
+    // InMemoryRelation does not reach the consuming join's planning
+    def aliasDim(s: SparkSession, dir: String): DataFrame =
+      broadcast(v(s, dir, "alias_dim")(
+        AwsCollectViews.aliasDim(s, nat(s, dir))))
+    def passwordPolicy(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "password_policy")(
+        AwsCollectViews.passwordPolicy(nat(s, dir)))
+    def credentialReport(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "credential_report")(
+        AwsCollectViews.credentialReport(s, nat(s, dir)))
+    def accountSummary(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "account_summary")(
+        AwsCollectViews.accountSummary(s, nat(s, dir)))
+    def virtualMfaDevices(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "virtual_mfa_devices")(
+        AwsCollectViews.virtualMfaDevices(nat(s, dir)))
+    def entitiesForPolicy(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "entities_for_policy")(
+        AwsCollectViews.entitiesForPolicy(
+          s, t(s, dir, "customer"), nat(s, dir)))
+    def policyVersions(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "policy_versions")(
+        AwsCollectViews.policyVersions(s, t(s, dir, "customer")))
+    def describeTrails(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "describe_trails")(
+        AwsCollectViews.describeTrails(s, nat(s, dir)))
+    def bucketPolicies(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "bucket_policies")(
+        AwsCollectViews.bucketPolicies(s, nat(s, dir)))
+    def configRecorders(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "config_recorders")(
+        AwsCollectViews.configRecorders(nat(s, dir)))
+    def securityGroups(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "security_groups")(
+        AwsCollectViews.securityGroups(s, t(s, dir, "supplier")))
+  }
 }

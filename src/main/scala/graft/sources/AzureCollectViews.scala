@@ -734,4 +734,85 @@ object AzureCollectViews {
       |$PolicyColsSql
       |  FROM nation, az_snaps
       |)""".stripMargin
+
+  /** Per-(session, sf-dir) persisted snapshot views — the code-level
+    * analogue of the landed `azure_collect_*` tables the reference's
+    * rules read (connectors/azure_collect.py lands each API page once
+    * per collection cycle; every pack rule then scans the landed
+    * table). Only the RAW views are persisted: recency filters and
+    * QUALIFY latest-snapshot dedup stay inside each rule, so the
+    * stale-snapshot (D1) traps keep biting a rule that forgets them.
+    * At cluster scale the analogue is the collect cycle writing each
+    * snapshot to parquet once and 41 rules scanning the columnar
+    * landed form instead of re-deriving it. */
+  object Shared {
+    import graft.Tables.t
+    private def v(s: SparkSession, dir: String, name: String)(
+        b: => DataFrame): DataFrame =
+      SharedFrames.get(s, dir, "az_" + name)(b)
+    private def nat(s: SparkSession, dir: String) = t(s, dir, "nation")
+    private def sup(s: SparkSession, dir: String) = t(s, dir, "supplier")
+    private def cus(s: SparkSession, dir: String) = t(s, dir, "customer")
+
+    def roleDefinitions(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "role_definitions")(
+        AzureCollectViews.roleDefinitions(s, nat(s, dir)))
+    def pricings(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "pricings")(AzureCollectViews.pricings(s, nat(s, dir)))
+    def autoProvisioning(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "auto_provisioning")(
+        AzureCollectViews.autoProvisioning(s, nat(s, dir)))
+    def policyAssignments(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "policy_assignments")(
+        AzureCollectViews.policyAssignments(s, nat(s, dir)))
+    def securityContacts(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "security_contacts")(
+        AzureCollectViews.securityContacts(s, nat(s, dir)))
+    def queueServices(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "queue_services")(
+        AzureCollectViews.queueServices(s, sup(s, dir)))
+    def storageAccounts(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "storage_accounts")(
+        AzureCollectViews.storageAccounts(s, sup(s, dir)))
+    def storageContainers(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "storage_containers")(
+        AzureCollectViews.storageContainers(s, sup(s, dir)))
+    def sqlServersAuditing(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "sql_servers_auditing")(
+        AzureCollectViews.sqlServersAuditing(s, sup(s, dir)))
+    def logProfiles(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "log_profiles")(
+        AzureCollectViews.logProfiles(s, nat(s, dir)))
+    def subscriptionLocations(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "subscription_locations")(
+        AzureCollectViews.subscriptionLocations(nat(s, dir)))
+    def networkSecurityGroups(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "network_security_groups")(
+        AzureCollectViews.networkSecurityGroups(s, sup(s, dir)))
+    def vaults(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "vaults")(AzureCollectViews.vaults(nat(s, dir)))
+    def diagnosticSettings(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "diagnostic_settings")(
+        AzureCollectViews.diagnosticSettings(nat(s, dir)))
+    def networkWatchers(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "network_watchers")(
+        AzureCollectViews.networkWatchers(nat(s, dir)))
+    def virtualMachines(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "virtual_machines")(
+        AzureCollectViews.virtualMachines(cus(s, dir)))
+    def vmDataDisks(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "vm_data_disks")(
+        AzureCollectViews.vmDataDisks(cus(s, dir)))
+    def vmExtensions(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "vm_extensions")(
+        AzureCollectViews.vmExtensions(cus(s, dir)))
+    def vaultsKeys(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "vaults_keys")(AzureCollectViews.vaultsKeys(cus(s, dir)))
+    def vaultsSecrets(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "vaults_secrets")(
+        AzureCollectViews.vaultsSecrets(cus(s, dir)))
+    def disks(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "disks")(
+        AzureCollectViews.disks(s, cus(s, dir), nat(s, dir)))
+  }
 }
