@@ -195,6 +195,55 @@ object Ann {
       .limit(k)
   }
 
+  /** One Lloyd assignment pass: centroids (cid, cv) are a K×D frame
+    * BROADCAST under the crossJoin; per-row squared-L2 distance is one
+    * fused array expression inside whole-stage codegen; argmin is
+    * min(struct(dist, cid)) — a map-side-combined aggregate keyed on
+    * vec_id, NOT a window over the K-fold expansion. */
+  private def kmAssign(e: DataFrame, c: DataFrame): DataFrame =
+    e.crossJoin(broadcast(c))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("m.cid").as("cid"),
+        col("m.dist").as("dist"), col("v"))
+
+  /** One Lloyd update pass: per-(cluster, dim) partial means (map-side
+    * combined; the result is K×D rows no matter the corpus size),
+    * reassembled into centroid arrays — the [[centroids]] shape. */
+  private def kmUpdate(a: DataFrame): DataFrame =
+    a.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cx")))),
+        _.getField("cx")).as("cv"))
+
+  /** #74 Lloyd k-means over the embedding column: K=8, two iterations,
+    * deterministic init (the K lowest vec_ids seed the centroids — the
+    * production-scale analogue swaps in one k-means|| pass; the loop
+    * body is identical). The vectors are never collected to the driver
+    * and never shuffled on anything wider than vec_id; between
+    * iterations only K×D centroid rows move, exactly how MLlib's
+    * k-means distributes — re-derived here declaratively so Catalyst
+    * keeps the assignment inside codegen. Output: per-cluster census
+    * with mean squared distance (inertia/n). */
+  def kmeans(s: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val e = withV(t(s, dir, "embeddings")).select(col("vec_id"), col("v"))
+    val c0 = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val cFinal = (1 until iters).foldLeft(kmUpdate(kmAssign(e, c0))) {
+      (c, _) => kmUpdate(kmAssign(e, c))
+    }
+    kmAssign(e, cFinal)
+      .groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), Num.r4(avg(col("dist"))).as("avg_ssq"))
+      .orderBy(col("cluster"))
+  }
+
   /** #34 per-label centroids (IVF coarse quantizer). */
   def centroids(s: SparkSession, dir: String): DataFrame =
     withV(t(s, dir, "embeddings"))
@@ -210,8 +259,44 @@ object Ann {
     "q_ann_ivf" -> ((s: SparkSession, dir: String) => ivfAnn(s, dir)),
     "q_ann_batch" -> ((s: SparkSession, dir: String) =>
       annBatch(s, dir, Seq(0L, 1L, 2L), k = 3)),
-    "q_embedding_centroids" -> centroids _
+    "q_embedding_centroids" -> centroids _,
+    "q_kmeans" -> ((s: SparkSession, dir: String) => kmeans(s, dir))
   )
+
+  /** q_kmeans oracle: the two Lloyd iterations + final assignment
+    * unrolled as CTEs over the (vec_id, dim) expansion; argmin via
+    * row_number with the same (dist, cid) tiebreak. */
+  private val KmeansSql: String = {
+    def assignCte(a: String, c: String): String =
+      s"""$a AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT d.vec_id, c.cid,
+         |      sum((d.x - c.x) * (d.x - c.x)) AS dist,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY sum((d.x - c.x) * (d.x - c.x)), c.cid) AS rn
+         |    FROM d JOIN $c c USING (i) GROUP BY d.vec_id, c.cid
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    def updateCte(c: String, a: String): String =
+      s"""$c AS (
+         |  SELECT cid, i, avg(d.x) AS x
+         |  FROM $a JOIN d USING (vec_id) GROUP BY cid, i
+         |)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |d AS (
+       |  SELECT vec_id, i, v[i]::DOUBLE AS x
+       |  FROM e, UNNEST(generate_series(1, len(v))) t(i)
+       |),
+       |c0 AS (SELECT vec_id AS cid, i, x FROM d WHERE vec_id < 8),
+       |${assignCte("a1", "c0")},
+       |${updateCte("c1", "a1")},
+       |${assignCte("a2", "c1")},
+       |${updateCte("c2", "a2")},
+       |${assignCte("a3", "c2")}
+       |SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  round(avg(dist), 4) AS avg_ssq
+       |FROM a3 GROUP BY cid ORDER BY cluster""".stripMargin
+  }
 
   private val CosineCte =
     """WITH e AS (
@@ -231,6 +316,7 @@ object Ann {
       |)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q_kmeans" -> KmeansSql,
     "q_ann_bruteforce" ->
       s"""$CosineCte
          |SELECT vec_id, round(dot / (sqrt(qa) * sqrt(qb)), 4) AS cosine

@@ -375,7 +375,46 @@ object Dedup {
       .orderBy(col("train_doc"), col("eval_doc"))
   }
 
+  /** #77 cross-document repeated-span detection — the exact-substring
+    * half of training-data dedup (the Lee et al. "Deduplicating
+    * Training Data" signal; production runs 50-token windows over a
+    * suffix-array-equivalent, this is the same statistic via hashed
+    * 4-gram windows — the plan is what matters). Per-doc DISTINCT
+    * window hashes (deduped inside the row-local array expression
+    * before the explode, as in decontaminate), then one gram-keyed
+    * aggregate counts how many documents carry each window, and the
+    * join back flags each doc's spans that appear elsewhere. Both
+    * shuffles key on the 32-byte gram hash — never all-pairs, never a
+    * doc×doc join; the gram frame is materialized ONCE and consumed by
+    * both sides (the count and the flag join). Output: per-doc span
+    * census + duplicated fraction. */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(w)-3),
+          |  i -> md5(concat_ws(' ', element_at(w,i), element_at(w,i+1),
+          |                     element_at(w,i+2), element_at(w,i+3)))))"""
+          .stripMargin)).as("g"))
+      .transform(graft.Materialize.frame)
+    val shared = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("g"))
+    grams.join(shared, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      .join(grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams")), Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        Num.r4(coalesce(col("n_dup"), lit(0L)) / col("n_grams"))
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_dedup" -> spanDedup _,
     "q_corpus_curation" -> corpusCuration _,
     "q_decontaminate_fuzzy" -> fuzzyDecontaminate _,
     "q_dedup_exact" -> exactDedup _,
@@ -471,6 +510,26 @@ object Dedup {
       |)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q_span_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(list_aggregate(w[i:i+3], 'string_agg', ' ')) AS g
+        |  FROM words, UNNEST(range(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 4
+        |), shared AS (
+        |  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+        |), census AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(*) FILTER (g IN (SELECT g FROM shared)) AS BIGINT)
+        |      AS n_dup
+        |  FROM grams GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_grams, n_dup,
+        |  round(CAST(n_dup AS DOUBLE) / n_grams, 4) AS dup_ratio
+        |FROM census ORDER BY doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """WITH keyed AS (
         |  SELECT doc_id,

@@ -120,16 +120,137 @@ object TextOps {
         countDistinct(col("actor_pseudo")).as("n_actors"))
       .orderBy(col("aws_region"), col("ip_masked"))
 
+  /** BM25 parameters (the Robertson/Lucene defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** #75 BM25 relevance ranking of the corpus against a fixed query —
+    * the retrieval scorer a training-data pipeline uses for
+    * quality-weighted sampling and eval-set mining. One corpus scan:
+    * doc length is computed BEFORE the token explode and carried
+    * through it, so per-(doc, term) term frequencies need no join back
+    * to the documents table; the explode is filtered to the query's
+    * terms (at web scale: a broadcast hash set) before it shuffles, so
+    * the aggregate sees only matching tokens. The per-term IDF frame is
+    * ≤|query| rows — broadcast. Top-10 via orderBy+limit (TakeOrdered,
+    * no global sort). */
+  def bm25(s: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "table", "scan")): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).as("dl"), col("w"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    val idf = tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("word"),
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5)).as("idf"),
+        col("avgdl"))
+    tf.join(broadcast(idf), Seq("word"))
+      .withColumn("part",
+        col("idf") * (col("tf") * lit(K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(Num.r4(sum(col("part"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** #76 per-source TF-IDF signature terms: the corpus-analysis view
+    * that tells you WHAT each slice of a mixture contains (and the
+    * weighting behind classifier-based quality filters). The wide data
+    * moves once — a map-side-combined (source, word) count; document
+    * frequency and the top-3 window run over the aggregated
+    * vocab×sources frame, which is bounded by |vocab|·|sources| no
+    * matter the corpus size. */
+  def tfidfTerms(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val nSrc = tf.select(col("source")).distinct()
+      .agg(count(lit(1)).as("n_src"))
+    val idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nSrc))
+      .select(col("word"), log(col("n_src").cast("double") / col("df"))
+        .as("idf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("weight").desc, col("word"))
+    tf.join(idf, Seq("word"))
+      .withColumn("weight", col("tf") * col("idf"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("source"), col("word").as("term"),
+        Num.r4(col("weight")).as("weight"), col("rnk"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pseudonymize" -> pseudonymize _,
     "q_lang_id" -> langId _,
     "q_quality_score" -> qualityScore _,
     "q_repetition" -> repetition _,
     "q_token_count" -> tokenCount _,
-    "q_fingerprint" -> fingerprint _
+    "q_fingerprint" -> fingerprint _,
+    "q_bm25" -> ((s: SparkSession, dir: String) => bm25(s, dir)),
+    "q_tfidf" -> ((s: SparkSession, dir: String) => tfidfTerms(s, dir))
   )
 
   def oracle: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), dl AS (
+        |  SELECT doc_id, len(w) AS dl, w FROM docs
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+        |), toks AS (
+        |  SELECT doc_id, dl, unnest(w) AS word FROM dl
+        |), tf AS (
+        |  SELECT doc_id, word, count(*) AS tf, min(dl) AS dl
+        |  FROM toks WHERE word IN ('spark', 'table', 'scan')
+        |  GROUP BY doc_id, word
+        |), idf AS (
+        |  SELECT word,
+        |    ln(1 + (n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf,
+        |    avgdl
+        |  FROM tf, stats GROUP BY word, n_docs, avgdl
+        |)
+        |SELECT doc_id,
+        |  round(sum(idf * (tf * 2.2) /
+        |    (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+        |FROM tf JOIN idf USING (word)
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), tfc AS (
+        |  SELECT source, word, count(*) AS tf FROM toks
+        |  GROUP BY source, word
+        |), ns AS (SELECT count(DISTINCT source) AS n_src FROM tfc),
+        |idf AS (
+        |  SELECT word, ln(CAST(n_src AS DOUBLE) / count(*)) AS idf
+        |  FROM tfc, ns GROUP BY word, n_src
+        |), wt AS (
+        |  SELECT source, word AS term, round(tf * idf, 4) AS weight,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY tf * idf DESC, word) AS INTEGER) AS rnk
+        |  FROM tfc JOIN idf USING (word)
+        |)
+        |SELECT source, term, weight, rnk FROM wt
+        |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
+
     "q_pseudonymize" ->
       s"""${graft.sources.CloudTrail.FromEventsCte}
          |SELECT aws_region,

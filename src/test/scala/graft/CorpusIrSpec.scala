@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 corpus/IR operators: k-means (Ann.kmeans), BM25 + TF-IDF
+  * (TextOps), cross-document repeated spans (Dedup.spanDedup). Each is
+  * pinned against a brute-force Scala reimplementation on sf0.001 (the
+  * DuckDB hash oracle is the cross-engine gate; this pins semantics
+  * against an independent in-process model) plus the plan shapes the
+  * 100 TB story depends on. */
+class CorpusIrSpec extends SparkSuite {
+
+  /** Half-up 4dp rounding — Spark's round()/Num.r4 semantics (math.rint
+    * would do banker's rounding: 0.03125 → .0312, not .0313). */
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private lazy val docs: Seq[(Long, String)] =
+    Tables.t(spark, Sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  // --- k-means -------------------------------------------------------
+
+  test("kmeans partitions every vector and is deterministic") {
+    val n = Tables.t(spark, Sf, "embeddings").count()
+    val out = Ann.kmeans(spark, Sf).collect()
+    assert(out.map(_.getLong(1)).sum == n)
+    val again = Ann.kmeans(spark, Sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("kmeans total inertia does not increase with a second iteration") {
+    def inertia(iters: Int): Double =
+      Ann.kmeans(spark, Sf, iters = iters).collect()
+        .map(r => r.getLong(1) * r.getDouble(2)).sum
+    assert(inertia(2) <= inertia(1) + 1e-6)
+  }
+
+  test("kmeans argmin is an aggregation, not a window sort") {
+    val plan = Ann.kmeans(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "kmeans plans a Window")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), "centroids are not broadcast")
+  }
+
+  // --- BM25 ----------------------------------------------------------
+
+  test("bm25 matches a brute-force scorer") {
+    val terms = Seq("spark", "table", "scan")
+    val (k1, b) = (1.2, 0.75)
+    val lens = docs.map { case (id, t) => id -> t.split(" ").length }.toMap
+    val avgdl = lens.values.sum.toDouble / lens.size
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(terms.contains).map(w => (id, w))
+    }.groupBy(identity).map { case (k, v) => k -> v.size }
+    val df = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size }
+    val idf = df.map { case (w, d) =>
+      w -> math.log(1 + (lens.size - d + 0.5) / (d + 0.5))
+    }
+    val scores = tf.groupBy(_._1._1).map { case (id, m) =>
+      id -> m.map { case ((_, w), f) =>
+        idf(w) * (f * (k1 + 1)) /
+          (f + k1 * (1 - b + b * lens(id) / avgdl))
+      }.sum
+    }
+    val expected = scores.toSeq
+      .map { case (id, sc) => (id, r4(sc)) }
+      .sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val got = TextOps.bm25(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("bm25 idf side is broadcast, top-k is a TakeOrdered") {
+    val plan = TextOps.bm25(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  // --- TF-IDF --------------------------------------------------------
+
+  test("tfidf emits ranks 1..3 per source with non-increasing weights") {
+    val out = TextOps.tfidfTerms(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc.nonEmpty)
+    for ((_, rows) <- bySrc) {
+      assert(rows.map(_._4).sorted.toSeq == Seq(1, 2, 3))
+      val ws = rows.sortBy(_._4).map(_._3)
+      assert(ws.zip(ws.tail).forall { case (a, bb) => a >= bb })
+    }
+  }
+
+  // --- span dedup ----------------------------------------------------
+
+  test("spanDedup matches a brute-force 4-gram model") {
+    val gramSets = docs.map { case (id, t) =>
+      val w = t.split(" ")
+      id -> (if (w.length < 4) Set.empty[String]
+             else w.sliding(4).map(_.mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty)
+    val counts = gramSets.flatMap(_._2).groupBy(identity)
+      .map { case (g, v) => g -> v.size }
+    val expected = gramSets.map { case (id, gs) =>
+      val dup = gs.count(g => counts(g) > 1)
+      (id, gs.size.toLong, dup.toLong, r4(dup.toDouble / gs.size))
+    }.sortBy(_._1)
+    val got = Dedup.spanDedup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+  }
+}
