@@ -155,6 +155,31 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** #78 sequence packing: assemble documents into fixed token-budget
+    * training batches. Docs are hashed into P independent pack streams
+    * (the distributed shape: each stream packs alone, no global
+    * coordination; at 100 TB P scales with the cluster so each
+    * stream's sort fits an executor), then greedily packed in
+    * deterministic doc_id order — a running token cumsum per stream,
+    * bin = the budget window the doc's start falls in. Output is the
+    * per-(stream, bin) batch census a data loader consumes. One
+    * shuffle on the stream key; everything else is a window + agg
+    * inside the stream partition. */
+  def seqPack(s: SparkSession, dir: String, budget: Int = 256,
+      streams: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stream")).orderBy(col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"),
+        (conv(hashPrefix("pack", col("doc_id"), 6), 16, 10)
+          .cast("long") % streams).as("stream"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / budget))
+      .groupBy(col("stream"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("stream"), col("bin"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (decontaminate _),
     "q_lm_quality" -> (lmQuality _),
@@ -163,9 +188,30 @@ object CorpusOps {
     "q_corpus_sample" -> (hashSample _),
     "q_corpus_mix" -> ((s: SparkSession, dir: String) =>
       stratifiedMix(s, dir)),
-    "q_leakage_split" -> (leakageSplit _))
+    "q_leakage_split" -> (leakageSplit _),
+    "q_seq_pack" -> ((s: SparkSession, dir: String) => seqPack(s, dir)))
 
   def oracle: Map[String, String] = Map(
+    // conv(md5_prefix, 16, 10) % 8 depends only on the last hex digit
+    // (16 = 0 mod 8), so the oracle derives the stream from digit 6
+    // alone — same value, no BIGINT hex-parse needed in DuckDB.
+    "q_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |    CAST((strpos('0123456789abcdef',
+        |      substr(md5('pack:' || doc_id), 6, 1)) - 1) % 8 AS BIGINT)
+        |      AS stream
+        |  FROM documents
+        |), c AS (
+        |  SELECT stream, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY stream ORDER BY doc_id) AS cum
+        |  FROM d
+        |)
+        |SELECT stream, CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY stream, bin ORDER BY stream, bin""".stripMargin,
+
     "q_decontaminate" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

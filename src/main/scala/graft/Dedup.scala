@@ -413,7 +413,47 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** #79 cross-source overlap matrix: estimated containment between
+    * every pair of corpus sources — the view that catches a crawl slice
+    * republishing another slice (or an eval set hiding inside a
+    * training source) before mixing. Per-(source, gram) DISTINCT
+    * 4-gram hashes (row-local dedup before the explode, cross-doc
+    * dedup in one (source, g) aggregate), then a gram-keyed self-join
+    * emits each gram's source PAIRS — bounded by |sources|² rows per
+    * gram, never doc×doc — and one aggregate per pair yields
+    * |intersection|; Jaccard closes over broadcast per-source set
+    * sizes. Zero-overlap pairs are absent by construction. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 4)
+      .select(col("source"), explode(expr(
+        """array_distinct(transform(sequence(1, size(w)-3),
+          |  i -> md5(concat_ws(' ', element_at(w,i), element_at(w,i+1),
+          |                     element_at(w,i+2), element_at(w,i+3)))))"""
+          .stripMargin)).as("g"))
+      .distinct()
+      .transform(graft.Materialize.frame)
+    val sizes = grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"))
+    val inter = grams.select(col("source").as("source_a"), col("g"))
+      .join(grams.select(col("source").as("source_b"), col("g")), Seq("g"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_grams", "na")), Seq("source_a"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_grams", "nb")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        Num.r4(col("n_shared") / (col("na") + col("nb") - col("n_shared")))
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap" -> sourceOverlap _,
     "q_span_dedup" -> spanDedup _,
     "q_corpus_curation" -> corpusCuration _,
     "q_decontaminate_fuzzy" -> fuzzyDecontaminate _,
@@ -510,6 +550,31 @@ object Dedup {
       |)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q_source_overlap" ->
+      """WITH words AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT source,
+        |    md5(list_aggregate(w[i:i+3], 'string_agg', ' ')) AS g
+        |  FROM words, UNNEST(range(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 4
+        |), sizes AS (
+        |  SELECT source, count(*) AS n FROM grams GROUP BY source
+        |), inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM grams a JOIN grams b USING (g)
+        |  WHERE a.source < b.source
+        |  GROUP BY a.source, b.source
+        |)
+        |SELECT source_a, source_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) /
+        |    (sa.n + sb.n - n_shared), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.source = source_a
+        |JOIN sizes sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
     "q_span_dedup" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -97,6 +97,48 @@ class CorpusIrSpec extends SparkSuite {
 
   // --- span dedup ----------------------------------------------------
 
+  // --- sequence packing ---------------------------------------------
+
+  test("seqPack conserves every document and token within its stream") {
+    val perDoc = docs.map { case (id, t) => (id, t.split(" ").length) }
+    val out = CorpusOps.seqPack(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._3).sum == perDoc.size)     // every doc packed once
+    assert(out.map(_._4).sum == perDoc.map(_._2).sum) // every token
+    // bins are dense per stream starting at 0 and each bin (except a
+    // stream's last) is filled past the budget boundary by its last doc
+    for ((stream, bins) <- out.groupBy(_._1)) {
+      val ids = bins.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.size.toLong),
+        s"stream $stream has gaps: $ids")
+    }
+  }
+
+  // --- source overlap ------------------------------------------------
+
+  test("sourceOverlap matches a brute-force pairwise Jaccard") {
+    val srcDocs = Tables.t(spark, Sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sets = srcDocs.groupBy(_._1).map { case (src, rows) =>
+      src -> rows.flatMap { case (_, t) =>
+        val w = t.split(" ")
+        if (w.length < 4) Seq.empty
+        else w.sliding(4).map(_.mkString(" ")).toSeq
+      }.toSet
+    }
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size if inter > 0
+    } yield (a, b, inter.toLong,
+      r4(inter.toDouble / (sa.size + sb.size - inter))))
+      .toSeq.sortBy(x => (x._1, x._2))
+    val got = Dedup.sourceOverlap(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+
   test("spanDedup matches a brute-force 4-gram model") {
     val gramSets = docs.map { case (id, t) =>
       val w = t.split(" ")
