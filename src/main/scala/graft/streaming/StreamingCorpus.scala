@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Incremental corpus landing — the streaming half of the training-data
+  * dedup pipeline. At 100 TB you never recompute signatures over the
+  * whole corpus when a crawl batch arrives: new documents stream in,
+  * exact duplicates are dropped AT INGEST (state bounded by the
+  * watermark horizon, not stream length), and each surviving document's
+  * MinHash signature is computed ONCE — the same fused
+  * [[graft.functions.hashes.minhashSlices]] projection as the batch
+  * path, so the landed signature store is bit-identical to what
+  * `Dedup.minhashSignatures` would produce — then appended to the
+  * parquet signature table that the batch LSH pair/cluster pipeline
+  * (`Dedup.lshPairs`) consumes on its own cadence.
+  *
+  * Ref: the reference's connectors land raw batches on a schedule
+  * (connectors_runner.py); this is the same landing contract with
+  * continuous semantics and dedup-at-ingest.
+  */
+object StreamingCorpus {
+
+  /** Exact-duplicate drop at ingest: content-keyed
+    * dropDuplicatesWithinWatermark — a re-crawled/re-posted document
+    * inside the horizon never lands twice; state for a content key is
+    * evicted once the watermark passes it (the same bounded-state
+    * guarantee StreamingAlerts.dedupStream proves for alert_ids). */
+  def dedupIngest(docs: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_key", md5(col("text")))
+      .withWatermark("ingest_time", watermark)
+      .dropDuplicatesWithinWatermark("content_key")
+
+  /** The per-document signature projection: doc identity + 8 minhash
+    * slices, one narrow codegen'd expression per row — no shuffle, no
+    * state. Matches the batch `Dedup.minhashSignatures` columns. */
+  def signatures(docs: DataFrame): DataFrame = {
+    val arr = graft.functions.hashes.minhashSlices(col("text"))
+    docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id") +: col("ingest_time") +:
+        (0 until 8).map(i => element_at(arr, i + 1).as(s"mh$i")): _*)
+  }
+
+  /** Land the deduped signature stream into a parquet signature store:
+    * append-only micro-batches (the landing contract — downstream LSH
+    * reads the store on its own cadence; at-least-once on failure, the
+    * store dedups on doc_id at read time if the sink ever replays). */
+  def landSignatures(docs: DataFrame, storeDir: String,
+      checkpointDir: String,
+      watermark: String = "10 minutes"): StreamingQuery =
+    signatures(dedupIngest(docs, watermark))
+      .writeStream
+      .format("parquet")
+      .option("path", storeDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingCorpus
+
+case class StreamDoc(doc_id: Long, text: String, ingest_time: Timestamp)
+
+/** Incremental corpus landing (§2 #80): dedup-at-ingest, signature
+  * parity with the batch path, and parquet landing across batches. */
+class StreamingCorpusSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dedupIngest drops an exact re-post inside the horizon") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val out = StreamingCorpus.dedupIngest(input.toDF())
+    val q = out.writeStream.format("memory").queryName("corpus_dedup")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      StreamDoc(1, "spark table scan", ts("2024-01-01 10:00:00")),
+      StreamDoc(2, "spark table scan", ts("2024-01-01 10:01:00")), // dup
+      StreamDoc(3, "hash join probe", ts("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    val got = spark.table("corpus_dedup").collect()
+    q.stop()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+  }
+
+  test("streamed signatures are bit-identical to the batch projection") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val q = StreamingCorpus.signatures(input.toDF())
+      .writeStream.format("memory").queryName("corpus_sigs")
+      .outputMode(OutputMode.Append).start()
+    val texts = Seq(
+      (10L, "key agg row scan slow fast table"),
+      (11L, "batch window spark order data column"))
+    input.addData(texts.map { case (id, t) =>
+      StreamDoc(id, t, ts("2024-01-01 10:00:00")) })
+    q.processAllAvailable()
+    val streamed = spark.table("corpus_sigs").collect()
+      .map(r => r.getLong(0) -> (0 until 8).map(i =>
+        r.getAs[String](s"mh$i")).toSeq).toMap
+    q.stop()
+    val arr = graft.functions.hashes.minhashSlices(col("text"))
+    val batch = texts.toDF("doc_id", "text")
+      .select(col("doc_id") +: (0 until 8).map(i =>
+        element_at(arr, i + 1).as(s"mh$i")): _*)
+      .collect().map(r => r.getLong(0) -> (0 until 8).map(i =>
+        r.getAs[String](s"mh$i")).toSeq).toMap
+    assert(streamed == batch)
+  }
+
+  test("landSignatures appends a readable parquet signature store") {
+    implicit val ctx = spark.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-sig-store").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sig-ckpt").toString
+    val input = MemoryStream[StreamDoc]
+    input.addData(
+      StreamDoc(1, "spark table scan runs fast", ts("2024-01-01 10:00:00")),
+      StreamDoc(2, "spark table scan runs fast", ts("2024-01-01 10:00:30")),
+      StreamDoc(3, "hash join probe build side", ts("2024-01-01 10:01:00")))
+    val q1 = StreamingCorpus.landSignatures(input.toDF(), store, ckpt)
+    q1.awaitTermination()
+    // second landing cycle appends without rewriting the store
+    input.addData(
+      StreamDoc(4, "sort merge join spills to disk", ts("2024-01-01 10:20:00")))
+    val q2 = StreamingCorpus.landSignatures(input.toDF(), store, ckpt)
+    q2.awaitTermination()
+    val landed = spark.read.parquet(store)
+    assert(landed.columns.contains("mh0") && landed.columns.contains("mh7"))
+    assert(landed.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L, 4L)) // 2 deduped at ingest, 4 landed by cycle two
+  }
+}
