@@ -195,6 +195,69 @@ object Ann {
       .limit(k)
   }
 
+  /** Product-quantization geometry: D=64 split into M subspaces of
+    * SubDim dims, K codewords per subspace. Codes compress 64 floats
+    * (256 B) to M bytes — the reason PQ is the 100 TB ANN memory story. */
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 16
+
+  /** Rounded squared-L2 distance between subspace m of `v` and of `cv`
+    * — one fused array expression; rounding to 4 decimals makes the
+    * argmin tiebreak identical across engines. */
+  private def pqSubDist(m: Int): org.apache.spark.sql.Column = Num.r4(expr(
+    s"""aggregate(zip_with(slice(v, ${m * PqSubDim + 1}, $PqSubDim),
+       |  slice(cv, ${m * PqSubDim + 1}, $PqSubDim),
+       |  (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"""
+      .stripMargin))
+
+  /** #84 product-quantization ANN (IVF-PQ's compression half): encode
+    * every vector as M subspace codewords, then answer the probe by
+    * asymmetric distance computation — probe-to-codeword distances are
+    * a tiny M×K table, an approximate distance is M lookups against a
+    * vector's CODE, never its floats. Demo codebook = the subvectors
+    * of the K lowest vec_ids (production trains per-subspace Lloyd
+    * iterations with [[kmeans]]'s machinery; encode/search below are
+    * unchanged). Plan shape: codebook broadcast under a crossJoin;
+    * encoding is one map-side-combined argmin aggregate per vector
+    * (M min(struct) aggs, no window); the ADC table is built from the
+    * probe row alone and BROADCAST back onto the M-row-per-vector code
+    * explode — the corpus's float arrays are read once to encode and
+    * never shuffled. At 100 TB the code table is the stored index:
+    * 8 bytes/vector replaces 256, and search touches only codes. */
+  def pqAnn(s: SparkSession, dir: String, probeId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = withV(t(s, dir, "embeddings")).select(col("vec_id"), col("v"))
+    val cb = broadcast(e.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("code"), col("v").as("cv")))
+    val subCols = (0 until PqM).map(m => pqSubDist(m).as(s"d$m"))
+    // per-(vector, codeword) subspace distances, then argmin per
+    // subspace as min(struct(dist, code)) — map-side combined, ties to
+    // the smallest code
+    val codes = e.crossJoin(cb)
+      .select(col("vec_id") +: col("code") +: subCols: _*)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d0"), col("code"))).as("m0"),
+        (1 until PqM).map(m =>
+          min(struct(col(s"d$m"), col("code"))).as(s"m$m")): _*)
+      .select(col("vec_id"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), col(s"m$m.code").as("code"))): _*)).as("c"))
+      .select(col("vec_id"), col("c.m").as("m"), col("c.code").as("code"))
+    // ADC table: probe × codebook → M×K rows, broadcast
+    val dt = broadcast(e.filter(col("vec_id") === probeId)
+      .crossJoin(cb)
+      .select(col("code") +: subCols: _*)
+      .select(col("code"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), col(s"d$m").as("d"))): _*)).as("x"))
+      .select(col("x.m").as("m"), col("code"), col("x.d").as("d")))
+    codes.filter(col("vec_id") =!= probeId)
+      .join(dt, Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(Num.r4(sum(col("d"))).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** One Lloyd assignment pass: centroids (cid, cv) are a K×D frame
     * BROADCAST under the crossJoin; per-row squared-L2 distance is one
     * fused array expression inside whole-stage codegen; argmin is
@@ -260,7 +323,8 @@ object Ann {
     "q_ann_batch" -> ((s: SparkSession, dir: String) =>
       annBatch(s, dir, Seq(0L, 1L, 2L), k = 3)),
     "q_embedding_centroids" -> centroids _,
-    "q_kmeans" -> ((s: SparkSession, dir: String) => kmeans(s, dir))
+    "q_kmeans" -> ((s: SparkSession, dir: String) => kmeans(s, dir)),
+    "q_ann_pq" -> ((s: SparkSession, dir: String) => pqAnn(s, dir))
   )
 
   /** q_kmeans oracle: the two Lloyd iterations + final assignment
@@ -317,6 +381,37 @@ object Ann {
 
   def oracle: Map[String, String] = Map(
     "q_kmeans" -> KmeansSql,
+    // subspace m of dim i is floor((i-1)/8); codebook = vec_id < 16;
+    // per-subspace distances rounded to 4 decimals before the argmin
+    // (same as the Spark side) so ties break identically on code.
+    "q_ann_pq" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, i, v[i]::DOUBLE AS x,
+        |    CAST(floor((i - 1) / 8) AS INTEGER) AS m
+        |  FROM e, UNNEST(generate_series(1, len(v))) t(i)
+        |),
+        |cb AS (SELECT CAST(vec_id AS INTEGER) AS code, i, x, m
+        |       FROM d WHERE vec_id < 16),
+        |sub AS (
+        |  SELECT d.vec_id, cb.code, d.m,
+        |    round(sum((d.x - cb.x) * (d.x - cb.x)), 4) AS dist
+        |  FROM d JOIN cb ON cb.i = d.i
+        |  GROUP BY d.vec_id, cb.code, d.m
+        |),
+        |codes AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code,
+        |      row_number() OVER (PARTITION BY vec_id, m
+        |        ORDER BY dist, code) AS rn
+        |    FROM sub) WHERE rn = 1
+        |),
+        |dt AS (SELECT m, code, dist AS d FROM sub WHERE vec_id = 0)
+        |SELECT c.vec_id, round(sum(dt.d), 4) AS adc_dist
+        |FROM codes c JOIN dt ON dt.m = c.m AND dt.code = c.code
+        |WHERE c.vec_id <> 0
+        |GROUP BY c.vec_id
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
     "q_ann_bruteforce" ->
       s"""$CosineCte
          |SELECT vec_id, round(dot / (sqrt(qa) * sqrt(qb)), 4) AS cosine

@@ -73,7 +73,9 @@ object Bench {
       reclaim()
       r
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // full JSON string escaping (all control chars) — Spark error
     // messages routinely contain tabs/newlines
@@ -93,12 +95,24 @@ object Bench {
       case (k, v) if !errors.contains(k) => v
     }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // scalastyle:off println
-    println(json)
-    // scalastyle:on println
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     Files.writeString(Paths.get(out), json + "\n")
+    // The driver captures only the LAST ~2000 chars of sbt stdout; the
+    // full per-query map (~140 queries, ~5 kB) overflows that window and
+    // the line's head — "metric"/"value" — is lost, so the driver's JSON
+    // parse fails (BENCH_r05..r07 all carry parsed:null). Print a compact
+    // line instead: headline total + the slowest queries that fit, with a
+    // pointer at the committed BENCH.json holding the complete map.
+    val slowest = results.filterNot { case (k, _) => errors.contains(k) }
+      .sortBy(-_._2).take(40)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"errors":$errs,"sf":"$sfDir","full":"$out"}"""
+    // scalastyle:off println
+    println(compact)
+    // scalastyle:on println
     spark.stop()
   }
 }

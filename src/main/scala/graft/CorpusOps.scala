@@ -180,7 +180,47 @@ object CorpusOps {
       .orderBy(col("stream"), col("bin"))
   }
 
+  /** #83 filter-funnel attrition report: the C4/Gopher-style cleaning
+    * cascade (length → mean word length → stopword density → repetition)
+    * with per-source survivor counts at every stage — the observability
+    * view a pipeline owner reads before blessing a mixture ("source X
+    * loses 90% at the repetition gate" is a data bug, not a filter).
+    * All four signals are row-local array expressions computed in ONE
+    * scan; stages are cumulative booleans folded into a single map-side
+    * combined aggregate — no explode, no per-stage passes, no shuffle
+    * of text. Thresholds are constructor-style constants here;
+    * production parameterizes them per source. */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("mtl",
+        (length(col("text")) - (col("n_tok") - 1)) / col("n_tok"))
+      .withColumn("stop_ratio", graft.functions.text.tokenInListCount(
+        col("text"), Seq("the", "a", "of", "and")) / col("n_tok"))
+      .withColumn("n_tri", greatest(size(col("w")) - 2, lit(0)))
+      .withColumn("rep_ratio", when(col("n_tri") > 0,
+        lit(1.0) - size(array_distinct(expr(
+          """transform(sequence(0, size(w)-3),
+            |  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))""".stripMargin)))
+          / col("n_tri")).otherwise(lit(0.0)))
+      .withColumn("p1", (col("n_tok") >= 30).cast("int"))
+      .withColumn("p2", (col("p1") === 1 && col("mtl") <= 4.6).cast("int"))
+      .withColumn("p3",
+        (col("p2") === 1 && col("stop_ratio") >= 0.04).cast("int"))
+      .withColumn("p4",
+        (col("p3") === 1 && col("rep_ratio") <= 0.02).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("p1")).as("n_len"),
+        sum(col("p2")).as("n_wordlen"),
+        sum(col("p3")).as("n_stopword"),
+        sum(col("p4")).as("n_final"),
+        Num.r4(sum(col("p4")) / count(lit(1))).as("keep_rate"))
+      .orderBy(col("source"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_funnel" -> (filterFunnel _),
     "q_decontaminate" -> (decontaminate _),
     "q_lm_quality" -> (lmQuality _),
     "q_mix_temperature" -> ((s: SparkSession, dir: String) =>
@@ -192,6 +232,41 @@ object CorpusOps {
     "q_seq_pack" -> ((s: SparkSession, dir: String) => seqPack(s, dir)))
 
   def oracle: Map[String, String] = Map(
+    "q_filter_funnel" ->
+      """WITH base AS (
+        |  SELECT source, text, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n_tok
+        |  FROM documents
+        |), sig AS (
+        |  SELECT source, n_tok,
+        |    (length(text) - (n_tok - 1)) * 1.0 / n_tok AS mtl,
+        |    len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and')))
+        |      * 1.0 / n_tok AS stop_ratio,
+        |    GREATEST(len(w) - 2, 0) AS n_tri,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      1.0 - len(list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+        |        * 1.0 / GREATEST(len(w) - 2, 0)
+        |    ELSE 0.0 END AS rep_ratio
+        |  FROM base
+        |), staged AS (
+        |  SELECT source,
+        |    CASE WHEN n_tok >= 30 THEN 1 ELSE 0 END AS p1,
+        |    CASE WHEN n_tok >= 30 AND mtl <= 4.6 THEN 1 ELSE 0 END AS p2,
+        |    CASE WHEN n_tok >= 30 AND mtl <= 4.6 AND stop_ratio >= 0.04
+        |      THEN 1 ELSE 0 END AS p3,
+        |    CASE WHEN n_tok >= 30 AND mtl <= 4.6 AND stop_ratio >= 0.04
+        |      AND rep_ratio <= 0.02 THEN 1 ELSE 0 END AS p4
+        |  FROM sig
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(p1) AS BIGINT) AS n_len,
+        |  CAST(sum(p2) AS BIGINT) AS n_wordlen,
+        |  CAST(sum(p3) AS BIGINT) AS n_stopword,
+        |  CAST(sum(p4) AS BIGINT) AS n_final,
+        |  round(sum(p4) * 1.0 / count(*), 4) AS keep_rate
+        |FROM staged GROUP BY source ORDER BY source""".stripMargin,
+
     // conv(md5_prefix, 16, 10) % 8 depends only on the last hex digit
     // (16 = 0 mod 8), so the oracle derives the stream from digit 6
     // alone — same value, no BIGINT hex-parse needed in DuckDB.

@@ -120,6 +120,95 @@ object TextOps {
         countDistinct(col("actor_pseudo")).as("n_actors"))
       .orderBy(col("aws_region"), col("ip_masked"))
 
+  /** PII patterns shared by the scan and the redactor. Kept to the
+    * regex subset with identical semantics in Java regex (Spark) and
+    * RE2 (the DuckDB oracle): character classes, bounded repetition,
+    * \b word boundaries — no lookarounds, no backreferences. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b")
+
+  /** #81 PII census before corpus release: per-source counts of email /
+    * IPv4 / SSN / phone matches and of documents carrying any of them —
+    * the go/no-go report a pipeline checks before text leaves the trust
+    * boundary (the synthetic corpus is PII-free, so every count is a
+    * verified zero; PiiSpec proves the kernels on planted documents).
+    * One scan, four codegen'd regexp_count projections, one map-side
+    * combined aggregate — no explode, no shuffle of text. */
+  def piiScan(s: SparkSession, dir: String): DataFrame = {
+    val counts = PiiPatterns.foldLeft(t(s, dir, "documents")) {
+      case (df, (name, pat)) =>
+        df.withColumn(s"c_$name", regexp_count(col("text"), lit(pat)))
+    }
+    counts
+      .withColumn("flagged",
+        PiiPatterns.map { case (n, _) => col(s"c_$n") > 0 }
+          .reduce(_ || _).cast("int").cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("flagged")).as("n_flagged") +:
+          PiiPatterns.map { case (n, _) =>
+            sum(col(s"c_$n")).cast("long").as(s"n_$n") }: _*)
+      .orderBy(col("source"))
+  }
+
+  /** Redaction companion to [[piiScan]]: every match replaced by a
+    * typed placeholder, applied in PiiPatterns order (email first so
+    * its digits can't be re-matched as a phone). Pure projection —
+    * composes with any corpus write. Spec-tested on planted PII. */
+  def piiRedact(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    PiiPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"[${name.toUpperCase}]")
+    }
+
+  /** Hashed-feature bucket of a token: hex digits 3-4 of md5(word) as
+    * an int ∈ [0, 256) — the fastText hashing trick at demo width
+    * (production widens to 2^20 buckets; the plan is unchanged). */
+  private val QcBuckets = 256
+
+  /** Deterministic "trained" weight for bucket b: first hex digit of
+    * md5("qw:b") recentred to (2h-15)/16 ∈ ±0.9375 — exactly
+    * representable in binary, so Spark's array fold and the oracle's
+    * SUM agree bit-for-bit and the rounded scores can't straddle a
+    * rounding boundary. The 256-entry table is computed once on the
+    * driver and folded into the plan as an array literal. */
+  private def qcWeight(b: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"qw:$b".getBytes("UTF-8"))
+    val h = (digest(0) & 0xff) >>> 4
+    (2 * h - 15) / 16.0
+  }
+
+  /** #82 linear quality classifier over hashed bag-of-words features —
+    * the fastText-style model-based filter (CCNet/LLaMA-pipeline shape)
+    * that complements the heuristic [[qualityScore]]: score =
+    * sigmoid(4 · mean bucket weight). Inference is a shuffle-free
+    * narrow projection: tokenize, bucket each token by md5 prefix, look
+    * its weight up in the broadcast-by-literal table, fold — all inside
+    * one codegen'd row-local expression; at 100 TB the weight table
+    * rides the plan (or a broadcast join at 2^20 buckets) and the scan
+    * never shuffles. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val wts = array((0 until QcBuckets).map(b => lit(qcWeight(b))): _*)
+    t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("avg_w", Num.r4(
+        aggregate(
+          transform(col("w"), tok => element_at(wts,
+            conv(substring(md5(tok), 3, 2), 16, 10).cast("int") + 1)),
+          lit(0d), (acc, x) => acc + x) / col("n_tok")))
+      .withColumn("score",
+        Num.r4(lit(1.0) / (lit(1.0) + exp(lit(-4.0) * col("avg_w")))))
+      .withColumn("verdict",
+        when(col("score") >= 0.5, "keep").otherwise("drop"))
+      .select(col("doc_id"), col("n_tok"), col("avg_w"), col("score"),
+        col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 parameters (the Robertson/Lucene defaults). */
   private val K1 = 1.2
   private val B = 0.75
@@ -201,10 +290,52 @@ object TextOps {
     "q_token_count" -> tokenCount _,
     "q_fingerprint" -> fingerprint _,
     "q_bm25" -> ((s: SparkSession, dir: String) => bm25(s, dir)),
-    "q_tfidf" -> ((s: SparkSession, dir: String) => tfidfTerms(s, dir))
+    "q_tfidf" -> ((s: SparkSession, dir: String) => tfidfTerms(s, dir)),
+    "q_pii_scan" -> piiScan _,
+    "q_quality_classifier" -> qualityClassifier _
   )
 
   def oracle: Map[String, String] = Map(
+    "q_pii_scan" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN
+        |      len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+        |      OR len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0
+        |      OR len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) > 0
+        |      OR len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_email,
+        |  CAST(sum(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS n_ipv4,
+        |  CAST(sum(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))) AS BIGINT) AS n_ssn,
+        |  CAST(sum(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))) AS BIGINT) AS n_phone
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // bucket = hex digits 3-4 of md5(word); weight(b) = (2h-15)/16 with
+    // h the first hex digit of md5('qw:'||b) — weights are multiples of
+    // 1/16 (exact doubles), so SUM/len matches Spark's fold exactly.
+    "q_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |    unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), bw AS (
+        |  SELECT doc_id, n_tok,
+        |    (2 * (strpos('0123456789abcdef', substr(md5('qw:' ||
+        |      ((strpos('0123456789abcdef', substr(md5(word), 3, 1)) - 1) * 16
+        |       + strpos('0123456789abcdef', substr(md5(word), 4, 1)) - 1)
+        |      ), 1, 1)) - 1) - 15) / 16.0 AS wt
+        |  FROM toks
+        |), per AS (
+        |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |    round(sum(wt) / n_tok, 4) AS avg_w
+        |  FROM bw GROUP BY doc_id, n_tok
+        |)
+        |SELECT doc_id, n_tok, avg_w,
+        |  round(1.0 / (1.0 + exp(-4.0 * avg_w)), 4) AS score,
+        |  CASE WHEN round(1.0 / (1.0 + exp(-4.0 * avg_w)), 4) >= 0.5
+        |    THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM per ORDER BY doc_id""".stripMargin,
+
     "q_bm25" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
