@@ -219,7 +219,98 @@ object CorpusOps {
         Num.r4(sum(col("p4")) / count(lit(1))).as("keep_rate"))
       .orderBy(col("source"))
 
+  /** #81a RAG chunking census: split each document into fixed word-count
+    * chunks (64 words, stride 48 → 16-word overlap, the standard
+    * retrieval-index shape) and report, per source, the chunk count and
+    * the chunk-level EXACT-dup rate — the signal that tells a retrieval
+    * pipeline how much of its index is redundant boilerplate. The chunk
+    * text never leaves its row: chunks are hashed inside the per-row
+    * array transform, so only (source, hash) pairs are exploded and the
+    * 100 TB of text stays in the scan. Distinct counting is two-level
+    * (groupBy (source, h) then source) — a map-side-combined shuffle of
+    * longs, no count-distinct expand. */
+  def docChunk(s: SparkSession, dir: String, chunk: Int = 64,
+      stride: Int = 48): DataFrame = {
+    val perChunk = t(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .select(col("source"), explode(expr(
+        s"""transform(sequence(0, cast(floor((size(w)-1)/$stride) as int)),
+           |  k -> xxhash64(concat_ws(' ', slice(w, k*$stride+1, $chunk))))"""
+          .stripMargin)).as("h"))
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    perChunk.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_unique"),
+        Num.r4(lit(1.0) - count(lit(1)) / sum(col("cnt"))).as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** #81b gram-novelty curve: for each document (in doc_id ingest
+    * order), the fraction of its distinct 4-grams that appear for the
+    * FIRST time in the corpus with it — the "is new data still adding
+    * anything" diagnostic read before paying to ingest more of a
+    * source. Grams are deduped row-locally, keyed as xxhash64 longs
+    * (narrow shuffles; the oracle uses raw gram text — every count is
+    * injective-mapping-invariant), materialized ONCE and consumed by
+    * both the first-seen aggregate and the join back. */
+  def gramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = Materialize.frame(t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(w)-3),
+          |  i -> xxhash64(concat_ws(' ', element_at(w,i), element_at(w,i+1),
+          |                          element_at(w,i+2), element_at(w,i+3)))))"""
+          .stripMargin)).as("g")))
+    val firstSeen = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstSeen, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"),
+        Num.r4(sum((col("first_doc") === col("doc_id")).cast("int"))
+          / count(lit(1))).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #81c CCNet-style quality buckets: per-language head/middle/tail
+    * terciles of the unigram-LM score of [[lmQuality]] (CCNet buckets
+    * web text by LM perplexity and trains preferentially on the head).
+    * Buckets are RANK terciles — ntile(3) over (rounded score desc,
+    * doc_id) — because a rank is bit-exact across engines where an
+    * interpolated percentile cutoff is not; the tie-break makes re-runs
+    * byte-identical. The per-language window sort is the testable
+    * stand-in for the production shape (percentile cutoffs estimated on
+    * a sample, broadcast, bucketed by comparison — no global sort);
+    * the census output is identical either way. */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+    val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("total"))
+    val lp = freq.crossJoin(broadcast(tot))
+      .select(col("word"), log(col("cnt") / col("total")).as("logp"))
+    val scored = toks.join(broadcast(lp), Seq("word"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(Num.r4(avg(col("logp"))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("tercile", ntile(3).over(w))
+      .withColumn("bucket", element_at(
+        lit(Array("head", "middle", "tail")), col("tercile")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        Num.r4(avg(col("score"))).as("avg_score"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_chunk" -> ((s: SparkSession, dir: String) => docChunk(s, dir)),
+    "q_gram_novelty" -> (gramNovelty _),
+    "q_ccnet_buckets" -> (ccnetBuckets _),
     "q_filter_funnel" -> (filterFunnel _),
     "q_decontaminate" -> (decontaminate _),
     "q_lm_quality" -> (lmQuality _),
@@ -232,6 +323,68 @@ object CorpusOps {
     "q_seq_pack" -> ((s: SparkSession, dir: String) => seqPack(s, dir)))
 
   def oracle: Map[String, String] = Map(
+    // chunk/novelty counts are invariant under any injective gram/chunk
+    // mapping, so the oracle keys on raw text where Spark keys on
+    // xxhash64 longs — no shared hash function needed.
+    "q_doc_chunk" ->
+      """WITH d AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents
+        |), ch AS (
+        |  SELECT source,
+        |    list_aggregate(w[k*48+1 : k*48+64], 'string_agg', ' ') AS h
+        |  FROM d, UNNEST(range(0,
+        |    CAST(floor((len(w)-1)/48) AS BIGINT) + 1)) AS t(k)
+        |), g AS (
+        |  SELECT source, h, count(*) AS cnt FROM ch GROUP BY source, h
+        |)
+        |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+        |  count(*) AS n_unique,
+        |  round(1.0 - count(*) * 1.0 / sum(cnt), 4) AS dup_rate
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_gram_novelty" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_aggregate(w[i:i+3], 'string_agg', ' ') AS g
+        |  FROM words, UNNEST(range(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 4
+        |), fs AS (
+        |  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |    * 1.0 / count(*), 4) AS novelty
+        |FROM grams JOIN fs USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), freq AS (
+        |  SELECT word, count(*) AS cnt FROM toks GROUP BY word
+        |), tot AS (SELECT sum(cnt) AS total FROM freq),
+        |lp AS (SELECT word, ln(cnt / total) AS logp FROM freq, tot),
+        |scored AS (
+        |  SELECT doc_id, lang, round(avg(logp), 4) AS score
+        |  FROM toks JOIN lp USING (word)
+        |  GROUP BY doc_id, lang
+        |), bucketed AS (
+        |  SELECT lang, score,
+        |    ['head', 'middle', 'tail'][
+        |      ntile(3) OVER (PARTITION BY lang
+        |                     ORDER BY score DESC, doc_id)] AS bucket
+        |  FROM scored
+        |)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(score), 4) AS avg_score
+        |FROM bucketed GROUP BY lang, bucket
+        |ORDER BY lang, bucket""".stripMargin,
+
     "q_filter_funnel" ->
       """WITH base AS (
         |  SELECT source, text, string_split(text, ' ') AS w,

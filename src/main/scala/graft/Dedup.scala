@@ -424,13 +424,19 @@ object Dedup {
     * |intersection|; Jaccard closes over broadcast per-source set
     * sizes. Zero-overlap pairs are absent by construction. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    // gram key = xxhash64 LONG, not an md5 hex string: the (source, g)
+    // distinct and the gram-keyed self-join below shuffle 8-byte longs
+    // instead of 32-char strings (4x narrower exchange, native long
+    // hashing). The oracle keeps md5 — every count here is invariant
+    // under ANY injective gram mapping, so the engines agree without
+    // sharing a hash function (collision odds ~n^2/2^65, negligible).
     val grams = t(s, dir, "documents")
       .select(col("source"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 4)
       .select(col("source"), explode(expr(
         """array_distinct(transform(sequence(1, size(w)-3),
-          |  i -> md5(concat_ws(' ', element_at(w,i), element_at(w,i+1),
-          |                     element_at(w,i+2), element_at(w,i+3)))))"""
+          |  i -> xxhash64(concat_ws(' ', element_at(w,i), element_at(w,i+1),
+          |                          element_at(w,i+2), element_at(w,i+3)))))"""
           .stripMargin)).as("g"))
       .distinct()
       .transform(graft.Materialize.frame)

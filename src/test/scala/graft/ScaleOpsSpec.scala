@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BloomDedupGate, SaltedJoin}
+
+/** Specs for the round-8 scale utilities (salted join, Bloom dedup
+  * gate) and the new corpus diagnostics (chunk census, gram novelty,
+  * CCNet buckets).
+  */
+class ScaleOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // a deliberately skewed fat side: key 1 carries 90% of the rows
+  private lazy val fat = spark.range(0, 2000)
+    .select(when(col("id") % 10 === 0, col("id") % 7).otherwise(lit(1L))
+      .as("k"), col("id").as("payload"))
+  private lazy val slim = Seq((0L, "a"), (1L, "b"), (2L, "c"), (5L, "d"))
+    .toDF("k", "tag")
+
+  test("salted join equals the plain join row-for-row") {
+    val plain = fat.join(slim, Seq("k")).select("k", "payload", "tag")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = SaltedJoin.inner(fat, slim, Seq("k"), salts = 8)
+      .select("k", "payload", "tag")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.length == plain.length)
+    assert(salted.sameElements(plain))
+  }
+
+  test("salted join spreads a hot key over multiple partitions") {
+    val spread = SaltedJoin.inner(fat, slim, Seq("k"), salts = 8)
+      .filter(col("k") === 1L)
+      .select(spark_partition_id().as("p"))
+      .distinct().count()
+    assert(spread > 1, s"hot key stayed on $spread partition(s)")
+  }
+
+  test("salted join is deterministic across re-runs (no rand salt)") {
+    def run() = SaltedJoin.inner(fat, slim, Seq("k"), salts = 8)
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").count().collect().map(_.toSeq).sortBy(_.toString)
+    assert(run().sameElements(run()))
+  }
+
+  test("bloom gate: no false negatives, composed pass equals exact anti-join") {
+    val history = spark.range(0, 5000)
+      .select(xxhash64(concat(lit("doc:"), col("id"))).as("h"))
+    val incoming = spark.range(4000, 9000)
+      .select(xxhash64(concat(lit("doc:"), col("id"))).as("h"))
+    val bf = BloomDedupGate.build(history, "h", expected = 5000, fpp = 0.03)
+    // every historical hash probes positive (definitive-negative law)
+    val (certainNew, _) = BloomDedupGate.gate(history, "h", bf)
+    assert(certainNew.count() == 0L)
+    // composed pass == plain anti-join
+    val exact = incoming.join(history, Seq("h"), "left_anti")
+      .collect().map(_.getLong(0)).sorted
+    val gated = BloomDedupGate.novel(incoming, history, "h", bf)
+      .collect().map(_.getLong(0)).sorted
+    assert(gated.sameElements(exact))
+    // the gate actually short-circuits most novel rows past the join
+    val (fastPath, candidates) = BloomDedupGate.gate(incoming, "h", bf)
+    assert(fastPath.count() > 3000L,
+      s"fast path admitted only ${fastPath.count()} of 4000 novel rows")
+    assert(candidates.count() < 2000L)
+  }
+
+  test("doc chunk census: counts conserve and dup rate is bounded") {
+    val r = Materialize.frame(CorpusOps.docChunk(spark, Sf))
+    assert(r.count() > 0)
+    // every source's uniques cannot exceed its chunks; rate in [0, 1)
+    assert(r.filter(col("n_unique") > col("n_chunks")).count() == 0)
+    assert(r.filter(col("dup_rate") < 0 || col("dup_rate") >= 1)
+      .count() == 0)
+    // total chunks = sum over docs of ceil shape: floor((n_tok-1)/48)+1
+    val expected = Tables.t(spark, Sf, "documents")
+      .select((floor((size(split(col("text"), " ")) - 1) / 48) + 1)
+        .as("n")).agg(sum("n")).collect().head.getLong(0)
+    assert(r.agg(sum("n_chunks")).collect().head.getLong(0) == expected)
+  }
+
+  test("gram novelty: doc 1 is all-novel and fractions are consistent") {
+    val r = Materialize.frame(CorpusOps.gramNovelty(spark, Sf))
+    val first = r.orderBy("doc_id").limit(1).collect().head
+    // the earliest doc's grams are first-seen by definition
+    assert(first.getLong(r.columns.indexOf("n_novel")) ==
+      first.getLong(r.columns.indexOf("n_grams")))
+    assert(r.filter(col("n_novel") > col("n_grams")).count() == 0)
+    // every gram is novel somewhere exactly once: novel counts sum to
+    // the corpus-wide distinct gram count
+    val totalNovel = r.agg(sum("n_novel")).collect().head.getLong(0)
+    val distinctGrams = Tables.t(spark, Sf, "documents")
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 4)
+      .select(explode(expr(
+        """transform(sequence(1, size(w)-3),
+          |  i -> concat_ws(' ', element_at(w,i), element_at(w,i+1),
+          |                 element_at(w,i+2), element_at(w,i+3)))"""
+          .stripMargin)).as("g"))
+      .distinct().count()
+    assert(totalNovel == distinctGrams)
+  }
+
+  test("ccnet buckets: terciles are near-equal within each language") {
+    val r = Materialize.frame(CorpusOps.ccnetBuckets(spark, Sf))
+    assert(r.select("bucket").distinct().count() == 3)
+    // ntile guarantees bucket sizes within 1 of each other per lang
+    val spreadBad = r.groupBy("lang")
+      .agg((max("n_docs") - min("n_docs")).as("d"))
+      .filter(col("d") > 1).count()
+    assert(spreadBad == 0)
+    // head outscores tail in every language (scores are avg log-probs)
+    val wide = r.groupBy("lang")
+      .pivot("bucket", Seq("head", "tail")).sum("avg_score")
+    assert(wide.filter(col("head") < col("tail")).count() == 0)
+  }
+}
