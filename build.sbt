@@ -35,4 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // region until the async ContextCleaner catches up, and a tight heap
   // turns that into disk eviction stalls on a contended host.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+  // 156 queries x2 runs of whole-stage-codegen'd plans emit thousands
+  // of generated classes; the JDK default 240m code cache fills mid-
+  // suite, JIT compilation shuts off ("CodeCache is full"), and later
+  // queries run interpreted — showing up as multi-second spikes that
+  // move between queries run-to-run. 1g keeps every compiled stage hot.
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("SPARK_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -263,14 +263,21 @@ object CorpusOps {
           |  i -> xxhash64(concat_ws(' ', element_at(w,i), element_at(w,i+1),
           |                          element_at(w,i+2), element_at(w,i+3)))))"""
           .stripMargin)).as("g")))
-    val firstSeen = grams.groupBy(col("g"))
+    // no gram-level join back: a doc's novel-gram count is just the
+    // number of grams whose min-doc is that doc, so the first-seen
+    // aggregate REAGGREGATES by its own result (first_doc) and meets
+    // the per-doc gram census in a join of two doc-sized frames —
+    // the gram stream is shuffled (by g, by doc_id) but never joined
+    val novel = grams.groupBy(col("g"))
       .agg(min(col("doc_id")).as("first_doc"))
-    grams.join(firstSeen, Seq("g"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"),
-        Num.r4(sum((col("first_doc") === col("doc_id")).cast("int"))
-          / count(lit(1))).as("novelty"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+    val census = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    census.join(novel, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        Num.r4(coalesce(col("n_novel"), lit(0L)) / col("n_grams"))
+          .as("novelty"))
       .orderBy(col("doc_id"))
   }
 
