@@ -103,4 +103,39 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.matches("(?s).*SortMergeJoin \\[sh#.*"))
     assert(!plan.matches("(?s).*BroadcastHashJoin \\[sh#.*"))
   }
+
+  test("chunk census shuffles hashed longs, never chunk text") {
+    // chunks are hashed inside the row-local transform; if chunk STRINGS
+    // escaped into the exchange the plan would explode before hashing
+    val plan = planOf("q_doc_chunk")
+    assert(!plan.contains("Window"), "q_doc_chunk plans a window")
+    // the explode emits the hash column only. Printed plans list
+    // consumers ABOVE Generate: if chunk strings escaped the explode,
+    // the hashing (concat_ws/xxhash64) would appear in a Project above
+    // the Generate line instead of inside its generator expression.
+    val consumers = plan.substring(0, plan.indexOf("Generate"))
+    assert(!consumers.contains("concat_ws") && !consumers.contains("xxhash64"),
+      "chunk text is materialized outside the per-row transform")
+  }
+
+  test("gram novelty has no gram-level join") {
+    // both sides of the only join are doc-sized aggregates; a join whose
+    // key is the gram hash (g#N) would re-shuffle the full gram stream
+    val plan = planOf("q_gram_novelty")
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty)
+    assert(!joinLines.exists(_.matches(".*Join \\[g#.*")),
+      s"novelty joins at gram level:\n${joinLines.mkString("\n")}")
+  }
+
+  test("ccnet buckets broadcast the vocabulary, window only doc-level rows") {
+    val plan = planOf("q_ccnet_buckets")
+    assert(plan.contains("BroadcastHashJoin"), "vocab join lost broadcast")
+    // the ntile window must consume the per-doc aggregate, not the token
+    // stream: its partition column is the doc-level lang, ordered by the
+    // aggregated score — a token-level window would show word#N
+    val w = plan.substring(plan.indexOf("Window"))
+    assert(!w.substring(1, math.min(w.length, 400)).contains("word#"),
+      "ntile windows the token stream")
+  }
 }
