@@ -45,6 +45,34 @@ object StreamingCorpus {
         (0 until 8).map(i => element_at(arr, i + 1).as(s"mh$i")): _*)
   }
 
+  /** Dedup against the HISTORICAL corpus — the duplicates
+    * [[dedupIngest]] cannot see because they landed before the
+    * watermark horizon. The exact answer is a stream-static anti-join,
+    * but that probes the full 100 TB history's key set every
+    * micro-batch; the scale shape is [[graft.operators.BloomDedupGate]]
+    * applied to the stream: a Bloom filter built ONCE over history
+    * (per AvailableNow landing cycle — rebuild each cycle, exactly
+    * like the batch connectors re-read their watermark) splits each
+    * micro-batch into Bloom-negative docs (certainly new — admitted
+    * with NO join; Bloom filters have no false negatives) and an
+    * ε-sliver of Bloom-positives that goes through the exact
+    * stream-static anti-join. Result: exact semantics, history touched
+    * only by |batch|·ε probe rows.
+    *
+    * `historyKeys` is a BATCH frame of xxhash64 content keys (one
+    * column `h`); the filter is built before the stream starts. */
+  def novelAgainstHistory(docs: DataFrame, historyKeys: DataFrame,
+      expected: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = graft.operators.BloomDedupGate.build(
+      historyKeys, "h", expected, fpp)
+    val keyed = docs.withColumn("h", xxhash64(col("text")))
+    val (certainlyNew, candidates) =
+      graft.operators.BloomDedupGate.gate(keyed, "h", bf)
+    certainlyNew
+      .unionByName(candidates.join(historyKeys, Seq("h"), "left_anti"))
+      .drop("h")
+  }
+
   /** Land the deduped signature stream into a parquet signature store:
     * append-only micro-batches (the landing contract — downstream LSH
     * reads the store on its own cadence; at-least-once on failure, the
