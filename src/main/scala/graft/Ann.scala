@@ -315,7 +315,62 @@ object Ann {
       .agg(Num.r4(avg(col("x"))).as("centroid"))
       .orderBy(col("label"), col("dim"))
 
+  /** #83a k-nearest-neighbor graph: each vector's top-k same-block
+    * neighbors by cosine — the input to graph clustering, SemDeDup, and
+    * diversity sampling. Blocking here is the label column; production
+    * swaps in the IVF cell of [[ivfAnn]] (same plan, many more blocks).
+    * The right side BROADCASTS (vectors are small relative to the
+    * pairwise work), so the quadratic-per-block compare runs at full
+    * scan parallelism instead of collapsing onto one reducer per block
+    * key — with 6 labels a shuffle join would idle 26 of 32 slots. The
+    * per-vector top-k is a rank window over the candidate pairs, the
+    * same TakeOrdered-per-key shape as q_topk_window. */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = withV(t(s, dir, "embeddings"))
+    val pairs = e.as("a")
+      .join(broadcast(e.as("b")),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        Num.r4(graft.functions.vec.cosine(col("a.v"), col("b.v")))
+          .as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** #83b SemDeDup-style semantic dedup census: greedily drop any
+    * vector with a cosine-≥τ neighbor of smaller id (the canonical
+    * member of every near-dup group survives), report per-label
+    * attrition. Same broadcast block-compare as [[knnGraph]]; the
+    * dropped set is a distinct projection of the pair frame and the
+    * census a left anti-style join of two small frames. */
+  def semDedup(s: SparkSession, dir: String, tau: Double = 0.35)
+      : DataFrame = {
+    val e = withV(t(s, dir, "embeddings"))
+    val dropped = e.as("a")
+      .join(broadcast(e.as("b")),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(Num.r4(graft.functions.vec.cosine(col("a.v"), col("b.v")))
+        >= tau)
+      .select(col("b.vec_id").as("dropped_id")).distinct()
+    e.join(dropped, col("vec_id") === col("dropped_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dropped_id").isNotNull.cast("long")).as("n_dropped"),
+        Num.r4(lit(1.0) -
+          sum(col("dropped_id").isNotNull.cast("int")) / count(lit(1)))
+          .as("keep_rate"))
+      .orderBy(col("label"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_graph" -> ((s: SparkSession, dir: String) => knnGraph(s, dir)),
+    "q_semdedup" -> ((s: SparkSession, dir: String) => semDedup(s, dir)),
     "q_ann_bruteforce" -> bruteForce _,
     "q_ann_lsh" -> lshAnn _,
     "q_ann_recall" -> lshRecall _,
@@ -380,6 +435,39 @@ object Ann {
       |)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id, b.vec_id AS nbr_id,
+        |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |  FROM e a JOIN e b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id
+        |), r AS (
+        |  SELECT vec_id, nbr_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cosine DESC, nbr_id) AS INT) AS rank
+        |  FROM p
+        |)
+        |SELECT vec_id, nbr_id, cosine, rank FROM r
+        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    "q_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        |), dropped AS (
+        |  SELECT DISTINCT b.vec_id AS dropped_id
+        |  FROM e a JOIN e b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN d.dropped_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  round(1.0 - sum(CASE WHEN d.dropped_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS keep_rate
+        |FROM e LEFT JOIN dropped d ON e.vec_id = d.dropped_id
+        |GROUP BY label ORDER BY label""".stripMargin,
     "q_kmeans" -> KmeansSql,
     // subspace m of dim i is floor((i-1)/8); codebook = vec_id < 16;
     // per-subspace distances rounded to 4 decimals before the argmin

@@ -101,6 +101,56 @@ class ScaleOpsSpec extends SparkSuite {
     assert(totalNovel == distinctGrams)
   }
 
+  test("knn graph: rank-1 edges match a brute-force driver computation") {
+    val r = Materialize.frame(Ann.knnGraph(spark, Sf))
+    // k bound and rank integrity
+    assert(r.groupBy("vec_id").count().filter(col("count") > 3).count() == 0)
+    assert(r.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
+    // brute-force pin: recompute every rank-1 neighbor from raw vectors
+    val vecs = Tables.t(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map(row => (row.getLong(0), String.valueOf(row.get(1)),
+        row.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byLabel = vecs.groupBy(_._2)
+    val expected = vecs.map { case (id, lab, v) =>
+      id -> byLabel(lab).filter(_._1 != id)
+        .map { case (nid, _, nv) => (nid, cos(nv, v)) }
+        .minBy { case (nid, c) => (-c, nid) }
+    }.toMap
+    val got = r.filter(col("rank") === 1)
+      .select("vec_id", "nbr_id", "cosine").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("semdedup: census is consistent with the pair rule") {
+    val r = Materialize.frame(Ann.semDedup(spark, Sf))
+    assert(r.filter(col("n_dropped") > col("n_vecs")).count() == 0)
+    assert(r.filter(col("keep_rate") < 0 || col("keep_rate") > 1)
+      .count() == 0)
+    // totals conserve: labels partition the vector set
+    val total = r.agg(sum("n_vecs")).collect().head.getLong(0)
+    assert(total == Tables.t(spark, Sf, "embeddings").count())
+    // the minimum vec_id of every label always survives (nothing can
+    // precede it in the greedy order)
+    val minIds = Tables.t(spark, Sf, "embeddings")
+      .groupBy("label").agg(min("vec_id").as("m"))
+      .collect().map(_.getLong(1)).toSet
+    val droppedAll = Ann.semDedup(spark, Sf, tau = -1.0) // drop ALL non-canonical
+    val fullDrop = droppedAll.agg(sum("n_dropped"), sum("n_vecs"))
+      .collect().head
+    assert(fullDrop.getLong(1) - fullDrop.getLong(0) == minIds.size)
+  }
+
   test("ccnet buckets: terciles are near-equal within each language") {
     val r = Materialize.frame(CorpusOps.ccnetBuckets(spark, Sf))
     assert(r.select("bucket").distinct().count() == 3)
