@@ -314,7 +314,28 @@ object CorpusOps {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  /** #84 per-source exact cap (the C4/Gopher per-domain page cap): keep
+    * at most `cap` documents per source (default 15; the synthetic corpus has ~25/source, so the cap binds), chosen by salted-hash order —
+    * a deterministic "random" subset that is stable across re-runs and
+    * incremental loads (same selection whether the source arrives in
+    * one batch or fifty). Exact quota = rank window per source; the
+    * sort is bounded by the largest SOURCE, not the corpus. For a
+    * pathological mega-domain, pre-filter with the [[stratifiedMix]]
+    * hash threshold at ~2× the cap and rank only the survivors — same
+    * output, window input bounded at O(cap) per source. */
+  def domainCap(s: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    val h = md5(concat_ws("", lit("cap:"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(h, col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .orderBy(col("source"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_domain_cap" -> ((s: SparkSession, dir: String) => domainCap(s, dir)),
     "q_doc_chunk" -> ((s: SparkSession, dir: String) => docChunk(s, dir)),
     "q_gram_novelty" -> (gramNovelty _),
     "q_ccnet_buckets" -> (ccnetBuckets _),
@@ -330,6 +351,15 @@ object CorpusOps {
     "q_seq_pack" -> ((s: SparkSession, dir: String) => seqPack(s, dir)))
 
   def oracle: Map[String, String] = Map(
+    "q_domain_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('cap:' || doc_id), doc_id) AS INT) AS rk
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, rk FROM r
+        |WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
     // chunk/novelty counts are invariant under any injective gram/chunk
     // mapping, so the oracle keys on raw text where Spark keys on
     // xxhash64 longs — no shared hash function needed.
