@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreSql.queries ++ Engine.queries ++ Baselines.queries ++
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++ CorpusOps.queries ++
+      CorpusPipeline.queries ++
       Multimodal.queries ++ graft.packs.AwsPack.queries ++
       graft.packs.SnowflakePack.queries ++ graft.packs.OktaPack.queries ++
       graft.packs.SnowflakeMonitoringPack.queries ++
@@ -29,6 +30,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreSql.oracle ++ Engine.oracle ++ Baselines.oracle ++
       Dedup.oracle ++ Ann.oracle ++ TextOps.oracle ++ CorpusOps.oracle ++
+      CorpusPipeline.oracle ++
       Multimodal.oracle ++ graft.packs.AwsPack.oracle ++
       graft.packs.SnowflakePack.oracle ++ graft.packs.OktaPack.oracle ++
       graft.packs.SnowflakeMonitoringPack.oracle ++

@@ -151,6 +151,42 @@ class ScaleOpsSpec extends SparkSuite {
     assert(fullDrop.getLong(1) - fullDrop.getLong(0) == minIds.size)
   }
 
+  test("corpus pipeline: observe census matches independent recomputation") {
+    val (corpus, census) = CorpusPipeline.run(spark, Sf)
+    val docs = Tables.t(spark, Sf, "documents")
+    assert(census.ingested == docs.count())
+    val qualityExpected = docs
+      .filter(size(split(col("text"), " ")) >= 30).count()
+    assert(census.quality == qualityExpected)
+    val dedupExpected = docs
+      .filter(size(split(col("text"), " ")) >= 30)
+      .groupBy(col("text")).agg(min(col("doc_id"))).count()
+    assert(census.deduped == dedupExpected)
+    assert(census.capped == corpus.count())
+    // attrition is monotone and the pipeline never invents rows
+    assert(census.ingested >= census.quality &&
+      census.quality >= census.deduped && census.deduped >= census.capped)
+    // cap honored per source
+    assert(corpus.groupBy("source").count().filter(col("count") > 15)
+      .count() == 0)
+  }
+
+  test("corpus pipeline census rides the plan: no extra scan jobs") {
+    // the census must come from observe metrics, not count() re-scans:
+    // curate()'s frame carries the three observations, so materializing
+    // it ONCE must be enough for the thunk to resolve without running
+    // further jobs on this thread
+    val (frame, census) = CorpusPipeline.curate(spark, Sf)
+    frame.write.mode("overwrite").format("noop").save()
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .length
+    val c = census()
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .length
+    assert(after == before, "census() launched extra jobs")
+    assert(c.ingested > 0 && c.quality > 0 && c.deduped > 0)
+  }
+
   test("ccnet buckets: terciles are near-equal within each language") {
     val r = Materialize.frame(CorpusOps.ccnetBuckets(spark, Sf))
     assert(r.select("bucket").distinct().count() == 3)
