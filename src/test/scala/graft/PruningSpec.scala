@@ -55,4 +55,20 @@ class PruningSpec extends SparkSuite {
     // skipping within the surviving partitions
     assert(scan.dataFilters.mkString(",").contains("ts"))
   }
+
+  test("corpus selection ops column-prune the text payload at the scan") {
+    // the text column is the 100 TB of a documents table; operators
+    // that only SELECT docs (not read them) must never deserialize it
+    for (name <- Seq("q_domain_cap", "q_corpus_sample", "q_leakage_split")) {
+      val scan = scanOf(SparkEntry.queries(name)(spark, Sf))
+      val cols = scan.schema.fieldNames.toSet
+      assert(!cols.contains("text"),
+        s"$name reads the text payload: ${cols.mkString(",")}")
+    }
+    // the pipeline needs text once (for the gate + hash) but its
+    // windows must not carry it — checked in PlanShapeSpec; here:
+    // the chunk op reads ONLY text + source
+    val chunkScan = scanOf(SparkEntry.queries("q_doc_chunk")(spark, Sf))
+    assert(chunkScan.schema.fieldNames.toSet == Set("text", "source"))
+  }
 }

@@ -151,6 +151,33 @@ class ScaleOpsSpec extends SparkSuite {
     assert(fullDrop.getLong(1) - fullDrop.getLong(0) == minIds.size)
   }
 
+  test("semdedup: per-label census equals driver brute force") {
+    val vecs = Tables.t(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map(row => (row.getLong(0), String.valueOf(row.get(1)),
+        row.getSeq[Double](2).toArray))
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = vecs.groupBy(_._2).map { case (lab, vs) =>
+      val dropped = (for {
+        (ia, _, va) <- vs; (ib, _, vb) <- vs
+        if ia < ib && cos4(va, vb) >= 0.35
+      } yield ib).toSet
+      lab -> ((vs.length.toLong, dropped.size.toLong))
+    }
+    val got = Ann.semDedup(spark, Sf).collect()
+      .map(r => String.valueOf(r.get(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
   test("corpus pipeline: observe census matches independent recomputation") {
     val (corpus, census) = CorpusPipeline.run(spark, Sf)
     val docs = Tables.t(spark, Sf, "documents")
