@@ -171,7 +171,28 @@ object CoreSql {
       .orderBy(col("event_id"))
   }
 
+  /** #87 range (point-in-interval) join without an equi-key: per event
+    * day, the count of open 3-day incident windows — one window starts
+    * at every day that saw an 'error' event — the "how many intervals
+    * cover this instant" ask behind maintenance-window suppression and
+    * in-flight joins. Discretized by [[graft.operators.RangeJoin]]: the
+    * interval side pre-aggregates to (day, n) so no row-to-row range
+    * join ever plans (a raw range predicate here is a
+    * BroadcastNestedLoopJoin over every event-day × window pair). */
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val incidents = t(s, dir, "events")
+      .filter(col("event_type") === "error")
+      .select(date_trunc("DAY", col("ts")).as("start")).distinct()
+    graft.operators.RangeJoin.containingCount(
+      points = t(s, dir, "events"), pointCol = "ts",
+      intervals = incidents, startCol = "start", len = 3)
+      .select(date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+        col("n_open"))
+      .orderBy(col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> rangeJoin _,
     "q_asof_join" -> asofJoin _,
     "q_variant_flatten" -> variantFlatten _,
     "q_agg_pushdown" -> aggPushdown _,
@@ -186,6 +207,21 @@ object CoreSql {
   )
 
   def oracle: Map[String, String] = Map(
+    // the oracle states the range predicate directly; the engine's
+    // discretized equi-join must produce identical counts
+    "q_range_join" ->
+      """WITH d AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+        |), inc AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS start FROM events
+        |  WHERE event_type = 'error'
+        |)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  count(*) AS n_open
+        |FROM d JOIN inc i
+        |  ON i.start <= d.day AND d.day < i.start + INTERVAL 3 DAY
+        |GROUP BY d.day ORDER BY day""".stripMargin,
+
     "q_asof_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type,

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join without an equi-key — the shape
+  * Spark's join selection can only plan as a BroadcastNestedLoopJoin
+  * (every point row tested against every interval: O(P·I) compares,
+  * and an outright CartesianProduct once the interval side outgrows
+  * the broadcast threshold).
+  *
+  * The scalable idiom: DISCRETIZE. Each interval explodes into the
+  * grain-aligned buckets it covers — a bounded expansion of
+  * len(interval)/grain rows per interval, chosen so it is small — and
+  * the range predicate becomes an EQUI-join on the bucket, which
+  * shuffles/broadcasts like any other key join. Points test at most
+  * one bucket; intervals pay their length once, at write side, where
+  * map-side combine usually collapses them (the n-per-bucket
+  * aggregation below never materializes the blowup at all). The same
+  * trick keys the anchored-correlation self-join (RuleEngine) and the
+  * as-of join (AsOf); this is the reusable point-in-interval face of
+  * it.
+  */
+object RangeJoin {
+
+  /** Count, per distinct grain-truncated point, the intervals
+    * containing it: intervals pre-aggregate to (bucket, n) — the
+    * interval stream never joins row-to-row with points at all. `len`
+    * is the interval length in grain units (intervals are
+    * [start, start + len·grain)). */
+  def containingCount(points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, len: Int,
+      grain: String = "DAY"): DataFrame = {
+    val ptBucket = points
+      .select(date_trunc(grain, col(pointCol)).as("bucket")).distinct()
+    val step = grain.toLowerCase match {
+      case "day" => expr("interval 1 day")
+      case "hour" => expr("interval 1 hour")
+      case g => throw new IllegalArgumentException(s"unsupported grain $g")
+    }
+    val cover = intervals
+      .select(explode(sequence(
+        date_trunc(grain, col(startCol)),
+        date_trunc(grain, col(startCol)) +
+          expr(s"interval ${len - 1} ${grain.toLowerCase}"),
+        step)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_open"))
+    ptBucket.join(cover, Seq("bucket"))
+  }
+
+  /** The general pairing variant: (point row, interval row) matches
+    * under containment — intervals explode to (bucket, interval cols),
+    * points truncate to their bucket, one equi-join. Exact same rows a
+    * theta-join would produce (SaltedJoinSpec-style pinned in
+    * RangeJoinSpec), never a nested-loop plan. */
+  def pointInInterval(points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, len: Int,
+      grain: String = "DAY"): DataFrame = {
+    val step = grain.toLowerCase match {
+      case "day" => expr("interval 1 day")
+      case "hour" => expr("interval 1 hour")
+      case g => throw new IllegalArgumentException(s"unsupported grain $g")
+    }
+    val pts = points.withColumn("__bucket",
+      date_trunc(grain, col(pointCol)))
+    val ivs = intervals.withColumn("__bucket", explode(sequence(
+      date_trunc(grain, col(startCol)),
+      date_trunc(grain, col(startCol)) +
+        expr(s"interval ${len - 1} ${grain.toLowerCase}"),
+      step)))
+    pts.join(ivs, Seq("__bucket")).drop("__bucket")
+  }
+}

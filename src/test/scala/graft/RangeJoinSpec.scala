@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+/** Range (point-in-interval) join: the discretized equi-join must equal
+  * the naive theta-join row-for-row and must never plan a nested loop.
+  */
+class RangeJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val points = Seq(
+    (1L, ts("2024-01-01 10:30:00")), (2L, ts("2024-01-03 00:00:00")),
+    (3L, ts("2024-01-08 23:59:59")), (4L, ts("2024-02-01 12:00:00")),
+    (5L, ts("2024-01-05 07:00:00"))).toDF("p_id", "t")
+  private lazy val intervals = Seq(
+    (10L, ts("2024-01-01 00:00:00")), (11L, ts("2024-01-02 18:00:00")),
+    (12L, ts("2024-01-07 01:00:00")), (13L, ts("2023-12-30 00:00:00")))
+    .toDF("i_id", "start")
+
+  test("pointInInterval equals the naive theta join") {
+    val got = RangeJoin
+      .pointInInterval(points, "t", intervals, "start", len = 7)
+      .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    val naive = points.join(intervals,
+        date_trunc("DAY", col("start")) <= date_trunc("DAY", col("t")) &&
+          date_trunc("DAY", col("t")) <
+            date_trunc("DAY", col("start")) + expr("interval 7 days"))
+      .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    assert(naive.nonEmpty && got.sameElements(naive))
+  }
+
+  test("containingCount matches the pair variant's group sizes") {
+    val counts = RangeJoin
+      .containingCount(points, "t", intervals, "start", len = 7)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val pairs = RangeJoin
+      .pointInInterval(points, "t", intervals, "start", len = 7)
+      .groupBy(date_trunc("DAY", col("t")).as("b")).count()
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(counts == pairs)
+  }
+
+  test("the discretized plan is an equi-join, never a nested loop") {
+    val plan = SparkEntry.queries("q_range_join")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "range join planned a nested loop")
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
