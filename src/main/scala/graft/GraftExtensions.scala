@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DistinctGrams, DistinctShingles,
+  FastMd5, MinGramMd5, MinhashSlices}
+
+/** Session-extension registration for graft's native Catalyst
+  * expressions, so the SQL-AUTHORED rule surface reaches the same fused
+  * codegen kernels the Column API uses. Pack authors write rules as raw
+  * SQL (SqlRules.runAlertSql, mirroring the reference's rules-as-views
+  * model); without this, `md5(...)`/`aggregate(zip_with(...))`
+  * built-ins are their only option and the fused one-pass kernels
+  * (CosineSimilarity's single loop, MinhashSlices' 8-minima fold,
+  * MinGramMd5's whole winnowing pass) stay Column-API-only.
+  *
+  * Deploy: `--conf spark.sql.extensions=graft.GraftExtensions` (the
+  * standard extension hook — applies to every session of the cluster),
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)` in
+  * embedded use. Each function lands in the session's FunctionRegistry
+  * under the `graft_` prefix, keeping the built-in namespace clean.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def one(args: Seq[Expression], name: String): Expression = {
+    require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+    args.head
+  }
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_cosine_sim"),
+      info("graft_cosine_sim",
+        "graft_cosine_sim(a, b) - fused one-pass cosine similarity " +
+          "over two double arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_cosine_sim expects 2 arguments, got ${args.length}")
+        CosineSimilarity(args(0), args(1))
+      }))
+    e.injectFunction((FunctionIdentifier("graft_md5"),
+      info("graft_md5",
+        "graft_md5(s) - md5 hex via a thread-local digest (no " +
+          "per-row allocation)"),
+      (args: Seq[Expression]) => FastMd5(one(args, "graft_md5"))))
+    e.injectFunction((FunctionIdentifier("graft_min_gram_md5"),
+      info("graft_min_gram_md5",
+        "graft_min_gram_md5(s) - minimum md5 over the string's " +
+          "char-5-grams in one pass (winnowing fingerprint)"),
+      (args: Seq[Expression]) =>
+        MinGramMd5(one(args, "graft_min_gram_md5"), 5)))
+    e.injectFunction((FunctionIdentifier("graft_minhash_slices"),
+      info("graft_minhash_slices",
+        "graft_minhash_slices(s) - 8 minhash slice minima over word " +
+          "shingles in one fold"),
+      (args: Seq[Expression]) =>
+        MinhashSlices(one(args, "graft_minhash_slices"))))
+    e.injectFunction((FunctionIdentifier("graft_distinct_shingles"),
+      info("graft_distinct_shingles",
+        "graft_distinct_shingles(s) - distinct word-trigram shingle " +
+          "md5s as an array"),
+      (args: Seq[Expression]) =>
+        DistinctShingles(one(args, "graft_distinct_shingles"))))
+    e.injectFunction((FunctionIdentifier("graft_distinct_grams"),
+      info("graft_distinct_grams",
+        "graft_distinct_grams(s) - distinct char-4-gram md5s as an " +
+          "array"),
+      (args: Seq[Expression]) =>
+        DistinctGrams(one(args, "graft_distinct_grams"), 4)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** GraftExtensions: the SQL-authored rule surface must reach the same
+  * fused kernels as the Column API — registered through the standard
+  * spark.sql.extensions hook, not ad-hoc registry pokes.
+  */
+class ExtensionsSpec extends SparkSuite {
+
+  private def withExtendedSession(f: SparkSession => Unit): Unit = {
+    // getOrCreate returns the suite session; build a sibling session on
+    // the same context with the extensions applied, then restore
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      try f(s)
+      finally {
+        // do NOT stop: the SparkContext is shared with the suite session
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("extension registers the fused kernels as SQL functions") {
+    withExtendedSession { s =>
+      val row = s.sql(
+        """SELECT
+          |  graft_cosine_sim(array(1D, 2D, 3D), array(2D, 4D, 6D)) AS c,
+          |  graft_md5('spark') AS h,
+          |  graft_min_gram_md5('abcdefgh') AS mg,
+          |  size(graft_minhash_slices('a b c d e f')) AS n_slices,
+          |  size(graft_distinct_shingles('a b c d a b c')) AS n_sh,
+          |  size(graft_distinct_grams('abcdefg')) AS n_gr
+          |""".stripMargin).collect().head
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-12) // parallel vectors
+      assert(row.getString(1) ==
+        java.security.MessageDigest.getInstance("MD5")
+          .digest("spark".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      assert(row.getString(2).length == 32)
+      assert(row.getInt(3) == 8)
+      assert(row.getInt(4) == 4) // "a b c","b c d","c d a","d a b" distinct
+      assert(row.getInt(5) == 4) // abcd bcde cdef defg
+    }
+  }
+
+  test("a SQL-authored rule through the extension equals the Column API") {
+    withExtendedSession { s =>
+      val sqlSide = s.sql(
+        s"""SELECT doc_id, graft_min_gram_md5(text) AS fingerprint
+           |FROM parquet.`$Sf/documents.parquet`
+           |ORDER BY doc_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val colSide = s.read.parquet(s"$Sf/documents.parquet")
+        .select(col("doc_id"),
+          graft.functions.hashes.minGramMd5(col("text"), 5)
+            .as("fingerprint"))
+        .orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(sqlSide.nonEmpty && sqlSide.sameElements(colSide))
+    }
+  }
+}
