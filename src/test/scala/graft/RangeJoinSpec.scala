@@ -46,6 +46,49 @@ class RangeJoinSpec extends SparkSuite {
     assert(counts == pairs)
   }
 
+  test("randomized pinning: discretized equals theta join over random data") {
+    val rnd = new scala.util.Random(1337)
+    val base = ts("2024-03-01 00:00:00").getTime
+    def randTs() = new java.sql.Timestamp(
+      base + rnd.nextInt(40 * 24 * 3600) * 1000L)
+    for (round <- 1 to 3) {
+      val ps = Seq.tabulate(120)(i => (i.toLong, randTs()))
+        .toDF("p_id", "t")
+      val ivs = Seq.tabulate(40)(i => (i.toLong, randTs()))
+        .toDF("i_id", "start")
+      val len = 1 + rnd.nextInt(9)
+      val got = RangeJoin.pointInInterval(ps, "t", ivs, "start", len)
+        .select("p_id", "i_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      val naive = ps.join(ivs,
+          date_trunc("DAY", col("start")) <= date_trunc("DAY", col("t")) &&
+            date_trunc("DAY", col("t")) < date_trunc("DAY", col("start")) +
+              expr(s"interval $len days"))
+        .select("p_id", "i_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.sameElements(naive), s"round $round len $len diverged")
+    }
+  }
+
+  test("randomized pinning: salted join equals plain join over random data") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      val fat = Seq.tabulate(400)(i =>
+        (rnd.nextInt(5).toLong, rnd.nextLong())).toDF("k", "payload")
+      val slim = Seq.tabulate(8)(i =>
+        (i.toLong % 6, s"tag$i")).toDF("k", "tag")
+      val salts = 1 + rnd.nextInt(15)
+      val got = graft.operators.SaltedJoin
+        .inner(fat, slim, Seq("k"), salts)
+        .select("k", "payload", "tag").collect()
+        .map(_.toSeq.toString).sorted
+      val plain = fat.join(slim, Seq("k"))
+        .select("k", "payload", "tag").collect()
+        .map(_.toSeq.toString).sorted
+      assert(got.sameElements(plain), s"round $round salts $salts diverged")
+    }
+  }
+
   test("the discretized plan is an equi-join, never a nested loop") {
     val plan = SparkEntry.queries("q_range_join")(spark, Sf)
       .queryExecution.executedPlan.toString
