@@ -56,6 +56,10 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, len: Int,
       grain: String = "DAY"): DataFrame = {
+    require(!points.columns.contains("__bucket") &&
+      !intervals.columns.contains("__bucket"),
+      "__bucket is reserved by RangeJoin")
+    require(len > 0, s"interval length must be positive, got $len")
     val step = grain.toLowerCase match {
       case "day" => expr("interval 1 day")
       case "hour" => expr("interval 1 hour")

@@ -37,6 +37,8 @@ object SaltedJoin {
   def inner(fat: DataFrame, slim: DataFrame, keys: Seq[String],
       salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    require(!fat.columns.contains("__salt") && !slim.columns.contains("__salt"),
+      "__salt is reserved by SaltedJoin")
     val saltCol: Column =
       pmod(xxhash64(fat.columns.map(col).toIndexedSeq: _*), lit(salts))
     val fatS = fat.withColumn("__salt", saltCol)
