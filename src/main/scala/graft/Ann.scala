@@ -265,8 +265,12 @@ object Ann {
     * vec_id, NOT a window over the K-fold expansion. */
   private def kmAssign(e: DataFrame, c: DataFrame): DataFrame =
     e.crossJoin(broadcast(c))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(v, cv, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)"))
+      // distances round to 4dp BEFORE the argmin, exactly like
+      // pqSubDist: the oracle's sum() adds in a different order, and
+      // an unrounded comparison lets a 1-ulp divergence flip a
+      // near-tie assignment between engines
+      .withColumn("dist", Num.r4(expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cid"))).as("m"),
         first(col("v")).as("v"))
@@ -390,9 +394,10 @@ object Ann {
       s"""$a AS (
          |  SELECT vec_id, cid, dist FROM (
          |    SELECT d.vec_id, c.cid,
-         |      sum((d.x - c.x) * (d.x - c.x)) AS dist,
+         |      round(sum((d.x - c.x) * (d.x - c.x)), 4) AS dist,
          |      row_number() OVER (PARTITION BY d.vec_id
-         |        ORDER BY sum((d.x - c.x) * (d.x - c.x)), c.cid) AS rn
+         |        ORDER BY round(sum((d.x - c.x) * (d.x - c.x)), 4), c.cid)
+         |        AS rn
          |    FROM d JOIN $c c USING (i) GROUP BY d.vec_id, c.cid
          |  ) WHERE rn = 1
          |)""".stripMargin

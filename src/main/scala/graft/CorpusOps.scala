@@ -96,11 +96,7 @@ object CorpusOps {
     val grams = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 4)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, size(w)-3),
-          |  i -> md5(concat_ws(' ', element_at(w,i), element_at(w,i+1),
-          |                     element_at(w,i+2), element_at(w,i+3)))))"""
-          .stripMargin)).as("g"))
+      .select(col("doc_id"), explode(Grams.distinctWordGrams("w", "md5")).as("g"))
     val bench = grams.filter(col("doc_id") % 50 === 0)
       .select(col("g")).distinct()
     grams.filter(col("doc_id") % 50 =!= 0)
@@ -258,11 +254,7 @@ object CorpusOps {
     val grams = Materialize.frame(t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 4)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, size(w)-3),
-          |  i -> xxhash64(concat_ws(' ', element_at(w,i), element_at(w,i+1),
-          |                          element_at(w,i+2), element_at(w,i+3)))))"""
-          .stripMargin)).as("g")))
+      .select(col("doc_id"), explode(Grams.distinctWordGrams("w", "xxhash64")).as("g")))
     // no gram-level join back: a doc's novel-gram count is just the
     // number of grams whose min-doc is that doc, so the first-seen
     // aggregate REAGGREGATES by its own result (first_doc) and meets
@@ -323,10 +315,16 @@ object CorpusOps {
     * pathological mega-domain, pre-filter with the [[stratifiedMix]]
     * hash threshold at ~2× the cap and rank only the survivors — same
     * output, window input bounded at O(cap) per source. */
+  /** The salted deterministic cap order — ONE definition, shared by
+    * [[domainCap]] and [[CorpusPipeline]]: the "same selection whether
+    * the source arrives in one batch or fifty" stability story depends
+    * on every caller ordering by the byte-identical salt. */
+  private[graft] def capOrder: Column =
+    md5(concat_ws("", lit("cap:"), col("doc_id")))
+
   def domainCap(s: SparkSession, dir: String, cap: Int = 15): DataFrame = {
-    val h = md5(concat_ws("", lit("cap:"), col("doc_id")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(h, col("doc_id"))
+      .partitionBy(col("source")).orderBy(capOrder, col("doc_id"))
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"))
       .withColumn("rk", row_number().over(w))

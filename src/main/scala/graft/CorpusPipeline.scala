@@ -53,7 +53,7 @@ object CorpusPipeline {
       .filter(col("rn") === 1)
       .observe(oD, count(lit(1)).as("n"))
     val wc = Window.partitionBy(col("source"))
-      .orderBy(md5(concat_ws("", lit("cap:"), col("doc_id"))), col("doc_id"))
+      .orderBy(CorpusOps.capOrder, col("doc_id"))
     val capped = deduped
       .withColumn("rk", row_number().over(wc))
       .filter(col("rk") <= cap)

@@ -392,11 +392,7 @@ object Dedup {
     val grams = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 4)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, size(w)-3),
-          |  i -> md5(concat_ws(' ', element_at(w,i), element_at(w,i+1),
-          |                     element_at(w,i+2), element_at(w,i+3)))))"""
-          .stripMargin)).as("g"))
+      .select(col("doc_id"), explode(Grams.distinctWordGrams("w", "md5")).as("g"))
       .transform(graft.Materialize.frame)
     val shared = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs"))
@@ -433,11 +429,7 @@ object Dedup {
     val grams = t(s, dir, "documents")
       .select(col("source"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 4)
-      .select(col("source"), explode(expr(
-        """array_distinct(transform(sequence(1, size(w)-3),
-          |  i -> xxhash64(concat_ws(' ', element_at(w,i), element_at(w,i+1),
-          |                          element_at(w,i+2), element_at(w,i+3)))))"""
-          .stripMargin)).as("g"))
+      .select(col("source"), explode(Grams.distinctWordGrams("w", "xxhash64")).as("g"))
       .distinct()
       .transform(graft.Materialize.frame)
     val sizes = grams.groupBy(col("source"))

@@ -45,8 +45,16 @@ object BloomDedupGate {
     * closures serialize it once per executor, not per row). */
   def gate(incoming: DataFrame, hashCol: String, bf: BloomFilter)
       : (DataFrame, DataFrame) = {
+    require(!incoming.columns.contains("__maybe"),
+      "__maybe is reserved by BloomDedupGate")
     val probe = udf((h: Long) => bf.mightContainLong(h))
-    val flagged = incoming.withColumn("__maybe", probe(col(hashCol)))
+    // a NULL hash never matches an anti-join key, so the exact pass
+    // would keep the row — route nulls to the candidate side (the udf
+    // returns null for null input without running; coalesce to true)
+    // so the fallback anti-join preserves that semantic instead of the
+    // row vanishing from both splits
+    val flagged = incoming.withColumn("__maybe",
+      coalesce(probe(col(hashCol)), lit(true)))
     (flagged.filter(!col("__maybe")).drop("__maybe"),
       flagged.filter(col("__maybe")).drop("__maybe"))
   }

@@ -25,12 +25,16 @@ object RangeJoin {
 
   /** Count, per distinct grain-truncated point, the intervals
     * containing it: intervals pre-aggregate to (bucket, n) — the
-    * interval stream never joins row-to-row with points at all. `len`
-    * is the interval length in grain units (intervals are
-    * [start, start + len·grain)). */
+    * interval stream never joins row-to-row with points at all.
+    * GRAIN-ALIGNED contract: intervals are
+    * [trunc(start), trunc(start) + len·grain) — a sub-grain start
+    * offset is deliberately dropped, because per-bucket
+    * pre-aggregation cannot carry a per-interval residual. For exact
+    * arbitrary-start containment use [[pointInInterval]]. */
   def containingCount(points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, len: Int,
       grain: String = "DAY"): DataFrame = {
+    require(len > 0, s"interval length must be positive, got $len")
     val ptBucket = points
       .select(date_trunc(grain, col(pointCol)).as("bucket")).distinct()
     val step = grain.toLowerCase match {
@@ -49,10 +53,14 @@ object RangeJoin {
   }
 
   /** The general pairing variant: (point row, interval row) matches
-    * under containment — intervals explode to (bucket, interval cols),
-    * points truncate to their bucket, one equi-join. Exact same rows a
-    * theta-join would produce (SaltedJoinSpec-style pinned in
-    * RangeJoinSpec), never a nested-loop plan. */
+    * under EXACT containment point ∈ [start, start + len·grain) with
+    * arbitrary (sub-grain) starts — the classic discretize-then-refine:
+    * intervals explode to the len+1 grain buckets a non-aligned
+    * interval can touch, the range predicate becomes an equi-join on
+    * the bucket, and the exact predicate re-applies as a cheap residual
+    * filter on the matched pairs. Exact same rows a theta-join would
+    * produce (randomized-pinned in RangeJoinSpec), never a nested-loop
+    * plan. */
   def pointInInterval(points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, len: Int,
       grain: String = "DAY"): DataFrame = {
@@ -67,11 +75,18 @@ object RangeJoin {
     }
     val pts = points.withColumn("__bucket",
       date_trunc(grain, col(pointCol)))
+    // len+1 buckets: an interval starting mid-bucket spills into the
+    // bucket after trunc(start)+len·grain; the residual filter below
+    // discards the overshoot
     val ivs = intervals.withColumn("__bucket", explode(sequence(
       date_trunc(grain, col(startCol)),
       date_trunc(grain, col(startCol)) +
-        expr(s"interval ${len - 1} ${grain.toLowerCase}"),
+        expr(s"interval $len ${grain.toLowerCase}"),
       step)))
-    pts.join(ivs, Seq("__bucket")).drop("__bucket")
+    pts.join(ivs, Seq("__bucket"))
+      .filter(col(startCol) <= col(pointCol) &&
+        col(pointCol) < col(startCol) +
+          expr(s"interval $len ${grain.toLowerCase}"))
+      .drop("__bucket")
   }
 }

@@ -28,11 +28,14 @@ object StreamingCorpus {
     * evicted once the watermark passes it (the same bounded-state
     * guarantee StreamingAlerts.dedupStream proves for alert_ids). */
   def dedupIngest(docs: DataFrame,
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes"): DataFrame = {
+    require(!docs.columns.contains("content_key"),
+      "column content_key is reserved by dedupIngest")
     docs
       .withColumn("content_key", md5(col("text")))
       .withWatermark("ingest_time", watermark)
       .dropDuplicatesWithinWatermark("content_key")
+  }
 
   /** The per-document signature projection: doc identity + 8 minhash
     * slices, one narrow codegen'd expression per row — no shuffle, no
@@ -63,6 +66,8 @@ object StreamingCorpus {
     * column `h`); the filter is built before the stream starts. */
   def novelAgainstHistory(docs: DataFrame, historyKeys: DataFrame,
       expected: Long, fpp: Double = 0.01): DataFrame = {
+    require(!docs.columns.contains("h"),
+      "column h is reserved by novelAgainstHistory")
     val bf = graft.operators.BloomDedupGate.build(
       historyKeys, "h", expected, fpp)
     val keyed = docs.withColumn("h", xxhash64(col("text")))

@@ -105,12 +105,15 @@ class CorpusIrSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.map(_._3).sum == perDoc.size)     // every doc packed once
     assert(out.map(_._4).sum == perDoc.map(_._2).sum) // every token
-    // bins are dense per stream starting at 0 and each bin (except a
-    // stream's last) is filled past the budget boundary by its last doc
+    // bins start at 0 and are strictly increasing per stream. They are
+    // NOT necessarily dense: a doc longer than the 256-token budget
+    // legitimately skips the bins it straddles (bin = the window its
+    // START falls in), so density would reject correct output on a
+    // corpus with longer documents.
     for ((stream, bins) <- out.groupBy(_._1)) {
       val ids = bins.map(_._2).sorted.toSeq
-      assert(ids == (0L until ids.size.toLong),
-        s"stream $stream has gaps: $ids")
+      assert(ids.head == 0L, s"stream $stream starts at bin ${ids.head}")
+      assert(ids.distinct == ids, s"stream $stream repeats a bin: $ids")
     }
   }
 

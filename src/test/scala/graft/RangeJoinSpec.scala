@@ -21,26 +21,31 @@ class RangeJoinSpec extends SparkSuite {
     (12L, ts("2024-01-07 01:00:00")), (13L, ts("2023-12-30 00:00:00")))
     .toDF("i_id", "start")
 
-  test("pointInInterval equals the naive theta join") {
+  test("pointInInterval equals the exact theta join (sub-grain starts)") {
+    // intervals here start mid-day on purpose: containment is exact
+    // on the RAW timestamps, not on day-truncated ones
     val got = RangeJoin
       .pointInInterval(points, "t", intervals, "start", len = 7)
       .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1)))
       .sorted
     val naive = points.join(intervals,
-        date_trunc("DAY", col("start")) <= date_trunc("DAY", col("t")) &&
-          date_trunc("DAY", col("t")) <
-            date_trunc("DAY", col("start")) + expr("interval 7 days"))
+        col("start") <= col("t") &&
+          col("t") < col("start") + expr("interval 7 days"))
       .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1)))
       .sorted
     assert(naive.nonEmpty && got.sameElements(naive))
   }
 
-  test("containingCount matches the pair variant's group sizes") {
+  test("containingCount matches the pair variant on aligned intervals") {
+    // containingCount's contract is grain-aligned: feed it (and the
+    // pair variant) day-truncated starts and the counts must agree
+    val aligned = intervals
+      .select(col("i_id"), date_trunc("DAY", col("start")).as("start"))
     val counts = RangeJoin
-      .containingCount(points, "t", intervals, "start", len = 7)
+      .containingCount(points, "t", aligned, "start", len = 7)
       .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
     val pairs = RangeJoin
-      .pointInInterval(points, "t", intervals, "start", len = 7)
+      .pointInInterval(points, "t", aligned, "start", len = 7)
       .groupBy(date_trunc("DAY", col("t")).as("b")).count()
       .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
     assert(counts == pairs)
@@ -61,9 +66,8 @@ class RangeJoinSpec extends SparkSuite {
         .select("p_id", "i_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted
       val naive = ps.join(ivs,
-          date_trunc("DAY", col("start")) <= date_trunc("DAY", col("t")) &&
-            date_trunc("DAY", col("t")) < date_trunc("DAY", col("start")) +
-              expr(s"interval $len days"))
+          col("start") <= col("t") &&
+            col("t") < col("start") + expr(s"interval $len days"))
         .select("p_id", "i_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted
       assert(got.sameElements(naive), s"round $round len $len diverged")
