@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2 #32-34: similarity search over the embedding column.
@@ -258,55 +258,66 @@ object Ann {
       .limit(k)
   }
 
-  /** One Lloyd assignment pass: centroids (cid, cv) are a K×D frame
-    * BROADCAST under the crossJoin; per-row squared-L2 distance is one
-    * fused array expression inside whole-stage codegen; argmin is
-    * min(struct(dist, cid)) — a map-side-combined aggregate keyed on
-    * vec_id, NOT a window over the K-fold expansion. */
-  private def kmAssign(e: DataFrame, c: DataFrame): DataFrame =
-    e.crossJoin(broadcast(c))
-      // distances round to 4dp BEFORE the argmin, exactly like
-      // pqSubDist: the oracle's sum() adds in a different order, and
-      // an unrounded comparison lets a 1-ulp divergence flip a
-      // near-tie assignment between engines
-      .withColumn("dist", Num.r4(expr(
-        "aggregate(zip_with(v, cv, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cid"))).as("m"),
-        first(col("v")).as("v"))
-      .select(col("vec_id"), col("m.cid").as("cid"),
-        col("m.dist").as("dist"), col("v"))
+  /** Collect the centroid frame — K rows of (cid, K×D doubles), the
+    * only thing that ever leaves the executors — to the driver. This is
+    * how distributed Lloyd actually iterates (MLlib collects centroids
+    * between passes): the corpus never moves, only the K×D summary
+    * does. Bounded by construction, NOT a `.collect()` of data. */
+  private def collectCentroids(kd: DataFrame): Seq[(Long, Array[Double])] =
+    kd.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
 
-  /** One Lloyd update pass: per-(cluster, dim) partial means (map-side
-    * combined; the result is K×D rows no matter the corpus size),
-    * reassembled into centroid arrays — the [[centroids]] shape. */
-  private def kmUpdate(a: DataFrame): DataFrame =
-    a.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("cx"))
-      .groupBy(col("cid"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("cx")))),
-        _.getField("cx")).as("cv"))
+  /** The K lowest-vec_id vectors as driver-side seed centroids
+    * (deterministic init; the production-scale analogue swaps in one
+    * k-means|| pass). The filter pushes to the parquet scan. */
+  private def seedCentroids(e: DataFrame, k: Int): Seq[(Long, Array[Double])] =
+    collectCentroids(e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("v")))
+
+  /** Nearest-centroid struct (dist, cid) over the `v` column with the
+    * centroids FOLDED INTO THE PLAN — the same driver-folding trick as
+    * the LSH hyperplanes ([[planeCoef]]): the assignment becomes a
+    * narrow per-row projection (ONE fused argmin loop — see
+    * [[graft.functions.NearestCentroid]]), with no broadcast exchange,
+    * no crossJoin expansion, and no aggregation shuffle. Distances
+    * round to 4dp BEFORE the argmin and ties break to the smallest
+    * cid, so near-tie assignments agree with the oracle's
+    * differently-ordered sums. */
+  private def nearestSeed(cents: Seq[(Long, Array[Double])]): Column =
+    graft.functions.vec.nearestCentroid(col("v"), cents)
 
   /** #74 Lloyd k-means over the embedding column: K=8, two iterations,
-    * deterministic init (the K lowest vec_ids seed the centroids — the
-    * production-scale analogue swaps in one k-means|| pass; the loop
-    * body is identical). The vectors are never collected to the driver
-    * and never shuffled on anything wider than vec_id; between
-    * iterations only K×D centroid rows move, exactly how MLlib's
-    * k-means distributes — re-derived here declaratively so Catalyst
-    * keeps the assignment inside codegen. Output: per-cluster census
-    * with mean squared distance (inertia/n). */
+    * deterministic init (the K lowest vec_ids seed the centroids). Each
+    * iteration is ONE linear job: assignment is a narrow
+    * literal-centroid projection ([[nearestSeed]] — no crossJoin, no
+    * broadcast, no per-vector window), the update a single
+    * map-side-combined groupBy(cid, pos) producing K×D rows that are
+    * collected and folded into the next pass — exactly how MLlib's
+    * k-means distributes. The corpus is never collected and never
+    * shuffled; between iterations only K×D centroid rows move. Output:
+    * per-cluster census with mean squared distance (inertia/n). */
   def kmeans(s: SparkSession, dir: String, k: Int = 8,
       iters: Int = 2): DataFrame = {
     val e = withV(t(s, dir, "embeddings")).select(col("vec_id"), col("v"))
-    val c0 = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val cFinal = (1 until iters).foldLeft(kmUpdate(kmAssign(e, c0))) {
-      (c, _) => kmUpdate(kmAssign(e, c))
+    var cents = seedCentroids(e, k)
+    if (cents.isEmpty) {
+      return e.select(col("vec_id").as("cluster"), lit(0L).as("n_vecs"),
+        lit(0d).as("avg_ssq")).limit(0)
     }
-    kmAssign(e, cFinal)
-      .groupBy(col("cid").as("cluster"))
+    for (_ <- 1 to iters) {
+      val kd = e
+        .select(nearestSeed(cents).getField("cid").as("cid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("cx"))
+        .collect()
+      cents = kd.groupBy(_.getLong(0)).toSeq.map { case (cid, rs) =>
+        (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+      }.sortBy(_._1)
+    }
+    val m = nearestSeed(cents)
+    e.select(m.getField("cid").as("cluster"), m.getField("dist").as("dist"))
+      .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"), Num.r4(avg(col("dist"))).as("avg_ssq"))
       .orderBy(col("cluster"))
   }
@@ -319,21 +330,43 @@ object Ann {
       .agg(Num.r4(avg(col("x"))).as("centroid"))
       .orderBy(col("label"), col("dim"))
 
-  /** #83a k-nearest-neighbor graph: each vector's top-k same-block
+  /** Voronoi-cell blocking for the pairwise ANN-graph operators: every
+    * vector is assigned to the nearest of `cells` seed centroids via
+    * the narrow literal-centroid projection of [[nearestSeed]], then
+    * cells above `cap` members are dropped (the [[Dedup.dropHotBuckets]]
+    * skew hygiene — a degenerate cell with f members is f² pairs no
+    * matter how good the quantizer; the count window runs over the same
+    * key the downstream self-join shuffles on, co-partitioned). The
+    * per-cell compare is then an equi-join ON THE CELL KEY — both sides
+    * shuffle-partition by cell, work is bounded by Σ|cell|² ≈ n²/cells,
+    * and NOTHING is broadcast: this is the shape that survives 100 TB
+    * (more cells, same plan), unlike a full-table broadcast self-join
+    * which dies at the 8 GB broadcast ceiling. */
+  private def cellBlocked(e: DataFrame, cells: Int, cap: Int): DataFrame = {
+    val cents = seedCentroids(e, cells)
+    if (cents.isEmpty)
+      return e.withColumn("cell", lit(0L)).limit(0)
+    Dedup.dropHotBuckets(
+      e.withColumn("cell", nearestSeed(cents).getField("cid")),
+      Seq("cell"), cap)
+  }
+
+  /** #83a k-nearest-neighbor graph: each vector's top-k same-cell
     * neighbors by cosine — the input to graph clustering, SemDeDup, and
-    * diversity sampling. Blocking here is the label column; production
-    * swaps in the IVF cell of [[ivfAnn]] (same plan, many more blocks).
-    * The right side BROADCASTS (vectors are small relative to the
-    * pairwise work), so the quadratic-per-block compare runs at full
-    * scan parallelism instead of collapsing onto one reducer per block
-    * key — with 6 labels a shuffle join would idle 26 of 32 slots. The
-    * per-vector top-k is a rank window over the candidate pairs, the
-    * same TakeOrdered-per-key shape as q_topk_window. */
-  def knnGraph(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val e = withV(t(s, dir, "embeddings"))
-    val pairs = e.as("a")
-      .join(broadcast(e.as("b")),
-        col("a.label") === col("b.label") &&
+    * diversity sampling. Blocking is the Voronoi cell of 32 seed
+    * centroids ([[cellBlocked]] — the IVF coarse-quantizer shape, and
+    * at 100 TB the `cells` knob scales the block count with the data);
+    * the per-cell compare is a cell-keyed sort-merge self-join, never a
+    * broadcast of the corpus (PlanShapeSpec pins this). The per-vector
+    * top-k is a rank window over the candidate pairs, the same
+    * TakeOrdered-per-key shape as q_topk_window. */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 3,
+      cells: Int = 32, cap: Int = 500): DataFrame = {
+    val e = withV(t(s, dir, "embeddings")).select(col("vec_id"), col("v"))
+    val blocked = cellBlocked(e, cells, cap)
+    val pairs = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.cell") === col("b.cell") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
         Num.r4(graft.functions.vec.cosine(col("a.v"), col("b.v")))
@@ -347,17 +380,20 @@ object Ann {
   }
 
   /** #83b SemDeDup-style semantic dedup census: greedily drop any
-    * vector with a cosine-≥τ neighbor of smaller id (the canonical
-    * member of every near-dup group survives), report per-label
-    * attrition. Same broadcast block-compare as [[knnGraph]]; the
-    * dropped set is a distinct projection of the pair frame and the
-    * census a left anti-style join of two small frames. */
-  def semDedup(s: SparkSession, dir: String, tau: Double = 0.35)
-      : DataFrame = {
+    * vector with a same-cell cosine-≥τ neighbor of smaller id (the
+    * canonical member of every near-dup group survives), report
+    * per-label attrition. Blocking within k-means-style cells is the
+    * SemDeDup paper's own structure (cluster, then dedup inside each
+    * cluster); the compare is the same cell-keyed self-join as
+    * [[knnGraph]] — no corpus broadcast — and the census a left join of
+    * the corpus against the small dropped set. */
+  def semDedup(s: SparkSession, dir: String, tau: Double = 0.35,
+      cells: Int = 32, cap: Int = 500): DataFrame = {
     val e = withV(t(s, dir, "embeddings"))
-    val dropped = e.as("a")
-      .join(broadcast(e.as("b")),
-        col("a.label") === col("b.label") &&
+    val blocked = cellBlocked(e.select(col("vec_id"), col("v")), cells, cap)
+    val dropped = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.cell") === col("b.cell") &&
           col("a.vec_id") < col("b.vec_id"))
       .filter(Num.r4(graft.functions.vec.cosine(col("a.v"), col("b.v")))
         >= tau)
@@ -439,40 +475,63 @@ object Ann {
       |  FROM expanded GROUP BY vec_id
       |)""".stripMargin
 
+  /** Shared oracle CTE chain for the cell-blocked pairwise operators:
+    * Voronoi assignment to the 32 lowest-vec_id seeds (argmin of
+    * 4dp-rounded squared L2, ties to the smallest cid — exactly
+    * [[nearestSeed]]), hot cells (> cap members) excluded, corpus
+    * re-joined to its cell. */
+  private def cellCte(cells: Int, cap: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |), d AS (
+       |  SELECT vec_id, i, v[i]::DOUBLE AS x
+       |  FROM e, UNNEST(generate_series(1, len(v))) t(i)
+       |), c0 AS (SELECT vec_id AS cid, i, x FROM d WHERE vec_id < $cells),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT d.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY d.vec_id
+       |        ORDER BY round(sum((d.x - c.x) * (d.x - c.x)), 4), c.cid)
+       |        AS rn
+       |    FROM d JOIN c0 c USING (i) GROUP BY d.vec_id, c.cid
+       |  ) WHERE rn = 1
+       |), sized AS (
+       |  SELECT cell FROM assign GROUP BY cell HAVING count(*) <= $cap
+       |), ec AS (
+       |  SELECT e.vec_id, e.v, a.cell
+       |  FROM e JOIN assign a USING (vec_id) JOIN sized USING (cell)
+       |)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q_knn_graph" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-        |), p AS (
-        |  SELECT a.vec_id, b.vec_id AS nbr_id,
-        |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
-        |  FROM e a JOIN e b
-        |    ON a.label = b.label AND a.vec_id <> b.vec_id
-        |), r AS (
-        |  SELECT vec_id, nbr_id, cosine,
-        |    CAST(row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cosine DESC, nbr_id) AS INT) AS rank
-        |  FROM p
-        |)
-        |SELECT vec_id, nbr_id, cosine, rank FROM r
-        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+      s"""${cellCte(32, 500)}, p AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+         |  FROM ec a JOIN ec b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |), r AS (
+         |  SELECT vec_id, nbr_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, nbr_id) AS INT) AS rank
+         |  FROM p
+         |)
+         |SELECT vec_id, nbr_id, cosine, rank FROM r
+         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     "q_semdedup" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-        |), dropped AS (
-        |  SELECT DISTINCT b.vec_id AS dropped_id
-        |  FROM e a JOIN e b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id
-        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
-        |)
-        |SELECT label, count(*) AS n_vecs,
-        |  CAST(sum(CASE WHEN d.dropped_id IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_dropped,
-        |  round(1.0 - sum(CASE WHEN d.dropped_id IS NOT NULL
-        |    THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS keep_rate
-        |FROM e LEFT JOIN dropped d ON e.vec_id = d.dropped_id
-        |GROUP BY label ORDER BY label""".stripMargin,
+      s"""${cellCte(32, 500)}, dropped AS (
+         |  SELECT DISTINCT b.vec_id AS dropped_id
+         |  FROM ec a JOIN ec b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+         |)
+         |SELECT label, count(*) AS n_vecs,
+         |  CAST(sum(CASE WHEN d.dropped_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped,
+         |  round(1.0 - sum(CASE WHEN d.dropped_id IS NOT NULL
+         |    THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS keep_rate
+         |FROM e LEFT JOIN dropped d ON e.vec_id = d.dropped_id
+         |GROUP BY label ORDER BY label""".stripMargin,
     "q_kmeans" -> KmeansSql,
     // subspace m of dim i is floor((i-1)/8); codebook = vec_id < 16;
     // per-subspace distances rounded to 4 decimals before the argmin

@@ -70,11 +70,12 @@ object Dedup {
     * shuffle, one pass over the signature table. */
   private val MaxBucket = 100
 
-  private def dropHotBuckets(df: DataFrame, keys: Seq[String]): DataFrame = {
+  private[graft] def dropHotBuckets(df: DataFrame, keys: Seq[String],
+      cap: Int = MaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     df.withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-      .filter(col("__bsz") <= MaxBucket)
+      .filter(col("__bsz") <= cap)
       .drop("__bsz")
   }
 

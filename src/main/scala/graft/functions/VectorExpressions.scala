@@ -1,12 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftexpr
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Native (codegen'd) cosine similarity over two Array[Double] columns —
   * SURVEY §4's graft.functions: a custom Catalyst Expression where the
@@ -97,9 +98,165 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance over two Array[Double] columns — the metric of
+  * k-means assignment and Voronoi cell blocking. Same rationale as
+  * [[CosineSimilarity]]: the `aggregate(zip_with(...))` formulation is a
+  * CodegenFallback that allocates a zipped array per (row × centroid);
+  * this is one fused codegen'd loop with a single accumulator, summing
+  * in index order exactly like the built-in formulation and the
+  * oracle's `sum((x - c.x) * (x - c.x))` over an ordered dim expansion.
+  *
+  * Requires equal-length arrays with non-null elements (embedding
+  * columns against a literal centroid).
+  */
+case class SquaredL2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "squared_l2_distance"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2Distance =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Runtime kernel for [[NearestCentroid]] — separate object so the
+  * generated Java calls a static forwarder (the FastMd5 pattern). */
+object NearestCentroidUtil {
+  /** Argmin over the centroid matrix of the 4dp-rounded squared L2
+    * distance (distances are ≥ 0, so Num.r4 reduces to
+    * floor(x·1e4 + 0.5)/1e4); ties keep the FIRST (= smallest,
+    * caller sorts) cid — matching the oracle's
+    * `ORDER BY round(sum((x-c)²), 4), cid` row_number tiebreak. */
+  def nearest(v: ArrayData, cents: Array[Array[Double]],
+      cids: Array[Long]): InternalRow = {
+    val n = v.numElements()
+    var bestD = Double.PositiveInfinity
+    var bestC = 0L
+    var k = 0
+    while (k < cents.length) {
+      val c = cents(k)
+      val m = java.lang.Math.min(n, c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        val d = v.getDouble(i) - c(i)
+        acc += d * d
+        i += 1
+      }
+      val r = java.lang.Math.floor(acc * 10000.0 + 0.5) / 10000.0
+      if (r < bestD) { bestD = r; bestC = cids(k) }
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](bestD, bestC))
+  }
+}
+
+/** Nearest-centroid assignment as ONE fused expression: the K×D
+  * centroid matrix rides along as a reference object (double[][] —
+  * k-means folds at most K×D ≈ a few KB into the plan), and the whole
+  * argmin is a single tight loop per row. The declarative alternative —
+  * array_min over K structs of Num.r4(sqdist(v, lit_array)) — generates
+  * K × 3 inlined distance loops (CaseWhen re-evaluates its branches)
+  * plus K per-row literal-array constructions, which blows the
+  * generated method past the JIT-able size and costs ~10× in practice.
+  * Output: struct(dist: 4dp-rounded squared L2, cid: centroid id),
+  * ties to the smallest cid (centroids pre-sorted by the caller).
+  */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]],
+    cids: Array[Long]) extends UnaryExpression {
+  require(cents.nonEmpty && cents.length == cids.length,
+    "NearestCentroid needs a non-empty centroid matrix with one cid each")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", DoubleType, nullable = false),
+    StructField("cid", LongType, nullable = false)))
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCentroidUtil.nearest(input.asInstanceOf[ArrayData], cents, cids)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.NearestCentroidUtil" +
+        s".nearest($v, $centsRef, $cidsRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroid = copy(child = newChild)
+}
+
 /** Column-API surface for the custom expressions. */
 object vec {
   def cosine(a: Column, b: Column): Column =
     graftexpr.column(
       CosineSimilarity(graftexpr.expression(a), graftexpr.expression(b)))
+
+  def sqdist(a: Column, b: Column): Column =
+    graftexpr.column(
+      SquaredL2Distance(graftexpr.expression(a), graftexpr.expression(b)))
+
+  /** struct(dist, cid) of the nearest centroid; `cents` must be sorted
+    * by cid so distance ties break to the smallest cid. */
+  def nearestCentroid(v: Column, cents: Seq[(Long, Array[Double])]): Column =
+    graftexpr.column(NearestCentroid(graftexpr.expression(v),
+      cents.map(_._2).toArray, cents.map(_._1).toArray))
 }

@@ -37,12 +37,16 @@ class CorpusIrSpec extends SparkSuite {
     assert(inertia(2) <= inertia(1) + 1e-6)
   }
 
-  test("kmeans argmin is an aggregation, not a window sort") {
+  test("kmeans argmin is a fused projection, not a window or a join") {
+    // centroids are driver-folded into the NearestCentroid expression:
+    // the census plan is scan → narrow argmin → one tiny groupBy — no
+    // per-vector window sort, no K-fold join expansion of any kind
     val plan = Ann.kmeans(spark, Sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "kmeans plans a Window")
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"), "centroids are not broadcast")
+    assert(!plan.contains("Join"), "kmeans re-grew a centroid join")
+    assert(plan.contains("nearest_centroid"),
+      "kmeans lost its fused argmin expression")
   }
 
   // --- BM25 ----------------------------------------------------------

@@ -44,6 +44,29 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("Window"), "q_ann_ivf plans a Window")
   }
 
+  test("knnGraph/semDedup never broadcast the embeddings table") {
+    // the pairwise block-compare must be a cell-keyed shuffle join: a
+    // broadcast() of the corpus self-join side dies at the 8 GB
+    // broadcast ceiling long before 100 TB. With the auto-broadcast
+    // thresholds disabled, any surviving BroadcastExchange can only
+    // come from an explicit broadcast hint — assert there is none.
+    // (At real sizes AQE may still choose to broadcast a small DROPPED
+    // set at runtime; that is size-based and fine.)
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      for (name <- Seq("q_knn_graph", "q_semdedup")) {
+        val plan = planOf(name)
+        assert(!plan.contains("BroadcastExchange"),
+          s"$name broadcasts the embeddings table")
+      }
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("minhash signatures and fingerprint are shuffle-free projections") {
     // both fold per-doc state inside one codegen'd expression; the only
     // exchange allowed is the final presentation sort

@@ -101,30 +101,56 @@ class ScaleOpsSpec extends SparkSuite {
     assert(totalNovel == distinctGrams)
   }
 
-  test("knn graph: rank-1 edges match a brute-force driver computation") {
-    val r = Materialize.frame(Ann.knnGraph(spark, Sf))
-    // k bound and rank integrity
-    assert(r.groupBy("vec_id").count().filter(col("count") > 3).count() == 0)
-    assert(r.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
-    // brute-force pin: recompute every rank-1 neighbor from raw vectors
-    val vecs = Tables.t(spark, Sf, "embeddings")
+  /** Driver-side mirror of Ann's Voronoi cell blocking: assign every
+    * vector to the nearest of the 32 lowest-vec_id seeds by
+    * 4dp-rounded squared L2 (ties to the smallest seed id) — the same
+    * rule as nearestSeed / the DuckDB oracle's assign CTE. */
+  private def cellsOf(vecs: Array[(Long, String, Array[Double])])
+      : Map[Long, Long] = {
+    def sq4(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i) - b(i); acc += d * d; i += 1 }
+      BigDecimal(acc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val seeds = vecs.filter(_._1 < 32).sortBy(_._1)
+    vecs.map { case (id, _, v) =>
+      id -> seeds.map { case (sid, _, sv) => (sq4(v, sv), sid) }.min._2
+    }.toMap
+  }
+
+  private def cos4(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private def embVecs(): Array[(Long, String, Array[Double])] =
+    Tables.t(spark, Sf, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .collect()
       .map(row => (row.getLong(0), String.valueOf(row.get(1)),
         row.getSeq[Double](2).toArray))
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
-    val byLabel = vecs.groupBy(_._2)
-    val expected = vecs.map { case (id, lab, v) =>
-      id -> byLabel(lab).filter(_._1 != id)
-        .map { case (nid, _, nv) => (nid, cos(nv, v)) }
-        .minBy { case (nid, c) => (-c, nid) }
+
+  test("knn graph: rank-1 edges match a brute-force driver computation") {
+    val r = Materialize.frame(Ann.knnGraph(spark, Sf))
+    // k bound and rank integrity
+    assert(r.groupBy("vec_id").count().filter(col("count") > 3).count() == 0)
+    assert(r.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
+    // brute-force pin: recompute every rank-1 same-cell neighbor from
+    // raw vectors (cells small enough that no hot-cap fires at sf0.001)
+    val vecs = embVecs()
+    val cellOf = cellsOf(vecs)
+    val byCell = vecs.groupBy(v => cellOf(v._1))
+    val expected = vecs.flatMap { case (id, _, v) =>
+      val peers = byCell(cellOf(id)).filter(_._1 != id)
+      if (peers.isEmpty) None
+      else Some(id -> peers
+        .map { case (nid, _, nv) => (nid, cos4(nv, v)) }
+        .minBy { case (nid, c) => (-c, nid) })
     }.toMap
     val got = r.filter(col("rank") === 1)
       .select("vec_id", "nbr_id", "cosine").collect()
@@ -140,37 +166,28 @@ class ScaleOpsSpec extends SparkSuite {
     // totals conserve: labels partition the vector set
     val total = r.agg(sum("n_vecs")).collect().head.getLong(0)
     assert(total == Tables.t(spark, Sf, "embeddings").count())
-    // the minimum vec_id of every label always survives (nothing can
-    // precede it in the greedy order)
-    val minIds = Tables.t(spark, Sf, "embeddings")
-      .groupBy("label").agg(min("vec_id").as("m"))
-      .collect().map(_.getLong(1)).toSet
+    // the minimum vec_id of every CELL always survives (nothing can
+    // precede it in the greedy same-cell order)
+    val cellOf = cellsOf(embVecs())
+    val nCells = cellOf.values.toSet.size
     val droppedAll = Ann.semDedup(spark, Sf, tau = -1.0) // drop ALL non-canonical
     val fullDrop = droppedAll.agg(sum("n_dropped"), sum("n_vecs"))
       .collect().head
-    assert(fullDrop.getLong(1) - fullDrop.getLong(0) == minIds.size)
+    assert(fullDrop.getLong(1) - fullDrop.getLong(0) == nCells)
   }
 
   test("semdedup: per-label census equals driver brute force") {
-    val vecs = Tables.t(spark, Sf, "embeddings")
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
-      .collect()
-      .map(row => (row.getLong(0), String.valueOf(row.get(1)),
-        row.getSeq[Double](2).toArray))
-    def cos4(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
+    val vecs = embVecs()
+    val cellOf = cellsOf(vecs)
+    // dropped is decided by same-CELL pairs; the census then rolls the
+    // dropped set up per label
+    val droppedIds = (for {
+      (ia, _, va) <- vecs; (ib, _, vb) <- vecs
+      if ia < ib && cellOf(ia) == cellOf(ib) && cos4(va, vb) >= 0.35
+    } yield ib).toSet
     val expected = vecs.groupBy(_._2).map { case (lab, vs) =>
-      val dropped = (for {
-        (ia, _, va) <- vs; (ib, _, vb) <- vs
-        if ia < ib && cos4(va, vb) >= 0.35
-      } yield ib).toSet
-      lab -> ((vs.length.toLong, dropped.size.toLong))
+      lab -> ((vs.length.toLong,
+        vs.count(v => droppedIds.contains(v._1)).toLong))
     }
     val got = Ann.semDedup(spark, Sf).collect()
       .map(r => String.valueOf(r.get(0)) ->
