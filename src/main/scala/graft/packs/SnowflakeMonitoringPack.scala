@@ -14,7 +14,7 @@ import graft.engine.{AlertRule, RuleEngine}
   *
   * Refs: packs/snowflake_security_monitoring.sql:1-108,
   * packs/snowflake_query_pack.sql:1-46,
-  * packs/snowflake_cost_management.sql:50-73.
+  * packs/snowflake_cost_management.sql:1-73 (all four spend rules).
   *
   * Threshold constants that the reference hard-codes for production
   * volumes (bad-login counts, spike multipliers) are rule parameters
@@ -35,6 +35,7 @@ object SnowflakeMonitoringPack {
   private val Now = "2024-01-30 12:00:00"
   private val H24 = "2024-01-29 12:00:00"
   private val H12 = "2024-01-30 00:00:00"
+  private val H5 = "2024-01-30 07:00:00"
   private val D28 = "2024-01-02 12:00:00"
   private val D2 = "2024-01-28 12:00:00"
   private val From = "2024-01-01 00:00:00"
@@ -248,6 +249,51 @@ object SnowflakeMonitoringPack {
         Num.r4(col("avg_credits_used")).as("avg_credits_used"))
   }
 
+  /** The three fixed-window spend rules of snowflake_cost_management.sql
+    * share one shape: derive a (key, credits, end_time) usage view from
+    * events, SUM credits per key inside the window, alert above the
+    * reference's 10-credit threshold. One map-side-combined aggregation
+    * over a pruned time slice — linear, shuffle carries one row per key. */
+  private def spendOver(usage: DataFrame, idCol: String, nameCol: String,
+      creditCol: String, from: String, creditsOver: Double): DataFrame =
+    usage.filter(win(col("end_time"), from, Now))
+      .groupBy(col(idCol), col(nameCol))
+      .agg(Num.r4(sum(col("__credits"))).as(creditCol))
+      .filter(col(creditCol) > creditsOver)
+
+  /** snowflake_cost_management.sql:1-16 — Automatic Clustering Spend:
+    * tables whose auto-clustering credits exceed 10 in the past 5 hours.
+    * The clustering-history view derives table/credits from events
+    * deterministically (divisor calibrated so the threshold binds
+    * non-trivially on the synthetic volume). */
+  def clusteringSpend(events: DataFrame, creditsOver: Double = 10.0): DataFrame =
+    spendOver(events.select(
+        (col("user_id") % 12).as("table_id"),
+        concat_ws("", lit("t"), col("user_id") % 12).as("table_name"),
+        (col("value") / 20.0).as("__credits"),
+        col("ts").as("end_time")),
+      "table_id", "table_name", "credits", H5, creditsOver)
+
+  /** snowflake_cost_management.sql:18-31 — Materialized View Spend:
+    * same 5-hour window over the MV refresh history view. */
+  def mvRefreshSpend(events: DataFrame, creditsOver: Double = 10.0): DataFrame =
+    spendOver(events.select(
+        ((col("user_id") + 5) % 9).as("table_id"),
+        concat_ws("", lit("mv"), (col("user_id") + 5) % 9).as("table_name"),
+        (col("value") / 25.0).as("__credits"),
+        col("ts").as("end_time")),
+      "table_id", "table_name", "credits", H5, creditsOver)
+
+  /** snowflake_cost_management.sql:33-48 — Snowpipe Spend: 12-hour
+    * window over the pipe usage history view. */
+  def pipeSpend(events: DataFrame, creditsOver: Double = 10.0): DataFrame =
+    spendOver(events.select(
+        (col("user_id") % 5).as("pipe_id"),
+        concat_ws("", lit("pipe"), col("user_id") % 5).as("pipe_name"),
+        (col("value") / 130.0).as("__credits"),
+        col("ts").as("end_time")),
+      "pipe_id", "pipe_name", "credits_used", H12, creditsOver)
+
   /** snowflake_query_pack.sql:1-23 snowflake_admin_role_grant_monitor:
     * successful GRANTs of securityadmin/accountadmin; the granted object
     * is REGEXP-extracted from the query text exactly like the reference
@@ -329,6 +375,15 @@ object SnowflakeMonitoringPack {
       warehouseSpike(t(s, dir, "events"))
         .orderBy(col("warehouse_id"))),
 
+    "q_pack_cost_clustering_spend" -> ((s: SparkSession, dir: String) =>
+      clusteringSpend(t(s, dir, "events")).orderBy(col("table_id"))),
+
+    "q_pack_cost_mv_spend" -> ((s: SparkSession, dir: String) =>
+      mvRefreshSpend(t(s, dir, "events")).orderBy(col("table_id"))),
+
+    "q_pack_cost_pipe_spend" -> ((s: SparkSession, dir: String) =>
+      pipeSpend(t(s, dir, "events")).orderBy(col("pipe_id"))),
+
     "q_pack_sf_admin_role_grant" -> ((s: SparkSession, dir: String) =>
       RuleEngine.runAlertRule(qh(s, dir), adminRoleGrant, col("query_id"),
         From, Now, AlertTimeS).orderBy(col("alert_id"))),
@@ -351,6 +406,21 @@ object SnowflakeMonitoringPack {
         lower(col("query_text")).contains("admin")))
         .orderBy(col("query_id")))
   )
+
+  /** DuckDB mirror of [[spendOver]] over the same derived usage view. */
+  private def spendSql(idExpr: String, nameExpr: String, idCol: String,
+      nameCol: String, div: String, creditCol: String, from: String): String =
+    s"""WITH usage AS (
+       |  SELECT $idExpr AS $idCol, $nameExpr AS $nameCol,
+       |    value / $div AS credits, ts AS end_time
+       |  FROM events
+       |)
+       |SELECT $idCol, $nameCol, round(sum(credits), 4) AS $creditCol
+       |FROM usage
+       |WHERE end_time >= TIMESTAMP '$from' AND end_time < TIMESTAMP '$Now'
+       |GROUP BY 1, 2
+       |HAVING round(sum(credits), 4) > 10.0
+       |ORDER BY $idCol""".stripMargin
 
   private def loginAggSql(
       groupCols: String, from: String, countsOver: Long): String =
@@ -436,6 +506,18 @@ object SnowflakeMonitoringPack {
          |FROM last2 l JOIN avg28 a USING (warehouse_id, warehouse_name)
          |WHERE l.ld_credits_used > a.avg_credits_used * 2.0
          |ORDER BY l.warehouse_id""".stripMargin,
+
+    "q_pack_cost_clustering_spend" ->
+      spendSql("user_id % 12", "'t' || (user_id % 12)",
+        "table_id", "table_name", "20.0", "credits", H5),
+
+    "q_pack_cost_mv_spend" ->
+      spendSql("(user_id + 5) % 9", "'mv' || ((user_id + 5) % 9)",
+        "table_id", "table_name", "25.0", "credits", H5),
+
+    "q_pack_cost_pipe_spend" ->
+      spendSql("user_id % 5", "'pipe' || (user_id % 5)",
+        "pipe_id", "pipe_name", "130.0", "credits_used", H12),
 
     "q_pack_sf_admin_role_grant" ->
       s"""$QhCte

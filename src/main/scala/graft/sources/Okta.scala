@@ -62,6 +62,41 @@ object Okta {
         col("outcome.result").as("outcome_result"),
         col("outcome.reason").as("outcome_reason"))
 
+  /** Okta group snapshot schema (okta.sql data.okta_groups_snapshots). */
+  val groupSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("created", TimestampType),
+    StructField("lastUpdated", TimestampType),
+    StructField("lastMembershipUpdated", TimestampType),
+    StructField("objectClass", ArrayType(StringType)),
+    StructField("type", StringType),
+    StructField("profile", StructType(Seq(
+      StructField("name", StringType),
+      StructField("description", StringType))))))
+
+  /** Land group-snapshot JSON lines into the typed view shape
+    * (packs/okta.sql data.okta_groups_snapshots — groups view #1). The
+    * file connector has no landing-time column, so `recorded_at` is
+    * the record's own lastUpdated stamp — monotone across snapshot
+    * pulls, preserving the QUALIFY-latest semantics of [[groups]]. */
+  def landGroupSnapshots(spark: SparkSession, path: String): DataFrame =
+    Connectors.jsonLines(spark, path, groupSchema)
+      .select(
+        col("raw"),
+        col("lastUpdated").as("recorded_at"),
+        col("id"),
+        col("created"),
+        col("lastUpdated").as("last_updated"),
+        col("lastMembershipUpdated").as("last_membership_updated"),
+        col("objectClass").as("object_class"),
+        col("type"),
+        col("profile"))
+
+  /** okta.sql data.okta_groups (groups view #2): latest entry seen for
+    * each group. */
+  def groups(snapshots: DataFrame): DataFrame =
+    latestSnapshot(snapshots, "id")
+
   /** Latest snapshot per entity — okta.sql's
     * `QUALIFY 1=ROW_NUMBER() OVER (PARTITION BY id ORDER BY recorded_at
     * DESC)` view (data.okta_users), as a window + filter: one shuffle

@@ -60,6 +60,26 @@ class TypedConnectorsSpec extends SparkSuite {
     assert(f.getAs[String]("client_ip") == "1.2.3.4")
   }
 
+  test("okta groups snapshots land typed columns; groups keeps latest") {
+    // okta.sql groups views: snapshots projection + QUALIFY-latest
+    val path = tmpFile("okta_groups.jsonl",
+      """{"id":"g1","created":"2024-01-01T00:00:00Z","lastUpdated":"2024-01-02T00:00:00Z","lastMembershipUpdated":"2024-01-02T00:00:00Z","objectClass":["okta:user_group"],"type":"OKTA_GROUP","profile":{"name":"Engineering","description":"eng"}}
+        |{"id":"g1","created":"2024-01-01T00:00:00Z","lastUpdated":"2024-01-03T00:00:00Z","lastMembershipUpdated":"2024-01-03T00:00:00Z","objectClass":["okta:user_group"],"type":"OKTA_GROUP","profile":{"name":"Engineering","description":"eng-renamed"}}
+        |{"id":"g2","created":"2024-01-01T00:00:00Z","lastUpdated":"2024-01-02T00:00:00Z","lastMembershipUpdated":"2024-01-02T00:00:00Z","objectClass":["okta:user_group"],"type":"BUILT_IN","profile":{"name":"Everyone","description":"all"}}
+        |""".stripMargin)
+    val snaps = Okta.landGroupSnapshots(spark, path)
+    assert(snaps.count() == 3)
+    val g2 = snaps.filter(col("type") === "BUILT_IN")
+      .select(col("profile.name"), col("object_class")).head
+    assert(g2.getString(0) == "Everyone")
+    assert(g2.getSeq[String](1) == Seq("okta:user_group"))
+    val latest = Okta.groups(snaps)
+    assert(latest.count() == 2)
+    assert(latest.filter(col("id") === "g1")
+      .select(col("profile.description")).head.getString(0) == "eng-renamed")
+    assert(latest.columns.contains("raw"))
+  }
+
   test("osquery result log lands typed envelope + columns map") {
     val path = tmpFile("osq.jsonl",
       """{"name":"pack_incident-response_open_sockets","action":"added","hostIdentifier":"host-1","calendarTime":"Mon Jan  1 10:00:00 2024 UTC","unixTime":1704103200,"epoch":0,"counter":3,"columns":{"pid":"421","port":"443"},"decorations":{"env":"prod"}}
