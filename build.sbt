@@ -41,4 +41,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // queries run interpreted — showing up as multi-second spikes that
   // move between queries run-to-run. 1g keeps every compiled stage hot.
   "-XX:ReservedCodeCacheSize=1g",
-) ++ sys.env.get("SPARK_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))
+// split() on a set-but-empty var yields Array("") — filter blanks so the
+// forked JVM never receives an empty-string option
+) ++ sys.env.get("SPARK_EXTRA_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+")).filter(_.nonEmpty)

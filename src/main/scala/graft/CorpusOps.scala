@@ -284,9 +284,13 @@ object CorpusOps {
     * a sample, broadcast, bucketed by comparison — no global sort);
     * the census output is identical either way. */
   def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    // both the vocabulary count and the per-doc scoring read the token
+    // explode — materialize it once (as gramNovelty does for grams) so
+    // the text split/explode scan doesn't run per consumer
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("word"))
+      .transform(graft.Materialize.frame)
     val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val tot = freq.agg(sum(col("cnt")).as("total"))
     val lp = freq.crossJoin(broadcast(tot))

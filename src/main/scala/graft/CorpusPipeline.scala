@@ -26,8 +26,17 @@ import org.apache.spark.sql.functions._
 object CorpusPipeline {
   import Tables.t
 
+  /** Stage counts of one curation run. `capped` — the final output
+    * count — is only known once the corpus frame has been materialized:
+    * [[run]] fills it in; a census obtained from [[curate]]'s thunk
+    * carries the NotCounted (-1) sentinel instead, because counting
+    * there would force an extra aggregate node above the final sort. */
   final case class Census(
       ingested: Long, quality: Long, deduped: Long, capped: Long)
+
+  /** Sentinel for [[Census.capped]] when the caller has not yet
+    * counted the materialized corpus (see [[curate]]). */
+  val NotCounted: Long = -1L
 
   /** Build the curated corpus frame plus a census thunk. The thunk
     * blocks until SOME action has materialized the returned frame
@@ -68,7 +77,7 @@ object CorpusPipeline {
         // via a fourth observe would need a node ABOVE the final sort —
         // the census consumer already has the materialized frame, so
         // spare the plan the extra aggregate and count the store
-        -1L)
+        NotCounted)
     }
     (capped, () => census())
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -24,11 +24,11 @@ import org.apache.spark.util.sketch.BloomFilter
   *     rows, not |increment|.
   *
   * `gate` composed with the exact fallback equals the plain anti-join
-  * row-for-row (BloomGateSpec). The probe is a JVM lambda over the
-  * broadcast sketch (Spark exposes no public might_contain Column
-  * function); it runs per-row inside the scan with no shuffle, and the
-  * candidate set it emits is tiny by construction, so the non-codegen
-  * step never touches more than ε of the data.
+  * row-for-row (ScaleOpsSpec). The probe is a native codegen'd
+  * expression ([[graft.functions.BloomMightContain]] — Spark exposes
+  * no public might_contain Column function): it runs per-row inside
+  * the scan's fused consume path with no shuffle, the sketch shipping
+  * once per executor as a plan reference object.
   */
 object BloomDedupGate {
 
@@ -47,14 +47,14 @@ object BloomDedupGate {
       : (DataFrame, DataFrame) = {
     require(!incoming.columns.contains("__maybe"),
       "__maybe is reserved by BloomDedupGate")
-    val probe = udf((h: Long) => bf.mightContainLong(h))
     // a NULL hash never matches an anti-join key, so the exact pass
-    // would keep the row — route nulls to the candidate side (the udf
-    // returns null for null input without running; coalesce to true)
-    // so the fallback anti-join preserves that semantic instead of the
-    // row vanishing from both splits
+    // would keep the row — route nulls to the candidate side (the
+    // null-intolerant probe yields null for null input; coalesce to
+    // true) so the fallback anti-join preserves that semantic instead
+    // of the row vanishing from both splits
     val flagged = incoming.withColumn("__maybe",
-      coalesce(probe(col(hashCol)), lit(true)))
+      coalesce(graft.functions.bloom.mightContain(col(hashCol), bf),
+        lit(true)))
     (flagged.filter(!col("__maybe")).drop("__maybe"),
       flagged.filter(col("__maybe")).drop("__maybe"))
   }

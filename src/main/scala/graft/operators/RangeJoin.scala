@@ -67,6 +67,13 @@ object RangeJoin {
     require(!points.columns.contains("__bucket") &&
       !intervals.columns.contains("__bucket"),
       "__bucket is reserved by RangeJoin")
+    // the post-join residual filter references startCol/pointCol by
+    // name: any column present on BOTH sides would make those
+    // references ambiguous (AnalysisException) — fail early and clearly
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals share column(s) ${shared.mkString(", ")} — " +
+        "alias one side before the range join")
     require(len > 0, s"interval length must be positive, got $len")
     val step = grain.toLowerCase match {
       case "day" => expr("interval 1 day")

@@ -20,7 +20,11 @@ class QueriesSpec extends SparkSuite {
   // threshold, which ~33 events/day at sf0.001 cannot reach (it fires
   // at the sf0.01 correctness scale).
   private val mayBeEmpty = Set("q_dedup_exact", "q_embedding_neardup",
-    "q_dedup_lsh_pairs", "q_pack_sf_ip_login_fails")
+    "q_dedup_lsh_pairs", "q_pack_sf_ip_login_fails",
+    // 10-credit spend thresholds can't bind on sf0.001's ~dozen-event
+    // windows; they're calibrated to be non-trivial at the sf0.01 gate
+    "q_pack_cost_clustering_spend", "q_pack_cost_mv_spend",
+    "q_pack_cost_pipe_spend")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {

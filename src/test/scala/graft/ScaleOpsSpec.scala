@@ -63,6 +63,17 @@ class ScaleOpsSpec extends SparkSuite {
     assert(fastPath.count() > 3000L,
       s"fast path admitted only ${fastPath.count()} of 4000 novel rows")
     assert(candidates.count() < 2000L)
+    // the probe is a native expression, not a udf: the gate projection
+    // stays inside whole-stage codegen (a BatchEvalPython/ScalaUDF node
+    // would split the fused pipeline)
+    val plan = fastPath.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), "probe expression lost")
+    assert(!plan.contains("ScalaUDF"), "probe regressed to a udf")
+    // "*(n)" prefixes mark whole-stage-codegen'd operators; the Filter
+    // carrying the probe must be inside one
+    assert(plan.linesIterator.exists(l =>
+      l.contains("bloom_might_contain") && l.trim.stripPrefix("+- ")
+        .startsWith("*(")), "gate fell out of codegen")
   }
 
   test("doc chunk census: counts conserve and dup rate is bounded") {
