@@ -67,6 +67,17 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("pq encoding distances use the fused kernel, not lambda folds") {
+    // zip_with/aggregate higher-order functions are CodegenFallback and
+    // allocate per (row × codeword) — measured 5× slower at sf~1; the
+    // subspace distances must stay on the codegen'd SquaredL2Distance
+    val plan = planOf("q_ann_pq")
+    assert(plan.contains("squared_l2_distance"),
+      "q_ann_pq lost its fused distance kernel")
+    assert(!plan.contains("zip_with"),
+      "q_ann_pq regressed to lambda-fold distances")
+  }
+
   test("minhash signatures and fingerprint are shuffle-free projections") {
     // both fold per-doc state inside one codegen'd expression; the only
     // exchange allowed is the final presentation sort
