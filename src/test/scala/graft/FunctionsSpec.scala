@@ -152,6 +152,58 @@ class FunctionsSpec extends SparkSuite {
       .filter(col("got") =!= col("expect")).count() == 0)
   }
 
+  test("squared_l2_distance matches the zip_with fold bit-for-bit") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.1, -0.2, 0.3), Array(-0.4, 0.5, -0.6)),
+      (Array(1e-8, 2e8, -3.5), Array(7.1, -2.2, 0.0))
+    ).toDF("a", "b")
+    val builtin = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      .collect().map(_.getDouble(0))
+    val custom = df.select(vec.sqdist(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(custom.sameElements(builtin)) // exact, not approximate
+    // null propagation
+    assert(Seq((Array(1.0), Option.empty[Array[Double]])).toDF("a", "b")
+      .select(vec.sqdist(col("a"), col("b"))).head.isNullAt(0))
+  }
+
+  test("nearest_centroid: argmin, 4dp rounding, smallest-cid tiebreak") {
+    val cents: Seq[(Long, Array[Double])] = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(1.0, 0.0)), (2L, Array(0.0, 0.0)))
+    // (0.5, 0) is exactly equidistant (0.25) from cids 0, 1 AND the
+    // duplicate seed 2 → the smallest cid must win; (0.9, 0) is
+    // nearest cid 1
+    val df = Seq(Array(0.5, 0.0), Array(0.9, 0.0)).toDF("v")
+    val got = df.select(
+      vec.nearestCentroid(col("v"), cents).as("m"))
+      .select(col("m.cid"), col("m.dist")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got(0) == ((0L, 0.25)))
+    assert(got(1) == ((1L, 0.01))) // 0.1² = 0.010000000000000002 → r4
+    // matches the declarative argmin-over-rounded-distances exactly
+    val decl = df.select(expr(
+      """array_min(transform(array(
+        |  struct(round(aggregate(zip_with(v, array(0D, 0D), (x, c) -> (x-c)*(x-c)), 0D, (a, x) -> a + x) * 10000) / 10000 AS dist, 0L AS cid),
+        |  struct(round(aggregate(zip_with(v, array(1D, 0D), (x, c) -> (x-c)*(x-c)), 0D, (a, x) -> a + x) * 10000) / 10000 AS dist, 1L AS cid),
+        |  struct(round(aggregate(zip_with(v, array(0D, 0D), (x, c) -> (x-c)*(x-c)), 0D, (a, x) -> a + x) * 10000) / 10000 AS dist, 2L AS cid)), s -> s))"""
+        .stripMargin).getField("cid")).collect().map(_.getLong(0))
+    assert(got.map(_._1).sameElements(decl))
+  }
+
+  test("bloom_might_contain: no false negatives and null-in-null-out") {
+    val hashes = spark.range(0, 1000).select(xxhash64(col("id")).as("h"))
+    val bf = hashes.stat.bloomFilter("h", 1000, 0.01)
+    val misses = hashes.select(
+      graft.functions.bloom.mightContain(col("h"), bf).as("m"))
+      .filter(!col("m")).count()
+    assert(misses == 0, "bloom filter produced a false negative")
+    assert(spark.range(1).select(
+      graft.functions.bloom.mightContain(lit(null).cast("long"), bf))
+      .head.isNullAt(0))
+  }
+
   test("min_gram_md5 counts code points, not UTF-16 units") {
     // a supplementary char (surrogate pair in UTF-16) must gram like
     // Spark's substring — by code point
