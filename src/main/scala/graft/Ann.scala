@@ -16,11 +16,6 @@ object Ann {
     df.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
 
-  private val dot =
-    "aggregate(zip_with(v, pv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-  private val norm2 =
-    "aggregate(transform(%s, x -> x * x), 0D, (acc, x) -> acc + x)"
-
   /** #32 exact top-10 cosine neighbors of probe vector vec_id=0. */
   def bruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = withV(t(s, dir, "embeddings"))
@@ -45,12 +40,12 @@ object Ann {
 
   /** The (plane, dim) coefficient is a pure function of two small ints —
     * the 8×dim table is computed ONCE on the driver and folded into the
-    * plan as array literals, so the signature is a single narrow
-    * projection: 8 array dot products per row. (The previous form
-    * re-derived every coefficient per row via md5 inside a double
-    * explode — dim×8 hashes per vector and two shuffling aggregations,
-    * for values that never change.) Bit-identical to the oracle's
-    * strpos(md5) formulation. */
+    * plan (a HyperplaneBucket reference object), so the signature is a
+    * single narrow projection: one fused 8-plane dot-product loop per
+    * row. (The original form re-derived every coefficient per row via
+    * md5 inside a double explode — dim×8 hashes per vector and two
+    * shuffling aggregations, for values that never change.)
+    * Bit-identical to the oracle's strpos(md5) formulation. */
   private def planeCoef(p: Int, d: Int): Double = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$p:$d".getBytes("UTF-8"))
@@ -68,14 +63,12 @@ object Ann {
       return e.select(col("vec_id"), lit(0L).as("bucket")).limit(0)
     }
     val dim = probe.head.getInt(0)
-    val bucket = (0 until 8).map { p =>
-      val coefs = array((1 to dim).map(d => lit(planeCoef(p, d))): _*)
-      val proj = aggregate(
-        zip_with(col("v"), coefs, (x, c) => x * c),
-        lit(0d), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
-    e.select(col("vec_id"), bucket.as("bucket"))
+    // all 8 projections in one fused HyperplaneBucket loop (the
+    // per-plane aggregate(zip_with) folds are CodegenFallback lambdas
+    // allocating 8 zipped arrays per row — the q_ann_pq lesson)
+    val planes = Array.tabulate(8, dim)((p, d) => planeCoef(p, d + 1))
+    e.select(col("vec_id"),
+      graft.functions.vec.hyperplaneBucket(col("v"), planes).as("bucket"))
   }
 
   /** #33 LSH-bucketed ANN: candidates share the probe's 8-bit

@@ -244,6 +244,71 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]],
       newChild: Expression): NearestCentroid = copy(child = newChild)
 }
 
+/** Runtime kernel for [[HyperplaneBucket]] — separate object so the
+  * generated Java calls a static forwarder. */
+object HyperplaneBucketUtil {
+  /** Signature bit p is set iff v · planes(p) > 0, accumulated in
+    * index order exactly like the
+    * `aggregate(zip_with(v, coefs, (x, c) -> x * c), 0D, +)` fold. */
+  def bucket(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    var b = 0L
+    var p = 0
+    while (p < planes.length) {
+      val c = planes(p)
+      val m = java.lang.Math.min(v.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        acc += v.getDouble(i) * c(i)
+        i += 1
+      }
+      if (acc > 0) b |= (1L << p)
+      p += 1
+    }
+    b
+  }
+}
+
+/** Random-hyperplane LSH signature as ONE fused expression: the P×D
+  * plane matrix rides as a codegen reference object and all P
+  * projections run in one tight loop per row. The declarative
+  * alternative — P aggregate(zip_with(v, lit_coefs)) folds summed into
+  * a bucket — is a CodegenFallback evaluating P interpreted lambdas
+  * and allocating P zipped arrays per row (the same failure mode the
+  * NearestCentroid/SquaredL2Distance kernels fix). Bit-identical to
+  * the fold: same index-order summation, same `proj > 0` bit rule.
+  */
+case class HyperplaneBucket(child: Expression,
+    planes: Array[Array[Double]]) extends UnaryExpression {
+  require(planes.nonEmpty && planes.length <= 64,
+    "HyperplaneBucket needs 1..64 planes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "hyperplane_bucket"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneBucketUtil.bucket(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.HyperplaneBucketUtil.bucket($v, $planesRef)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneBucket = copy(child = newChild)
+}
+
 /** Column-API surface for the custom expressions. */
 object vec {
   def cosine(a: Column, b: Column): Column =
@@ -259,4 +324,8 @@ object vec {
   def nearestCentroid(v: Column, cents: Seq[(Long, Array[Double])]): Column =
     graftexpr.column(NearestCentroid(graftexpr.expression(v),
       cents.map(_._2).toArray, cents.map(_._1).toArray))
+
+  /** P-bit hyperplane-LSH signature of `v` against the plane matrix. */
+  def hyperplaneBucket(v: Column, planes: Array[Array[Double]]): Column =
+    graftexpr.column(HyperplaneBucket(graftexpr.expression(v), planes))
 }

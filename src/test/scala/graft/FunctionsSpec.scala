@@ -192,6 +192,26 @@ class FunctionsSpec extends SparkSuite {
     assert(got.map(_._1).sameElements(decl))
   }
 
+  test("hyperplane_bucket matches the per-plane fold formulation") {
+    val planes = Array(
+      Array(1.0, -2.0, 0.5), Array(-0.3, 0.0, 0.7), Array(0.0, 0.0, 0.0))
+    val df = Seq(
+      Array(1.0, 1.0, 1.0), Array(-1.0, 0.5, 2.0), Array(0.0, 0.0, 0.0)
+    ).toDF("v")
+    val folds = (0 until 3).map { p =>
+      val coefs = array(planes(p).map(lit).toIndexedSeq: _*)
+      when(expr(
+        s"aggregate(zip_with(v, array(${planes(p).mkString("D,")}D), " +
+          "(x, c) -> x * c), 0D, (acc, x) -> acc + x)") > 0,
+        lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    val expect = df.select(folds).collect().map(_.getLong(0))
+    val got = df.select(
+      graft.functions.vec.hyperplaneBucket(col("v"), planes))
+      .collect().map(_.getLong(0))
+    assert(got.sameElements(expect))
+  }
+
   test("bloom_might_contain: no false negatives and null-in-null-out") {
     val hashes = spark.range(0, 1000).select(xxhash64(col("id")).as("h"))
     val bf = hashes.stat.bloomFilter("h", 1000, 0.01)
