@@ -194,12 +194,9 @@ object CorpusOps {
         (length(col("text")) - (col("n_tok") - 1)) / col("n_tok"))
       .withColumn("stop_ratio", graft.functions.text.tokenInListCount(
         col("text"), Seq("the", "a", "of", "and")) / col("n_tok"))
-      .withColumn("n_tri", greatest(size(col("w")) - 2, lit(0)))
-      .withColumn("rep_ratio", when(col("n_tri") > 0,
-        lit(1.0) - size(array_distinct(expr(
-          """transform(sequence(0, size(w)-3),
-            |  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))""".stripMargin)))
-          / col("n_tri")).otherwise(lit(0.0)))
+      .withColumn("ts", graft.functions.text.trigramStats(col("text")))
+      .withColumn("rep_ratio", when(col("ts.n_tri") > 0,
+        lit(1.0) - col("ts.n_uniq") / col("ts.n_tri")).otherwise(lit(0.0)))
       .withColumn("p1", (col("n_tok") >= 30).cast("int"))
       .withColumn("p2", (col("p1") === 1 && col("mtl") <= 4.6).cast("int"))
       .withColumn("p3",

@@ -71,21 +71,18 @@ object TextOps {
 
   /** #36b intra-document repetition ratio — the standard corpus-quality
     * signal (fraction of duplicate word trigrams; boilerplate and
-    * degenerate generations score high). The trigram build + dedup runs
-    * entirely inside per-row array expressions (transform/array_distinct
-    * on the token array) — a narrow shuffle-free projection, never an
-    * explode: at 100 TB the naive explode+groupBy(doc, trigram) shape
-    * would materialize ~n_tokens rows per document. */
+    * degenerate generations score high). The whole trigram build +
+    * dedup runs inside ONE fused TrigramStats kernel — a narrow
+    * shuffle-free projection, never an explode: at 100 TB the naive
+    * explode+groupBy(doc, trigram) shape would materialize ~n_tokens
+    * rows per document, and even the array-expression form
+    * (transform + array_distinct) pays an interpreted lambda plus a
+    * per-trigram Column allocation per row. */
   def repetition(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("n_tri", greatest(size(col("w")) - 2, lit(0)).cast("long"))
-      .withColumn("tri", when(size(col("w")) >= 3, expr(
-        "transform(sequence(0, size(w)-3)," +
-          " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .otherwise(array().cast("array<string>")))
-      .withColumn("n_uniq",
-        size(array_distinct(col("tri"))).cast("long"))
+      .withColumn("ts", graft.functions.text.trigramStats(col("text")))
+      .withColumn("n_tri", col("ts.n_tri"))
+      .withColumn("n_uniq", col("ts.n_uniq"))
       .withColumn("rep_ratio", Num.r4(
         when(col("n_tri") > 0,
           lit(1.0) - col("n_uniq") / col("n_tri")).otherwise(lit(0.0))))

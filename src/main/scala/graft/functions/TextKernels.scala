@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftexpr
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen helpers for the text-quality kernels. */
@@ -30,6 +31,31 @@ object TextKernelUtil {
       i += 1
     }
     n
+  }
+
+  /** Word-trigram census: (n_tri, n_uniq) in one pass — the
+    * size(array_distinct(transform(sequence(...), trigram))) pair
+    * without building the trigram Column array per row (an interpreted
+    * HOF lambda plus one concat_ws allocation per trigram plus an
+    * O(n²)-ish array_distinct). Trigram identity is the exact
+    * space-joined string, so the distinct count matches the
+    * declarative/oracle formulation bit-for-bit. */
+  def trigramStats(s: UTF8String): InternalRow = {
+    val words = s.toString.split(" ", -1)
+    val n = words.length
+    if (n < 3) return new GenericInternalRow(Array[Any](0L, 0L))
+    val nTri = n - 2
+    val set = new java.util.HashSet[String](nTri * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + 3 <= n) {
+      sb.setLength(0)
+      sb.append(words(i)).append(' ').append(words(i + 1)).append(' ')
+        .append(words(i + 2))
+      set.add(sb.toString)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nTri.toLong, set.size.toLong))
   }
 
   /** Count ASCII digits — length(regexp_replace(text, '[^0-9]', ''))
@@ -105,10 +131,41 @@ case class DigitCount(child: Expression) extends UnaryExpression {
       newChild: Expression): DigitCount = copy(child = newChild)
 }
 
+/** See TextKernelUtil.trigramStats: struct(n_tri, n_uniq) per row. */
+case class TrigramStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tri", LongType, nullable = false),
+    StructField("n_uniq", LongType, nullable = false)))
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "trigram_stats"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernelUtil.trigramStats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernelUtil.trigramStats($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TrigramStats = copy(child = newChild)
+}
+
 object text {
   def tokenInListCount(c: Column, tokens: Seq[String]): Column =
     graftexpr.column(TokenInListCount(graftexpr.expression(c), tokens))
 
   def digitCount(c: Column): Column =
     graftexpr.column(DigitCount(graftexpr.expression(c)))
+
+  def trigramStats(c: Column): Column =
+    graftexpr.column(TrigramStats(graftexpr.expression(c)))
 }

@@ -224,6 +224,31 @@ class FunctionsSpec extends SparkSuite {
       .head.isNullAt(0))
   }
 
+  test("trigram_stats matches the transform+array_distinct formulation") {
+    val docs = Tables.t(spark, Sf, "documents").select(col("doc_id"), col("text"))
+      .limit(200)
+    val naive = docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        greatest(size(col("w")) - 2, lit(0)).cast("long").as("n_tri"),
+        when(size(col("w")) >= 3, size(array_distinct(expr(
+          "transform(sequence(0, size(w)-3)," +
+            " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))).cast("long"))
+          .otherwise(0L).as("n_uniq"))
+    val fused = docs.select(col("doc_id"),
+      graft.functions.text.trigramStats(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts.n_tri"), col("ts.n_uniq"))
+    assert(fused.except(naive).count() == 0)
+    assert(naive.except(fused).count() == 0)
+    // degenerate inputs: < 3 words → (0, 0); null in, null out
+    val edge = Seq("", "a", "a b").toDF("text")
+      .select(graft.functions.text.trigramStats(col("text")).as("ts"))
+      .select(col("ts.n_tri"), col("ts.n_uniq")).collect()
+    assert(edge.forall(r => r.getLong(0) == 0L && r.getLong(1) == 0L))
+    assert(spark.range(1).select(graft.functions.text.trigramStats(
+      lit(null).cast("string"))).head.isNullAt(0))
+  }
+
   test("min_gram_md5 counts code points, not UTF-16 units") {
     // a supplementary char (surrogate pair in UTF-16) must gram like
     // Spark's substring — by code point
