@@ -188,15 +188,17 @@ object TextOps {
     * rides the plan (or a broadcast join at 2^20 buckets) and the scan
     * never shuffles. */
   def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    val wts = array((0 until QcBuckets).map(b => lit(qcWeight(b))): _*)
+    // one fused fold per row (BucketWeightSum: thread-local digest, no
+    // interpreted lambda, weight table as a reference object) — the
+    // aggregate(transform(...md5...)) form re-created a MessageDigest
+    // per token and ran the fold interpreted
+    val wts = Array.tabulate(QcBuckets)(qcWeight)
     t(s, dir, "documents")
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("n_tok",
+        size(split(col("text"), " ")).cast("long"))
       .withColumn("avg_w", Num.r4(
-        aggregate(
-          transform(col("w"), tok => element_at(wts,
-            conv(substring(md5(tok), 3, 2), 16, 10).cast("int") + 1)),
-          lit(0d), (acc, x) => acc + x) / col("n_tok")))
+        graft.functions.text.bucketWeightSum(col("text"), wts)
+          / col("n_tok")))
       .withColumn("score",
         Num.r4(lit(1.0) / (lit(1.0) + exp(lit(-4.0) * col("avg_w")))))
       .withColumn("verdict",

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftexpr
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen helpers for the text-quality kernels. */
@@ -56,6 +56,34 @@ object TextKernelUtil {
       i += 1
     }
     new GenericInternalRow(Array[Any](nTri.toLong, set.size.toLong))
+  }
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Hashed-bag-of-words weight fold: per space-separated token, bucket
+    * = hex chars 3-4 of md5(token) (= the two nibbles of digest byte 1,
+    * exactly `conv(substring(md5(tok), 3, 2), 16, 10)`), accumulate
+    * weights(bucket) in token order — the same summation order as the
+    * `aggregate(transform(w, tok -> element_at(...)))` fold it
+    * replaces, with one THREAD-LOCAL digest instead of a fresh
+    * MessageDigest per token and no interpreted lambda. */
+  def bucketWeightSum(s: UTF8String, weights: Array[Double]): Double = {
+    val words = s.toString.split(" ", -1)
+    val md = digest.get()
+    var acc = 0.0
+    var i = 0
+    while (i < words.length) {
+      md.reset()
+      val d = md.digest(
+        words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val b = ((d(1) >> 4) & 0xf) * 16 + (d(1) & 0xf)
+      acc += weights(b)
+      i += 1
+    }
+    acc
   }
 
   /** Count ASCII digits — length(regexp_replace(text, '[^0-9]', ''))
@@ -131,6 +159,38 @@ case class DigitCount(child: Expression) extends UnaryExpression {
       newChild: Expression): DigitCount = copy(child = newChild)
 }
 
+/** See TextKernelUtil.bucketWeightSum. `weights` is the 2^k-entry
+  * model table fixed at plan time (rides as a reference object). */
+case class BucketWeightSum(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+  require(weights.length == 256,
+    "BucketWeightSum buckets by one md5 byte: need exactly 256 weights")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "bucket_weight_sum"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernelUtil.bucketWeightSum(v.asInstanceOf[UTF8String], weights)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weights", weights, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernelUtil.bucketWeightSum($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BucketWeightSum = copy(child = newChild)
+}
+
 /** See TextKernelUtil.trigramStats: struct(n_tri, n_uniq) per row. */
 case class TrigramStats(child: Expression) extends UnaryExpression {
 
@@ -168,4 +228,7 @@ object text {
 
   def trigramStats(c: Column): Column =
     graftexpr.column(TrigramStats(graftexpr.expression(c)))
+
+  def bucketWeightSum(c: Column, weights: Array[Double]): Column =
+    graftexpr.column(BucketWeightSum(graftexpr.expression(c), weights))
 }

@@ -249,6 +249,21 @@ class FunctionsSpec extends SparkSuite {
       lit(null).cast("string"))).head.isNullAt(0))
   }
 
+  test("bucket_weight_sum matches the aggregate(transform(md5)) fold") {
+    val wts = Array.tabulate(256)(b => (b % 31 - 15) / 16.0)
+    val wtsCol = array(wts.map(lit).toIndexedSeq: _*)
+    val docs = Tables.t(spark, Sf, "documents").select(col("text")).limit(200)
+    val naive = docs.select(
+      aggregate(
+        transform(split(col("text"), " "), tok => element_at(wtsCol,
+          conv(substring(md5(tok), 3, 2), 16, 10).cast("int") + 1)),
+        lit(0d), (acc, x) => acc + x)).collect().map(_.getDouble(0))
+    val fused = docs.select(
+      graft.functions.text.bucketWeightSum(col("text"), wts))
+      .collect().map(_.getDouble(0))
+    assert(fused.sameElements(naive)) // exact, not approximate
+  }
+
   test("min_gram_md5 counts code points, not UTF-16 units") {
     // a supplementary char (surrogate pair in UTF-16) must gram like
     // Spark's substring — by code point
