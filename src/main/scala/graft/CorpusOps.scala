@@ -94,9 +94,9 @@ object CorpusOps {
     // no distinct-aggregate expand, and the exploded row count shrinks
     // by the intra-doc repetition factor before it ever hits the join
     val grams = t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 4)
-      .select(col("doc_id"), explode(Grams.distinctWordGrams("w", "md5")).as("g"))
+      .filter(size(split(col("text"), " ")) >= 4)
+      .select(col("doc_id"),
+        explode(Grams.distinctWordGrams(col("text"), "md5")).as("g"))
     val bench = grams.filter(col("doc_id") % 50 === 0)
       .select(col("g")).distinct()
     grams.filter(col("doc_id") % 50 =!= 0)
@@ -243,15 +243,18 @@ object CorpusOps {
     * order), the fraction of its distinct 4-grams that appear for the
     * FIRST time in the corpus with it — the "is new data still adding
     * anything" diagnostic read before paying to ingest more of a
-    * source. Grams are deduped row-locally, keyed as xxhash64 longs
-    * (narrow shuffles; the oracle uses raw gram text — every count is
-    * injective-mapping-invariant), materialized ONCE and consumed by
-    * both the first-seen aggregate and the join back. */
+    * source. Grams are deduped row-locally in one fused kernel
+    * ([[graft.functions.DistinctWordGramHashes]]), keyed as xxhash64
+    * longs (narrow shuffles; the oracle uses raw gram text — every
+    * count is injective-mapping-invariant). Both consumers recompute
+    * the gram scan from lineage: with the kernel the scan is cheap
+    * codegen'd CPU, cheaper than writing a localCheckpoint of the
+    * exploded gram stream and reading it back. */
   def gramNovelty(s: SparkSession, dir: String): DataFrame = {
-    val grams = Materialize.frame(t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 4)
-      .select(col("doc_id"), explode(Grams.distinctWordGrams("w", "xxhash64")).as("g")))
+    val grams = t(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 4)
+      .select(col("doc_id"),
+        explode(Grams.distinctWordGrams(col("text"), "xxhash64")).as("g"))
     // no gram-level join back: a doc's novel-gram count is just the
     // number of grams whose min-doc is that doc, so the first-seen
     // aggregate REAGGREGATES by its own result (first_doc) and meets

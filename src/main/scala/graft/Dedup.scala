@@ -391,10 +391,9 @@ object Dedup {
     * census + duplicated fraction. */
   def spanDedup(s: SparkSession, dir: String): DataFrame = {
     val grams = t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 4)
-      .select(col("doc_id"), explode(Grams.distinctWordGrams("w", "md5")).as("g"))
-      .transform(graft.Materialize.frame)
+      .filter(size(split(col("text"), " ")) >= 4)
+      .select(col("doc_id"),
+        explode(Grams.distinctWordGrams(col("text"), "md5")).as("g"))
     val shared = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
@@ -428,11 +427,10 @@ object Dedup {
     // under ANY injective gram mapping, so the engines agree without
     // sharing a hash function (collision odds ~n^2/2^65, negligible).
     val grams = t(s, dir, "documents")
-      .select(col("source"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 4)
-      .select(col("source"), explode(Grams.distinctWordGrams("w", "xxhash64")).as("g"))
+      .filter(size(split(col("text"), " ")) >= 4)
+      .select(col("source"),
+        explode(Grams.distinctWordGrams(col("text"), "xxhash64")).as("g"))
       .distinct()
-      .transform(graft.Materialize.frame)
     val sizes = grams.groupBy(col("source"))
       .agg(count(lit(1)).as("n_grams"))
     val inter = grams.select(col("source").as("source_a"), col("g"))

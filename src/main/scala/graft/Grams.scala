@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.expr
 
 /** The corpus-wide word-4-gram contract, in ONE place: every operator
   * that keys on overlapping word windows (decontamination, span dedup,
@@ -10,11 +9,14 @@ import org.apache.spark.sql.functions.expr
   * cannot drift between operators (each has a DuckDB oracle stating the
   * same contract).
   *
-  * Grams are DEDUPED row-locally (array_distinct inside the projection)
-  * before any explode: (row, gram) is then unique by construction, so
-  * downstream aggregates are plain counts — no distinct-aggregate
-  * expand — and the exploded row count shrinks by the intra-row
-  * repetition factor before it ever hits a shuffle.
+  * Grams are DEDUPED row-locally before any explode: (row, gram) is
+  * then unique by construction, so downstream aggregates are plain
+  * counts — no distinct-aggregate expand — and the exploded row count
+  * shrinks by the intra-row repetition factor before it ever hits a
+  * shuffle. The whole build-hash-dedup pass is one fused kernel
+  * (functions.DistinctWordGramHashes); the declarative
+  * array_distinct(transform(sequence(...))) chain it replaced ran as an
+  * interpreted CodegenFallback — 4-6× slower at sf~1.
   *
   * `hashFn` picks the key representation: "xxhash64" (8-byte longs —
   * 4× narrower exchanges; use whenever the key itself never reaches the
@@ -24,15 +26,8 @@ import org.apache.spark.sql.functions.expr
   */
 object Grams {
 
-  /** Distinct hashed word-4-grams of the array<string> column named
-    * `w`, as a row-local array. */
-  def distinctWordGrams(w: String, hashFn: String): Column = {
-    require(hashFn == "md5" || hashFn == "xxhash64",
-      s"unsupported gram hash $hashFn")
-    expr(
-      s"""array_distinct(transform(sequence(1, size($w)-3),
-         |  i -> $hashFn(concat_ws(' ',
-         |    element_at($w,i), element_at($w,i+1),
-         |    element_at($w,i+2), element_at($w,i+3)))))""".stripMargin)
-  }
+  /** Distinct hashed word-4-grams of the text column, as a row-local
+    * array (null below 4 words — callers filter). */
+  def distinctWordGrams(text: Column, hashFn: String): Column =
+    graft.functions.hashes.distinctWordGramHashes(text, 4, hashFn)
 }

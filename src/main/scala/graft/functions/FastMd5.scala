@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftexpr
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen helper for FastMd5 — separate object (not the expression's
@@ -165,6 +165,67 @@ object Md5Util {
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private def wordGramStrings(s: UTF8String, width: Int)
+      : java.util.LinkedHashSet[String] = {
+    val words = s.toString.split(" ", -1)
+    val n = words.length
+    if (n < width) return null
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + width <= n) {
+      sb.setLength(0)
+      sb.append(words(i))
+      var k = 1
+      while (k < width) { sb.append(' ').append(words(i + k)); k += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen
+  }
+
+  /** Distinct md5-hex hashes of the width-word grams of `s`, first
+    * occurrence order — matches array_distinct(transform(sequence,
+    * i -> md5(concat_ws(' ', w[i..i+width-1])))) exactly (distinct on
+    * the HASH, like the expression it replaces). Null for < width
+    * words (callers filter). */
+  def distinctWordGramMd5(s: UTF8String, width: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val grams = wordGramStrings(s, width)
+    if (grams == null) return null
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val it = grams.iterator()
+    while (it.hasNext) {
+      seen.add(md5Hex(it.next()
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }
+    val out = new Array[Any](seen.size)
+    val oit = seen.iterator()
+    var k = 0
+    while (oit.hasNext) { out(k) = oit.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Distinct xxhash64 (Spark seed 42) hashes of the width-word grams
+    * of `s` — the long-keyed twin of [[distinctWordGramMd5]]. */
+  def distinctWordGramXx(s: UTF8String, width: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val grams = wordGramStrings(s, width)
+    if (grams == null) return null
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val it = grams.iterator()
+    while (it.hasNext) {
+      seen.add(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(UTF8String.fromString(it.next()),
+          org.apache.spark.sql.types.StringType, 42L))
+    }
+    val out = new Array[Any](seen.size)
+    val oit = seen.iterator()
+    var k = 0
+    while (oit.hasNext) { out(k) = oit.next(); k += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
@@ -350,6 +411,55 @@ case class DistinctGrams(child: Expression, width: Int)
       newChild: Expression): DistinctGrams = copy(child = newChild)
 }
 
+/** Distinct hashed width-word grams per document as an array, in one
+  * fused loop — the shared Grams contract (decontamination, span
+  * dedup, source overlap, gram novelty) without the interpreted
+  * array_distinct(transform(sequence(...))) lambda chain, which
+  * allocates a Column string per gram per row and runs as a
+  * CodegenFallback (measured 4-6× at sf~1). Distinct is on the HASH
+  * value in first-occurrence order, exactly like the expression it
+  * replaces; `variant` picks md5 hex strings (cross-engine oracle
+  * keys) or xxhash64 longs (narrow shuffles). Null for docs with
+  * fewer than `width` words. */
+case class DistinctWordGramHashes(child: Expression, width: Int,
+    variant: String) extends UnaryExpression {
+  require(width > 0, "width must be positive")
+  require(variant == "md5" || variant == "xxhash64",
+    s"unsupported gram hash $variant")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType =
+    if (variant == "md5") ArrayType(StringType, containsNull = false)
+    else ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "distinct_word_gram_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    if (variant == "md5")
+      Md5Util.distinctWordGramMd5(v.asInstanceOf[UTF8String], width)
+    else Md5Util.distinctWordGramXx(v.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (variant == "md5") "distinctWordGramMd5"
+      else "distinctWordGramXx"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Md5Util.$fn($c, $width);
+      ${ev.isNull} = (${ev.value} == null);""")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DistinctWordGramHashes = copy(child = newChild)
+}
+
 object hashes {
   /** md5 hex digest of a string column (same output as
     * functions.md5(c.cast(binary)), faster per row). */
@@ -371,4 +481,10 @@ object hashes {
   /** distinct width-gram set as array (see DistinctGrams). */
   def distinctGrams(c: Column, width: Int): Column =
     graftexpr.column(DistinctGrams(graftexpr.expression(c), width))
+
+  /** distinct hashed width-word grams (see DistinctWordGramHashes). */
+  def distinctWordGramHashes(c: Column, width: Int,
+      variant: String): Column =
+    graftexpr.column(
+      DistinctWordGramHashes(graftexpr.expression(c), width, variant))
 }

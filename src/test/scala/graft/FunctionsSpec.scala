@@ -264,6 +264,33 @@ class FunctionsSpec extends SparkSuite {
     assert(fused.sameElements(naive)) // exact, not approximate
   }
 
+  test("distinct_word_gram_hashes matches the transform+array_distinct chain") {
+    // parity with the declarative formulation the fused kernel replaced
+    // (Grams.scala pre-kernel), over real corpus text PLUS edge shapes:
+    // exactly 4 words, repeated grams (distinct must collapse), empty
+    // tokens from double spaces (split keeps them — so must the kernel)
+    val edge = Seq("a b c d", "a b c d a b c d a b c d e",
+      "x  y z w", " lead and trail ").toDF("text")
+    val docs = Tables.t(spark, Sf, "documents").select(col("text"))
+      .limit(200).union(edge)
+    def naive(hashFn: String) = expr(
+      s"""array_distinct(transform(sequence(1, size(split(text, ' '))-3),
+         |  i -> $hashFn(concat_ws(' ',
+         |    element_at(split(text, ' '),i), element_at(split(text, ' '),i+1),
+         |    element_at(split(text, ' '),i+2), element_at(split(text, ' '),i+3)))))""".stripMargin)
+    for (fn <- Seq("md5", "xxhash64")) {
+      val cmp = docs.filter(size(split(col("text"), " ")) >= 4).select(
+        naive(fn).as("naive"),
+        Grams.distinctWordGrams(col("text"), fn).as("fused"))
+        .filter(col("naive") =!= col("fused"))
+      assert(cmp.count() == 0, s"variant $fn diverges")
+    }
+    // below 4 words the kernel is null (callers filter on word count)
+    assert(Seq("a b c").toDF("text")
+      .select(Grams.distinctWordGrams(col("text"), "md5"))
+      .head.isNullAt(0))
+  }
+
   test("min_gram_md5 counts code points, not UTF-16 units") {
     // a supplementary char (surrogate pair in UTF-16) must gram like
     // Spark's substring — by code point
