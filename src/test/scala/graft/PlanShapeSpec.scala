@@ -162,6 +162,21 @@ class PlanShapeSpec extends SparkSuite {
       s"novelty joins at gram level:\n${joinLines.mkString("\n")}")
   }
 
+  test("gram ops stay on the fused gram kernel, not lambda chains") {
+    // the word-4-gram contract must plan as the codegen'd
+    // distinct_word_gram_hashes expression; an array_distinct(transform(
+    // sequence)) chain is an interpreted CodegenFallback allocating a
+    // string per gram per row — the scale-bug class the sf~1 run exposed
+    for (name <- Seq("q_decontaminate", "q_span_dedup",
+        "q_source_overlap", "q_gram_novelty")) {
+      val plan = planOf(name)
+      assert(plan.contains("distinct_word_gram_hashes"),
+        s"$name lost the fused gram kernel")
+      assert(!plan.contains("array_distinct"),
+        s"$name regressed to the interpreted gram chain")
+    }
+  }
+
   test("ccnet buckets broadcast the vocabulary, window only doc-level rows") {
     val plan = planOf("q_ccnet_buckets")
     assert(plan.contains("BroadcastHashJoin"), "vocab join lost broadcast")
