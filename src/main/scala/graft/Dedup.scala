@@ -231,14 +231,16 @@ object Dedup {
     // shingle→signature→banding per consumer
     val cand = lshCandidates(minhashSignatures(s, dir))
       .transform(graft.Materialize.frame)
-    // the distinct-gram set folds per doc inside DistinctGrams — a
-    // projection, no explode or aggregation. Materialized once, joined
-    // twice.
+    // the distinct-gram set folds per doc inside DistinctGramHashes — a
+    // projection, no explode or aggregation; grams travel as xxhash64
+    // longs (~4× narrower arrays than 4-char strings; jaccard depends
+    // only on set sizes + intersections, injective-invariant — the
+    // oracle keys raw gram text). Materialized once, joined twice.
     val docG = t(s, dir, "documents")
       .join(candidateDocs(cand), Seq("doc_id"), "left_semi")
       .filter(length(col("text")) >= 4)
       .select(col("doc_id"),
-        graft.functions.hashes.distinctGrams(col("text"), 4).as("gs"))
+        graft.functions.hashes.distinctGramHashes(col("text"), 4).as("gs"))
       .withColumn("ng", size(col("gs")).cast("long"))
       .transform(graft.Materialize.frame)
     cand

@@ -168,6 +168,33 @@ object Md5Util {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Distinct xxhash64 (Spark seed 42) hashes of the `width`-code-point
+    * grams of `s`, first-occurrence order — the long-keyed twin of
+    * [[distinctGrams]] for consumers where only set sizes and
+    * intersection counts reach the output (injective-invariant modulo
+    * ~n²/2⁶⁵ collision odds): 8-byte elements instead of 4-char
+    * UTF8Strings shrink the shuffled per-doc arrays ~4× and make
+    * array_intersect compare longs. */
+  def distinctGramHashes(s: UTF8String, width: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < width) return null
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + width <= n) {
+      seen.add(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(UTF8String.fromString(new String(cps, i, width)),
+          org.apache.spark.sql.types.StringType, 42L))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private def wordGramStrings(s: UTF8String, width: Int)
       : java.util.LinkedHashSet[String] = {
     val words = s.toString.split(" ", -1)
@@ -411,6 +438,38 @@ case class DistinctGrams(child: Expression, width: Int)
       newChild: Expression): DistinctGrams = copy(child = newChild)
 }
 
+/** Long-keyed twin of [[DistinctGrams]]: distinct xxhash64 hashes of
+  * the char `width`-grams (see Md5Util.distinctGramHashes for the
+  * injective-invariance argument). */
+case class DistinctGramHashes(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "distinct_gram_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Md5Util.distinctGramHashes(v.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Md5Util.distinctGramHashes($c, $width);
+      ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DistinctGramHashes = copy(child = newChild)
+}
+
 /** Distinct hashed width-word grams per document as an array, in one
   * fused loop — the shared Grams contract (decontamination, span
   * dedup, source overlap, gram novelty) without the interpreted
@@ -481,6 +540,10 @@ object hashes {
   /** distinct width-gram set as array (see DistinctGrams). */
   def distinctGrams(c: Column, width: Int): Column =
     graftexpr.column(DistinctGrams(graftexpr.expression(c), width))
+
+  /** distinct char-gram xxhash64 longs (see DistinctGramHashes). */
+  def distinctGramHashes(c: Column, width: Int): Column =
+    graftexpr.column(DistinctGramHashes(graftexpr.expression(c), width))
 
   /** distinct hashed width-word grams (see DistinctWordGramHashes). */
   def distinctWordGramHashes(c: Column, width: Int,

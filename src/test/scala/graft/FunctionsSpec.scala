@@ -291,6 +291,23 @@ class FunctionsSpec extends SparkSuite {
       .head.isNullAt(0))
   }
 
+  test("distinct_gram_hashes is xxhash64 of distinct_grams, elementwise") {
+    // the long-keyed twin must be exactly the injective image of the
+    // string-gram set: same order, same length, xxhash64(seed 42) values
+    val docs = Tables.t(spark, Sf, "documents").select(col("text"))
+      .limit(200).union(Seq("abcd", "aaaaa", "😀😀abc").toDF("text"))
+      .filter(length(col("text")) >= 4)
+    val cmp = docs.select(
+      transform(graft.functions.hashes.distinctGrams(col("text"), 4),
+        g => xxhash64(g)).as("mapped"),
+      graft.functions.hashes.distinctGramHashes(col("text"), 4).as("fused"))
+      .filter(col("mapped") =!= col("fused"))
+    assert(cmp.count() == 0)
+    assert(Seq("abc").toDF("text")
+      .select(graft.functions.hashes.distinctGramHashes(col("text"), 4))
+      .head.isNullAt(0))
+  }
+
   test("min_gram_md5 counts code points, not UTF-16 units") {
     // a supplementary char (surrogate pair in UTF-16) must gram like
     // Spark's substring — by code point
