@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.StringType
 
-import graft.functions.{CosineSimilarity, DistinctGrams, DistinctShingles,
-  FastMd5, MinGramMd5, MinhashSlices}
+import graft.functions.{CosineSimilarity, DistinctGramHashes, DistinctGrams,
+  DistinctShingles, DistinctWordGramHashes, FastMd5, MinGramMd5,
+  MinhashSlices}
 
 /** Session-extension registration for graft's native Catalyst
   * expressions, so the SQL-AUTHORED rule surface reaches the same fused
@@ -61,15 +63,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashSlices(one(args, "graft_minhash_slices"))))
     e.injectFunction((FunctionIdentifier("graft_distinct_shingles"),
       info("graft_distinct_shingles",
-        "graft_distinct_shingles(s) - distinct word-trigram shingle " +
-          "md5s as an array"),
+        "graft_distinct_shingles(s) - distinct word-trigram shingles " +
+          "as an array"),
       (args: Seq[Expression]) =>
         DistinctShingles(one(args, "graft_distinct_shingles"))))
     e.injectFunction((FunctionIdentifier("graft_distinct_grams"),
       info("graft_distinct_grams",
-        "graft_distinct_grams(s) - distinct char-4-gram md5s as an " +
-          "array"),
+        "graft_distinct_grams(s) - distinct char-4-grams as an array"),
       (args: Seq[Expression]) =>
         DistinctGrams(one(args, "graft_distinct_grams"), 4)))
+    e.injectFunction((FunctionIdentifier("graft_distinct_gram_hashes"),
+      info("graft_distinct_gram_hashes",
+        "graft_distinct_gram_hashes(s) - distinct char-4-gram " +
+          "xxhash64 longs as an array"),
+      (args: Seq[Expression]) =>
+        DistinctGramHashes(one(args, "graft_distinct_gram_hashes"), 4)))
+    e.injectFunction((FunctionIdentifier("graft_distinct_word_gram_hashes"),
+      info("graft_distinct_word_gram_hashes",
+        "graft_distinct_word_gram_hashes(s, variant) - distinct " +
+          "word-4-gram hashes ('md5' hex or 'xxhash64' longs) as an " +
+          "array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_distinct_word_gram_hashes expects 2 arguments, " +
+            s"got ${args.length}")
+        val variant = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"variant must be a string literal, got $other")
+        }
+        DistinctWordGramHashes(args(0), 4, variant)
+      }))
   }
 }

@@ -41,7 +41,10 @@ class ExtensionsSpec extends SparkSuite {
           |  graft_min_gram_md5('abcdefgh') AS mg,
           |  size(graft_minhash_slices('a b c d e f')) AS n_slices,
           |  size(graft_distinct_shingles('a b c d a b c')) AS n_sh,
-          |  size(graft_distinct_grams('abcdefg')) AS n_gr
+          |  size(graft_distinct_grams('abcdefg')) AS n_gr,
+          |  graft_distinct_gram_hashes('abcdefg') AS gh,
+          |  graft_distinct_word_gram_hashes('a b c d e', 'xxhash64') AS wgx,
+          |  graft_distinct_word_gram_hashes('a b c d e', 'md5') AS wgm
           |""".stripMargin).collect().head
       assert(math.abs(row.getDouble(0) - 1.0) < 1e-12) // parallel vectors
       assert(row.getString(1) ==
@@ -51,6 +54,10 @@ class ExtensionsSpec extends SparkSuite {
       assert(row.getInt(3) == 8)
       assert(row.getInt(4) == 4) // "a b c","b c d","c d a","d a b" distinct
       assert(row.getInt(5) == 4) // abcd bcde cdef defg
+      assert(row.getSeq[Long](6).length == 4) // hashed twin, same count
+      assert(row.getSeq[Long](7).length == 2) // "a b c d","b c d e"
+      val wgm = row.getSeq[String](8)
+      assert(wgm.length == 2 && wgm.forall(_.length == 32))
     }
   }
 
