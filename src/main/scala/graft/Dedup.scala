@@ -113,17 +113,22 @@ object Dedup {
   def lshPairs(s: SparkSession, dir: String): DataFrame = {
     // The whole per-doc state (8-slice minhash signature + distinct
     // shingle set + its count) is a PROJECTION — MinhashSlices +
-    // DistinctShingles fold per-doc, so there is no shingle explode and
-    // no aggregation shuffle at all. The frame is then MATERIALIZED
-    // once with an eager localCheckpoint: three consumers read it
-    // (banding + both pair-side joins), and at 100 TB this is exactly
-    // the signature table you'd persist.
+    // DistinctWordGramHashes fold per-doc, so there is no shingle
+    // explode and no aggregation shuffle at all. The shingle set is
+    // carried as xxhash64 longs, not trigram text: only intersection
+    // COUNTS reach the output (injective-invariant; the oracle keys raw
+    // shingles), and 8-byte elements shrink the persisted signature
+    // table and the pair-join traffic severalfold. The frame is then
+    // MATERIALIZED once with an eager localCheckpoint: three consumers
+    // read it (banding + both pair-side joins), and at 100 TB this is
+    // exactly the signature table you'd persist.
     val arr = graft.functions.hashes.minhashSlices(col("text"))
     val docSh = t(s, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id") +:
         ((0 until NumHashes).map(i => element_at(arr, i + 1).as(s"mh$i")) :+
-          graft.functions.hashes.distinctShingles(col("text")).as("shs")): _*)
+          graft.functions.hashes.distinctWordGramHashes(col("text"), 3,
+            "xxhash64").as("shs")): _*)
       .withColumn("nsh", size(col("shs")).cast("long"))
       .transform(graft.Materialize.frame)
     val cand = lshCandidates(docSh)

@@ -308,6 +308,21 @@ class FunctionsSpec extends SparkSuite {
       .head.isNullAt(0))
   }
 
+  test("width-3 word-gram hashes are xxhash64 of distinct_shingles") {
+    // lshPairs carries its shingle sets as longs; the hashed twin must
+    // be the exact injective image of the shingle-string set
+    val docs = Tables.t(spark, Sf, "documents").select(col("text"))
+      .limit(200).union(Seq("a b c", "a b c d a b c").toDF("text"))
+      .filter(size(split(col("text"), " ")) >= 3)
+    val cmp3 = docs.select(
+      transform(graft.functions.hashes.distinctShingles(col("text")),
+        sh => xxhash64(sh)).as("mapped"),
+      graft.functions.hashes.distinctWordGramHashes(col("text"), 3,
+        "xxhash64").as("fused"))
+      .filter(col("mapped") =!= col("fused"))
+    assert(cmp3.count() == 0)
+  }
+
   test("min_gram_md5 counts code points, not UTF-16 units") {
     // a supplementary char (surrogate pair in UTF-16) must gram like
     // Spark's substring — by code point
