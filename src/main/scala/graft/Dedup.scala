@@ -262,30 +262,21 @@ object Dedup {
   }
 
   /** #30a 32-bit SimHash per doc from token-frequency-weighted
-    * md5-derived token hashes (portable bit arithmetic, no UDF).
-    * The 32 per-bit contribution sums are 32 aggregate EXPRESSIONS in
-    * one groupBy — not a 32× row explode — so the shuffle carries one
-    * row per doc with partial sums (map-side combined), not 32 rows per
-    * token. Output matches the explode formulation exactly. */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", graft.functions.hashes.md5(col("tok")))
-    val bitSums = (0 until 32).map { j =>
-      val p = Seq(8, 4, 2, 1)(j % 4)
-      sum(expr(
-        s"2 * (((instr('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1) div $p) % 2) - 1"))
-        .as(s"s$j")
-    }
-    toks
-      .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
+    * md5-derived token hashes. The whole token-loop + 32 per-bit
+    * majority votes is ONE fused per-row kernel
+    * ([[graft.functions.SimHash32]]) — a shuffle-free projection
+    * (only the presentation sort exchanges), where the previous
+    * aggregate form exploded one row per token and evaluated 32
+    * substr/instr trees per token. Output matches the explode
+    * formulation bit-for-bit (spec-pinned). */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      // the aggregate form DROPPED null-text docs (explode of a null
+      // array); keep that contract
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        expr((0 until 32)
-          .map(j => s"CASE WHEN s$j > 0 THEN cast(${1L << j} as bigint) ELSE cast(0 as bigint) END")
-          .mkString(" + ")).as("simhash32"))
+        graft.functions.hashes.simHash32(col("text")).as("simhash32"))
       .orderBy(col("doc_id"))
-  }
 
   /** #30b SimHash near-dup PAIRS: band the 32-bit signature into 4×8-bit
     * keys (hamming ≤ 3 guarantees ≥1 identical band), bucket-join on

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.StringType
 
 import graft.functions.{CosineSimilarity, DistinctGramHashes, DistinctGrams,
   DistinctShingles, DistinctWordGramHashes, FastMd5, MinGramMd5,
-  MinhashSlices}
+  MinhashSlices, SimHash32}
 
 /** Session-extension registration for graft's native Catalyst
   * expressions, so the SQL-AUTHORED rule surface reaches the same fused
@@ -72,6 +72,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_distinct_grams(s) - distinct char-4-grams as an array"),
       (args: Seq[Expression]) =>
         DistinctGrams(one(args, "graft_distinct_grams"), 4)))
+    e.injectFunction((FunctionIdentifier("graft_simhash32"),
+      info("graft_simhash32",
+        "graft_simhash32(s) - 32-bit token-frequency SimHash of the " +
+          "document in one pass"),
+      (args: Seq[Expression]) => SimHash32(one(args, "graft_simhash32"))))
     e.injectFunction((FunctionIdentifier("graft_distinct_gram_hashes"),
       info("graft_distinct_gram_hashes",
         "graft_distinct_gram_hashes(s) - distinct char-4-gram " +

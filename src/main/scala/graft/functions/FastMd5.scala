@@ -168,6 +168,47 @@ object Md5Util {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** 32-bit SimHash of the space-split tokens of `s` (WITH duplicates —
+    * token frequency weights the bits), from the first 32 bits of each
+    * token's md5. Bit j of the result is set iff more tokens have bit j
+    * set than clear, where bit j is read MSB-first through the hex
+    * digest: hex char j/4, value bit (3 - j%4) — exactly the
+    * instr('0123456789abcdef', substr(h, j/4+1, 1)) formulation of the
+    * aggregate it replaces (Dedup.simhash pre-kernel), whose per-token
+    * cost was 32 substr/instr expression trees plus a token explode
+    * and a hash aggregate; here one per-doc loop, no explode, no
+    * shuffle. */
+  def simHash32(s: UTF8String): Long = {
+    val toks = s.toString.split(" ", -1)
+    val n = toks.length
+    val cnt = new Array[Int](32)
+    val md = digest.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(toks(i)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 4 digest bytes, big-endian: bit j of the simhash reads
+      // bit (31 - j) of this word (nibble j/4 MSB-first = hex order)
+      val u = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+        ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+      var j = 0
+      while (j < 32) {
+        cnt(j) += (u >>> (31 - j)) & 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      // sum of (2*bit - 1) over tokens > 0  ⟺  2*cnt > n
+      if (2 * cnt(j) > n) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
   /** Distinct xxhash64 (Spark seed 42) hashes of the `width`-code-point
     * grams of `s`, first-occurrence order — the long-keyed twin of
     * [[distinctGrams]] for consumers where only set sizes and
@@ -438,6 +479,36 @@ case class DistinctGrams(child: Expression, width: Int)
       newChild: Expression): DistinctGrams = copy(child = newChild)
 }
 
+/** Whole-document 32-bit SimHash as one fused per-row loop (see
+  * Md5Util.simHash32 for the bit contract) — replaces a token explode
+  * + 32 aggregate expressions + hash aggregate with a shuffle-free
+  * projection. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = child.nullable
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "simhash32"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Md5Util.simHash32(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Util.simHash32($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash32 = copy(child = newChild)
+}
+
 /** Long-keyed twin of [[DistinctGrams]]: distinct xxhash64 hashes of
   * the char `width`-grams (see Md5Util.distinctGramHashes for the
   * injective-invariance argument). */
@@ -540,6 +611,10 @@ object hashes {
   /** distinct width-gram set as array (see DistinctGrams). */
   def distinctGrams(c: Column, width: Int): Column =
     graftexpr.column(DistinctGrams(graftexpr.expression(c), width))
+
+  /** 32-bit document SimHash (see SimHash32). */
+  def simHash32(c: Column): Column =
+    graftexpr.column(SimHash32(graftexpr.expression(c)))
 
   /** distinct char-gram xxhash64 longs (see DistinctGramHashes). */
   def distinctGramHashes(c: Column, width: Int): Column =

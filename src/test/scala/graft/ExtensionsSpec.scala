@@ -44,7 +44,8 @@ class ExtensionsSpec extends SparkSuite {
           |  size(graft_distinct_grams('abcdefg')) AS n_gr,
           |  graft_distinct_gram_hashes('abcdefg') AS gh,
           |  graft_distinct_word_gram_hashes('a b c d e', 'xxhash64') AS wgx,
-          |  graft_distinct_word_gram_hashes('a b c d e', 'md5') AS wgm
+          |  graft_distinct_word_gram_hashes('a b c d e', 'md5') AS wgm,
+          |  graft_simhash32('a b a') AS sh32
           |""".stripMargin).collect().head
       assert(math.abs(row.getDouble(0) - 1.0) < 1e-12) // parallel vectors
       assert(row.getString(1) ==
@@ -58,6 +59,10 @@ class ExtensionsSpec extends SparkSuite {
       assert(row.getSeq[Long](7).length == 2) // "a b c d","b c d e"
       val wgm = row.getSeq[String](8)
       assert(wgm.length == 2 && wgm.forall(_.length == 32))
+      // SQL-registry path must equal the Column-API path
+      // (FunctionsSpec pins the full formulation parity)
+      assert(row.getLong(9) == s.range(1)
+        .select(graft.functions.hashes.simHash32(lit("a b a"))).head.getLong(0))
     }
   }
 

@@ -323,6 +323,33 @@ class FunctionsSpec extends SparkSuite {
     assert(cmp3.count() == 0)
   }
 
+  test("simhash32 matches the explode + 32-bit-sum aggregate formulation") {
+    val docs = Tables.t(spark, Sf, "documents")
+      .select(col("doc_id"), col("text")).limit(300)
+      .union(Seq((900001L, "x"), (900002L, ""), (900003L, "a a a b"))
+        .toDF("doc_id", "text"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val bitSums = (0 until 32).map { j =>
+      val p = Seq(8, 4, 2, 1)(j % 4)
+      sum(expr(
+        s"2 * (((instr('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1) div $p) % 2) - 1"))
+        .as(s"s$j")
+    }
+    val naive = toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        expr((0 until 32)
+          .map(j => s"CASE WHEN s$j > 0 THEN cast(${1L << j} as bigint) ELSE cast(0 as bigint) END")
+          .mkString(" + ")).as("naive"))
+    val cmp = docs.select(col("doc_id"),
+      graft.functions.hashes.simHash32(col("text")).as("fused"))
+      .join(naive, Seq("doc_id"))
+      .filter(col("naive") =!= col("fused"))
+    assert(cmp.count() == 0) // bit-for-bit, incl. empty/repeated tokens
+  }
+
   test("min_gram_md5 counts code points, not UTF-16 units") {
     // a supplementary char (surrogate pair in UTF-16) must gram like
     // Spark's substring — by code point
