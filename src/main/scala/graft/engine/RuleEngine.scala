@@ -207,32 +207,78 @@ object RuleEngine {
       alerts: DataFrame,
       gapMinutes: Int,
       maxActorBucketAlerts: Int = 10000): DataFrame = {
-    val parents = anchoredParents(alerts, gapMinutes, maxActorBucketAlerts)
     // Resolve each alert to its chain ROOT (the id the reference
     // propagates transitively) by pointer jumping over the parent
-    // forest: each round replaces every node's label with its label's
-    // label, so convergence takes O(log depth) rounds — a depth-1000
-    // chain resolves in 10 rounds, where per-edge min-label
+    // FOREST EDGES: each round replaces every node's label with its
+    // label's label, so convergence takes O(log depth) rounds — a
+    // depth-1000 chain resolves in ~10 rounds, where per-edge min-label
     // propagation would need 1000. The forest is acyclic by
     // construction (parents are strictly earlier).
+    //
+    // Floor-cuts over the naive shape (this operator is job-chain
+    // bound, not data bound, so the count of materialized jobs IS the
+    // cost model locally; at scale the same choices stop the candidate
+    // join from ever being computed twice):
+    //  - The candidate join runs EXACTLY ONCE: its (small) edge output
+    //    is materialized before any self-join touches it. Without
+    //    this, the grandparent self-join below would re-execute the
+    //    whole candidate join on its build side (measured: Catalyst
+    //    does not ReuseExchange across the two instances).
+    //  - The label table holds ONLY nodes that have a parent (the edge
+    //    set), never the full alert population — a parentless alert is
+    //    its own root and needs no state. Every round shuffles |edges|
+    //    rows, not |alerts|, and the final resolve is one left join of
+    //    alerts against this (typically much smaller) table.
+    //  - An EMPTY forest (no alert correlates to any other — common
+    //    for quiet windows) is detected on the materialize action
+    //    itself and skips every subsequent job: each alert roots its
+    //    own chain.
+    //  - The first label job fuses THREE hops (parent, grandparent,
+    //    great-grandparent — self-joins of the materialized edge
+    //    table, broadcast-sized per bucket) and observes the
+    //    deepest-hop count on the checkpoint action. Real alert
+    //    stores are almost always a depth-≤1 forest (each alert
+    //    anchors straight to its chain root via the max_by
+    //    most-recent-match), so the common case resolves in ONE extra
+    //    job with zero pointer-jump rounds — the loop only runs when a
+    //    chain of depth ≥ 3 was actually observed, starting from the
+    //    3-hop labels the seed job already produced.
+    val obsE = org.apache.spark.sql.Observation(
+      s"anchor_edges_${System.nanoTime()}")
+    val parents = graft.Materialize.frame(
+      anchoredParents(alerts, gapMinutes, maxActorBucketAlerts)
+        .observe(obsE, count(lit(1)).as("n")))
+    if (obsE.get("n").asInstanceOf[Long] == 0L) {
+      return alerts.withColumn("correlation_id", md5(col("alert_id")))
+    }
+    def hopSide(i: Int) = parents.select(
+      col("a_id").as(s"__n$i"), col("parent_id").as(s"__p$i"))
+    val obs0 = org.apache.spark.sql.Observation(
+      s"anchor_seed_${System.nanoTime()}")
     var lab = graft.Materialize.frame(
-      alerts.select(col("alert_id").as("node"))
-        .join(parents.withColumnRenamed("a_id", "node"), Seq("node"), "left")
-        .select(col("node"), coalesce(col("parent_id"), col("node"))
-          .as("root")))
-    var converged = false
+      parents.select(col("a_id").as("node"), col("parent_id").as("__h1"))
+        .join(hopSide(2), col("__h1") === col("__n2"), "left")
+        .join(hopSide(3), col("__p2") === col("__n3"), "left")
+        .select(col("node"),
+          coalesce(col("__p3"), col("__p2"), col("__h1")).as("root"),
+          col("__p3").isNotNull.as("__deep"))
+        .observe(obs0, count_if(col("__deep")).as("n")))
+    var converged = obs0.get("n").asInstanceOf[Long] == 0L
+    lab = lab.drop("__deep")
     var rounds = 0
     val maxRounds = 40 // supports chain depth up to 2^40
     while (!converged && rounds < maxRounds) {
       // convergence count rides the checkpoint action (observe metric)
-      // — one job per round instead of two
+      // — one job per round instead of two. Left join: a root with no
+      // parent of its own is absent from the label table (edges only).
       val obs = org.apache.spark.sql.Observation(
         s"anchor_${System.identityHashCode(lab)}_$rounds")
       val hop = graft.Materialize.frame(lab
         .join(lab.select(col("node").as("r_node"), col("root").as("r_root")),
-          col("root") === col("r_node"))
-        .select(col("node"), col("r_root").as("root"),
-          (col("r_root") =!= col("root")).as("__changed"))
+          col("root") === col("r_node"), "left")
+        .select(col("node"), coalesce(col("r_root"), col("root")).as("root"),
+          (col("r_root").isNotNull && col("r_root") =!= col("root"))
+            .as("__changed"))
         .observe(obs, count_if(col("__changed")).as("n")))
       converged = obs.get("n").asInstanceOf[Long] == 0L
       lab = hop.drop("__changed")
