@@ -87,7 +87,14 @@ final class SlackSink(channel: String, bufferId: String) extends AlertSink {
 }
 
 /** Stubbed ticket tracker (ref: runners/handlers/jira.py — creates an
-  * issue per alert and records the ticket id on the alert row). */
+  * issue per alert and records the ticket id on the alert row).
+  *
+  * Beyond per-alert `send`, this sink exposes the reference's ticket
+  * lifecycle ops (jira.py:94-114 append_to_body, :192
+  * check_ticket_status, :253 create_jira_ticket) against an in-memory
+  * ticket server double ([[JiraTickets]]) so the correlated
+  * create-vs-append dispatch flow ([[Dispatcher.dispatchJira]]) is
+  * fully testable with zero egress. */
 final class JiraSink(project: String, bufferId: String) extends AlertSink {
   val name = "jira"
   def send(alertJson: String): String = {
@@ -95,6 +102,70 @@ final class JiraSink(project: String, bufferId: String) extends AlertSink {
     MemorySink.buffer(bufferId).add(s"""{"ticket":"$ticket","issue":$alertJson}""")
     ticket
   }
+
+  /** create_jira_ticket: new issue in `startingStatus`, body from the
+    * alert payload; returns the ticket id. */
+  def createTicket(alertJson: String, startingStatus: String): String = {
+    val id = JiraTickets.create(bufferId, project, alertJson, startingStatus)
+    MemorySink.buffer(bufferId).add(s"""{"ticket":"$id","issue":$alertJson}""")
+    id
+  }
+
+  /** check_ticket_status: the ticket's current status, or None for an
+    * unknown id (the reference treats a failed status fetch as
+    * "create a new ticket"). */
+  def checkStatus(ticketId: String): Option[String] =
+    JiraTickets.status(bufferId, ticketId)
+
+  /** append_to_body: separator line + the new alert's body appended to
+    * the existing ticket's description (jira.py:100-114). */
+  def appendToTicket(ticketId: String, alertJson: String): Unit =
+    JiraTickets.append(bufferId, ticketId, alertJson)
+}
+
+/** JVM-global in-memory jira server double: tickets with a status and
+  * an appendable description, keyed per bufferId (like [[MemorySink]],
+  * executor-side ops are visible to the driver in local mode; a real
+  * deployment swaps this object for the ticket tracker's API). */
+object JiraTickets {
+  final class Ticket(@volatile var status: String) {
+    private val body = new StringBuilder
+    def appendBody(s: String): Unit = synchronized { body.append(s) }
+    def description: String = synchronized { body.toString }
+  }
+  private final class Store {
+    val tickets = new ConcurrentHashMap[String, Ticket]()
+    val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+  private val stores = new ConcurrentHashMap[String, Store]()
+  private def store(bufferId: String): Store =
+    stores.computeIfAbsent(bufferId, _ => new Store)
+
+  /** The reference's append separator (jira.py:100). */
+  val Separator =
+    "\n~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~\n"
+
+  def create(bufferId: String, project: String, body: String,
+      status: String): String = {
+    val s = store(bufferId)
+    val id = s"$project-${s.seq.incrementAndGet()}"
+    val t = new Ticket(status)
+    t.appendBody(body)
+    s.tickets.put(id, t)
+    id
+  }
+  def status(bufferId: String, id: String): Option[String] =
+    Option(store(bufferId).tickets.get(id)).map(_.status)
+  def setStatus(bufferId: String, id: String, status: String): Unit =
+    Option(store(bufferId).tickets.get(id)).foreach(_.status = status)
+  def append(bufferId: String, id: String, body: String): Unit = {
+    val t = store(bufferId).tickets.get(id)
+    require(t != null, s"unknown ticket: $id")
+    t.appendBody(Separator + body)
+  }
+  def description(bufferId: String, id: String): Option[String] =
+    Option(store(bufferId).tickets.get(id)).map(_.description)
+  def clear(bufferId: String): Unit = stores.remove(bufferId)
 }
 
 private object JsonStr {
@@ -262,6 +333,14 @@ final case class HandlerResult(
     success: Boolean,
     details: String)
 
+/** One jira dispatch outcome: the ticket this alert landed on and
+  * whether it was appended to an existing correlated ticket (vs a
+  * freshly created one). */
+final case class JiraTicketResult(
+    alert_id: String,
+    ticket: String,
+    appended: Boolean)
+
 object Dispatcher {
 
   /** Route each alert to its `handlers` (array column; null/empty →
@@ -410,6 +489,89 @@ object Dispatcher {
         }
       }
   }
+
+  /** Correlated jira dispatch — the reference's create-vs-append flow
+    * (handlers/jira.py:217-280 `handle`): for each alert, look up the
+    * most recent alert in the STORE sharing its correlation_id that
+    * already has a ticket (jira.py CORRELATION_QUERY: ORDER BY
+    * event_time DESC LIMIT 1); if that ticket still sits in
+    * `startingStatus`, APPEND this alert's body to it
+    * (jira.py:94-114 append_to_body); otherwise (no correlated ticket,
+    * status moved on, or status fetch failed) CREATE a new ticket
+    * (jira.py:253). The ticket id is recorded per alert
+    * (record_ticket_id).
+    *
+    * Spark shape: the per-alert LIMIT-1 store query becomes ONE
+    * max_by aggregate over the store joined onto the batch; the
+    * reference's driver-side sequential loop (which lets a second
+    * batch alert of the same correlation append to the ticket the
+    * first one just created) becomes per-correlation sequencing —
+    * alerts are repartitioned by correlation key and processed in
+    * event_time order within each group by a task-local ticket map,
+    * so cross-correlation work stays parallel while within-correlation
+    * order matches the reference. Uncorrelated alerts key by their own
+    * alert_id (no skew partition, always create). */
+  def dispatchJira(
+      batch: DataFrame,
+      store: DataFrame,
+      sink: JiraSink,
+      startingStatus: String = "To Do",
+      timeCol: String = "event_time"): Dataset[JiraTicketResult] = {
+    def colOrNull(df: DataFrame, n: String) =
+      if (df.columns.contains(n)) col(n) else lit(null).cast("string")
+    val existing = store
+      .filter(colOrNull(store, "ticket").isNotNull &&
+        colOrNull(store, "correlation_id").isNotNull)
+      .groupBy(col("correlation_id").as("__corr"))
+      .agg(max_by(col("ticket"), col(timeCol)).as("__existing_ticket"))
+    val routed = batch
+      .withColumn("__corr", colOrNull(batch, "correlation_id"))
+      .join(existing, Seq("__corr"), "left")
+      .select(
+        col("alert_id").cast("string").as("_1"),
+        col("__corr").as("_2"),
+        col("__existing_ticket").as("_3"),
+        to_json(struct(batch.columns.map(col).toIndexedSeq: _*)).as("_4"),
+        coalesce(col("__corr"),
+          concat(lit("__solo:"), col("alert_id"))).as("_5"),
+        col(timeCol).cast("long").as("_6"))
+    implicit val enc = Encoders.product[JiraTicketResult]
+    routed
+      .repartition(col("_5"))
+      .sortWithinPartitions(col("_5"), col("_6"), col("_1"))
+      .select("_1", "_2", "_3", "_4") // projection keeps the sort order
+      .as[(String, String, String, String)](Encoders.tuple(
+        Encoders.STRING, Encoders.STRING, Encoders.STRING, Encoders.STRING))
+      .mapPartitions { it =>
+        val local = scala.collection.mutable.HashMap.empty[String, String]
+        it.map { case (alertId, corr, storeTicket, payload) =>
+          val candidate =
+            (if (corr != null) local.get(corr) else None)
+              .orElse(Option(storeTicket))
+          val reuse = candidate.filter(id =>
+            sink.checkStatus(id).contains(startingStatus))
+          reuse match {
+            case Some(id) =>
+              sink.appendToTicket(id, payload)
+              if (corr != null) local(corr) = id
+              JiraTicketResult(alertId, id, appended = true)
+            case None =>
+              val id = sink.createTicket(payload, startingStatus)
+              if (corr != null) local(corr) = id
+              JiraTicketResult(alertId, id, appended = false)
+          }
+        }
+      }
+  }
+
+  /** record_ticket_id: the per-alert `ticket` UPDATE, as one equi-join
+    * of the batch against the dispatch results. */
+  def recordTicketId(
+      alerts: DataFrame,
+      results: Dataset[JiraTicketResult]): DataFrame =
+    alerts.join(
+      results.select(col("alert_id"), col("ticket")), Seq("alert_id"),
+      "left")
 
   /** Join per-handler results back onto the alerts as a `handled` array
     * of (handler, success, details) structs — the dispatcher's

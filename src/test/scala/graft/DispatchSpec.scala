@@ -257,4 +257,60 @@ class DispatchSpec extends SparkSuite {
     val bare = alerts.drop("ticket", "handled")
     assert(Dispatcher.pendingBatch(bare).count() == 4)
   }
+
+  test("dispatchJira appends to a correlated To-Do ticket, else creates") {
+    import graft.engine.JiraTickets
+    val buf = s"jira-${System.nanoTime()}"
+    val sink = new JiraSink("SA", buf)
+
+    // Store: C1 has two ticketed alerts — the most RECENT one's ticket
+    // (jira.py CORRELATION_QUERY orders by event_time DESC) must win;
+    // C2's ticket has moved past the starting status.
+    val tOld = sink.createTicket("""{"alert_id":"s0"}""", "To Do")
+    val tC1 = sink.createTicket("""{"alert_id":"s1"}""", "To Do")
+    val tC2 = sink.createTicket("""{"alert_id":"s2"}""", "To Do")
+    JiraTickets.setStatus(buf, tC2, "Done")
+    val store = Seq(
+      ("s0", "C1", tOld, 50L),
+      ("s1", "C1", tC1, 100L),
+      ("s2", "C2", tC2, 80L)
+    ).toDF("alert_id", "correlation_id", "ticket", "event_time")
+
+    val batch = Seq(
+      ("b1", "C1", 200L), // → append to tC1 (most recent, To Do)
+      ("b2", "C1", 300L), // → append to tC1 after b1 (sequenced)
+      ("b3", "C2", 210L), // C2 ticket Done → create new
+      ("b4", "C3", 220L), // no store ticket → create
+      ("b5", "C3", 260L), // → append to b4's fresh ticket (in-batch)
+      ("b6", null, 230L)  // uncorrelated → create
+    ).toDF("alert_id", "correlation_id", "event_time")
+
+    val res = Dispatcher.dispatchJira(batch, store, sink)
+      .collect().map(r => r.alert_id -> r).toMap
+    assert(res("b1").ticket == tC1 && res("b1").appended)
+    assert(res("b2").ticket == tC1 && res("b2").appended)
+    assert(!res("b3").appended && res("b3").ticket != tC2)
+    assert(!res("b4").appended)
+    assert(res("b5").appended && res("b5").ticket == res("b4").ticket)
+    assert(!res("b6").appended)
+    // 3 creates in the batch → 3 distinct fresh tickets
+    assert(Seq("b3", "b4", "b6").map(res(_).ticket).distinct.size == 3)
+
+    // append_to_body: separator + both bodies on the correlated ticket
+    val desc = JiraTickets.description(buf, tC1).get
+    assert(desc.contains(JiraTickets.Separator))
+    assert(desc.contains("\"alert_id\":\"b1\"") &&
+      desc.contains("\"alert_id\":\"b2\""))
+    // the reference appends in event_time order (driver loop order)
+    assert(desc.indexOf("\"b1\"") < desc.indexOf("\"b2\""))
+    // tC2 untouched — its status gated the append
+    assert(JiraTickets.description(buf, tC2).get ==
+      """{"alert_id":"s2"}""")
+
+    // record_ticket_id: every batch alert gets its ticket recorded
+    val recorded = Dispatcher.recordTicketId(batch,
+      Dispatcher.dispatchJira(batch, store, sink))
+    assert(recorded.filter(col("ticket").isNull).count() == 0)
+    JiraTickets.clear(buf)
+  }
 }
