@@ -317,12 +317,20 @@ object Ann {
       .orderBy(col("cluster"))
   }
 
-  /** #34 per-label centroids (IVF coarse quantizer). */
+  /** #34 per-label centroids (IVF coarse quantizer). The mean vector
+    * is ONE per-label [[graft.functions.VectorSum]] aggregate + count
+    * — a D-length buffer per group with map-side partials — not a
+    * posexplode×D row expansion before the shuffle; the only Generate
+    * in the plan unrolls the |labels| aggregated rows for output. */
   def centroids(s: SparkSession, dir: String): DataFrame =
     withV(t(s, dir, "embeddings"))
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), (col("pos") + 1).as("dim"))
-      .agg(Num.r4(avg(col("x"))).as("centroid"))
+      .groupBy(col("label"))
+      .agg(graft.functions.vec.vectorSum(col("v")).as("__vsum"),
+        count(lit(1)).as("__n"))
+      .select(col("label"), col("__n"),
+        posexplode(col("__vsum")).as(Seq("pos", "sx")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        Num.r4(col("sx") / col("__n")).as("centroid"))
       .orderBy(col("label"), col("dim"))
 
   /** Voronoi-cell blocking for the pairwise ANN-graph operators: every

@@ -4,8 +4,10 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftexpr
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
@@ -106,8 +108,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * in index order exactly like the built-in formulation and the
   * oracle's `sum((x - c.x) * (x - c.x))` over an ordered dim expansion.
   *
-  * Requires equal-length arrays with non-null elements (embedding
-  * columns against a literal centroid).
+  * Length-mismatched (ragged) inputs return NULL — exactly what the
+  * zip_with/aggregate formulation produces (zip_with null-pads the
+  * shorter side and the null propagates through the fold), so a
+  * corrupted embedding row surfaces as a null distance, never as a
+  * plausible-but-wrong partial distance.
   */
 case class SquaredL2Distance(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -132,7 +137,8 @@ case class SquaredL2Distance(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null // ragged → null, like zip_with
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -151,13 +157,17 @@ case class SquaredL2Distance(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $a.getDouble($i) - $b.getDouble($i);
-         |  $acc += $d * $d;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -182,10 +192,13 @@ object NearestCentroidUtil {
     var k = 0
     while (k < cents.length) {
       val c = cents(k)
-      val m = java.lang.Math.min(n, c.length)
+      // centroids are driver-built from the same column — a ragged row
+      // is corruption; fail loudly, never a partial distance
+      require(c.length == n,
+        s"nearest_centroid: dim mismatch (vector $n vs centroid ${c.length})")
       var acc = 0.0
       var i = 0
-      while (i < m) {
+      while (i < n) {
         val d = v.getDouble(i) - c(i)
         acc += d * d
         i += 1
@@ -249,20 +262,27 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]],
 object HyperplaneBucketUtil {
   /** Signature bit p is set iff v · planes(p) > 0, accumulated in
     * index order exactly like the
-    * `aggregate(zip_with(v, coefs, (x, c) -> x * c), 0D, +)` fold. */
+    * `aggregate(zip_with(v, coefs, (x, c) -> x * c), 0D, +)` fold.
+    * A NaN dot product SETS the bit — Spark SQL orders NaN greater
+    * than every value, so the declarative `> 0` is true there where
+    * Java's is false (caught by FuzzParitySpec). Ragged inputs throw:
+    * planes are driver-built from the same column, so a dim mismatch
+    * is corruption, not data. */
   def bucket(v: ArrayData, planes: Array[Array[Double]]): Long = {
     var b = 0L
     var p = 0
     while (p < planes.length) {
       val c = planes(p)
-      val m = java.lang.Math.min(v.numElements(), c.length)
+      require(c.length == v.numElements(),
+        s"hyperplane_bucket: dim mismatch (vector ${v.numElements()} " +
+          s"vs plane ${c.length})")
       var acc = 0.0
       var i = 0
-      while (i < m) {
+      while (i < c.length) {
         acc += v.getDouble(i) * c(i)
         i += 1
       }
-      if (acc > 0) b |= (1L << p)
+      if (acc > 0 || java.lang.Double.isNaN(acc)) b |= (1L << p)
       p += 1
     }
     b
@@ -309,6 +329,94 @@ case class HyperplaneBucket(child: Expression,
       newChild: Expression): HyperplaneBucket = copy(child = newChild)
 }
 
+/** Elementwise vector-sum aggregate: sums Array[Double] columns into
+  * one array without exploding rows — the aggregate-side twin of the
+  * scalar kernels above. A per-label 64-dim centroid via
+  * posexplode×64 + groupBy(label, pos) multiplies the shuffle input
+  * 64× before aggregating; this kernel keeps partial aggregation
+  * map-side (one D-length buffer per group) so only |groups|×1 array
+  * rows cross the shuffle, and the caller divides by count for the
+  * mean. Same summation semantics as the per-dimension built-in sum:
+  * doubles added in row order per partition, partials merged.
+  *
+  * Null input arrays are ignored (like every Spark agg). A
+  * length-mismatched (ragged) row throws — silently truncating would
+  * produce a plausible-but-wrong centroid (the SquaredL2Distance
+  * lesson); embedding columns are fixed-dimension by contract. */
+case class VectorSum(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]]
+    with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vector_sum"
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (buf.isEmpty) {
+      val fresh = new Array[Double](n)
+      var i = 0
+      while (i < n) { fresh(i) = arr.getDouble(i); i += 1 }
+      fresh
+    } else {
+      require(buf.length == n,
+        s"$prettyName: length mismatch (${buf.length} vs $n)")
+      var i = 0
+      while (i < n) { buf(i) += arr.getDouble(i); i += 1 }
+      buf
+    }
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    require(a.length == b.length,
+      s"$prettyName: length mismatch (${a.length} vs ${b.length})")
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf.isEmpty) null else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    var i = 0
+    while (i < buf.length) { bb.putDouble(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Double](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorSum =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorSum =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): VectorSum =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the custom expressions. */
 object vec {
   def cosine(a: Column, b: Column): Column =
@@ -328,4 +436,9 @@ object vec {
   /** P-bit hyperplane-LSH signature of `v` against the plane matrix. */
   def hyperplaneBucket(v: Column, planes: Array[Array[Double]]): Column =
     graftexpr.column(HyperplaneBucket(graftexpr.expression(v), planes))
+
+  /** Elementwise sum of an array<double> column (aggregate). */
+  def vectorSum(v: Column): Column =
+    graftexpr.column(
+      VectorSum(graftexpr.expression(v)).toAggregateExpression())
 }
