@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.vec
+
+/** Randomized parity fuzzing for the fused Catalyst kernels against the
+  * declarative formulations they replaced (VERDICT r9 #7). The corpus
+  * is seeded-deterministic (no flaky reruns) and adversarial by
+  * construction: empty strings, runs of separators, leading/trailing
+  * spaces, supplementary-plane unicode (surrogate pairs), combining
+  * diacritics, quotes/backslashes, and token repetition — the shapes
+  * where a hand-rolled loop diverges from Spark's split/substring
+  * semantics (UTF-16 vs code points, empty split tokens, first-seen
+  * distinct order). Every compare is bit-for-bit (null-safe <=>)
+  * except the float aggregate, which tolerates summation-order ULPs.
+  */
+class FuzzParitySpec extends SparkSuite {
+  import spark.implicits._
+
+  // 😀 and 𝔘 are supplementary-plane (2 UTF-16 units, 1 code point);
+  // "é" is a combining accent (2 code points, 1 grapheme).
+  private val Atoms = Vector("a", "b", "ab", "abc", "α", "ß", "😀", "𝔘",
+    "é", "字", "'", "\"", "\\", "0", "zz😀z")
+
+  private def corpus(seed: Long, n: Int): Seq[(Long, String)] = {
+    val rng = new scala.util.Random(seed)
+    val rand = (1 to n).map { _ =>
+      val parts = rng.nextInt(14)
+      (0 until parts).map { _ =>
+        rng.nextInt(7) match {
+          case 0 => " "
+          case 1 => "  " // double separator → empty split token
+          case _ => Atoms(rng.nextInt(Atoms.length))
+        }
+      }.mkString
+    }
+    val pinned = Seq("", " ", "  ", "a", "😀", "😀😀abc", "a b c d",
+      " a  b ", "😀 😀 😀 😀", "a a a a a", "\ta\tb", "é é x y")
+    (pinned ++ rand).distinct.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  private def docs = corpus(20260813L, 400).toDF("doc_id", "text")
+
+  test("fuzz: minhash_slices parity on adversarial text") {
+    val d = docs.filter(size(split(col("text"), " ")) >= 3)
+    val sh = d.select(col("doc_id"), explode(expr(
+      """transform(sequence(1, size(split(text, ' '))-2),
+        |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+        |    element_at(split(text, ' '), i+1),
+        |    element_at(split(text, ' '), i+2)))""".stripMargin)).as("s"))
+      .withColumn("h", md5(col("s").cast("binary")))
+    val naiveAggs = (0 until 8).map(i =>
+      min(substring(col("h"), 4 * i + 1, 4)).as(s"mh$i"))
+    val naive = sh.groupBy(col("doc_id")).agg(naiveAggs.head, naiveAggs.tail: _*)
+    val arr = graft.functions.hashes.minhashSlices(col("text"))
+    val fused = d.select(col("doc_id") +: (0 until 8).map(i =>
+      element_at(arr, i + 1).as(s"f$i")): _*)
+    val joined = fused.join(naive, Seq("doc_id"))
+    val bad = (0 until 8).map(i =>
+      joined.filter(!(col(s"f$i") <=> col(s"mh$i"))).count()).sum
+    assert(bad == 0)
+  }
+
+  test("fuzz: min_gram_md5 parity (code points, not UTF-16 units)") {
+    val cmp = docs.select(
+      graft.functions.hashes.minGramMd5(col("text"), 5).as("fused"),
+      when(length(col("text")) >= 5, expr(
+        "array_min(transform(sequence(1, length(text)-4), i -> md5(cast(substring(text, i, 5) as binary))))"))
+        .as("naive"))
+      .filter(!(col("fused") <=> col("naive")))
+    assert(cmp.count() == 0)
+  }
+
+  test("fuzz: distinct_grams / distinct_gram_hashes parity") {
+    val d = docs.filter(length(col("text")) >= 4)
+    // first-seen order must match array_distinct's, element for element
+    val cmp = d.select(
+      expr("array_distinct(transform(sequence(1, length(text)-3), i -> substring(text, i, 4)))")
+        .as("naive"),
+      graft.functions.hashes.distinctGrams(col("text"), 4).as("fused"),
+      graft.functions.hashes.distinctGramHashes(col("text"), 4).as("fusedH"))
+      .filter(!(col("naive") <=> col("fused")) ||
+        !(transform(col("fused"), g => xxhash64(g)) <=> col("fusedH")))
+    assert(cmp.count() == 0)
+  }
+
+  test("fuzz: distinct_word_gram_hashes parity, md5 and xxhash64") {
+    val d = docs.filter(size(split(col("text"), " ")) >= 4)
+    def naive(hashFn: String) = expr(
+      s"""array_distinct(transform(sequence(1, size(split(text, ' '))-3),
+         |  i -> $hashFn(concat_ws(' ',
+         |    element_at(split(text, ' '),i), element_at(split(text, ' '),i+1),
+         |    element_at(split(text, ' '),i+2), element_at(split(text, ' '),i+3)))))""".stripMargin)
+    for (fn <- Seq("md5", "xxhash64")) {
+      val cmp = d.select(naive(fn).as("naive"),
+        Grams.distinctWordGrams(col("text"), fn).as("fused"))
+        .filter(!(col("naive") <=> col("fused")))
+      assert(cmp.count() == 0, s"variant $fn diverges")
+    }
+    // below 4 words → null, on every adversarial short shape
+    val short = docs.filter(size(split(col("text"), " ")) < 4)
+      .select(Grams.distinctWordGrams(col("text"), "md5").as("g"))
+      .filter(col("g").isNotNull)
+    assert(short.count() == 0)
+  }
+
+  test("fuzz: simhash32 parity on adversarial text") {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val bitSums = (0 until 32).map { j =>
+      val p = Seq(8, 4, 2, 1)(j % 4)
+      sum(expr(
+        s"2 * (((instr('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1) div $p) % 2) - 1"))
+        .as(s"s$j")
+    }
+    val naive = toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        expr((0 until 32)
+          .map(j => s"CASE WHEN s$j > 0 THEN cast(${1L << j} as bigint) ELSE cast(0 as bigint) END")
+          .mkString(" + ")).as("naive"))
+    val cmp = docs.select(col("doc_id"),
+      graft.functions.hashes.simHash32(col("text")).as("fused"))
+      .join(naive, Seq("doc_id"))
+      .filter(!(col("naive") <=> col("fused")))
+    assert(cmp.count() == 0)
+  }
+
+  test("fuzz: trigram_stats parity on adversarial text") {
+    val naive = docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        greatest(size(col("w")) - 2, lit(0)).cast("long").as("n_tri"),
+        when(size(col("w")) >= 3, size(array_distinct(expr(
+          "transform(sequence(0, size(w)-3)," +
+            " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))).cast("long"))
+          .otherwise(0L).as("n_uniq"))
+    val fused = docs.select(col("doc_id"),
+      graft.functions.text.trigramStats(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts.n_tri"), col("ts.n_uniq"))
+    assert(fused.except(naive).count() == 0)
+    assert(naive.except(fused).count() == 0)
+  }
+
+  test("fuzz: bucket_weight_sum parity on adversarial text") {
+    val wts = Array.tabulate(256)(b => (b % 31 - 15) / 16.0)
+    val wtsCol = array(wts.map(lit).toIndexedSeq: _*)
+    val cmp = docs.select(
+      aggregate(
+        transform(split(col("text"), " "), tok => element_at(wtsCol,
+          conv(substring(md5(tok), 3, 2), 16, 10).cast("int") + 1)),
+        lit(0d), (acc, x) => acc + x).as("naive"),
+      graft.functions.text.bucketWeightSum(col("text"), wts).as("fused"))
+      .filter(!(col("naive") <=> col("fused"))) // exact, not approximate
+    assert(cmp.count() == 0)
+  }
+
+  test("fuzz: hyperplane_bucket and squared_l2_distance on random vectors") {
+    val rng = new scala.util.Random(42L)
+    def rv(): Array[Double] = Array.fill(8)(rng.nextInt(6) match {
+      case 0 => 0.0
+      case 1 => (rng.nextInt(9) - 4) * 1e-300 // subnormal-adjacent
+      case 2 => (rng.nextInt(9) - 4) * 1e300
+      case _ => rng.nextDouble() * 2 - 1
+    })
+    val planes = Array.fill(6)(rv())
+    val vecs = (1 to 200).map(_ => (rv(), rv()))
+    val df = vecs.toDF("v", "u")
+    val folds = planes.indices.map { p =>
+      when(expr(
+        s"aggregate(zip_with(v, array(${planes(p).mkString("D,")}D), " +
+          "(x, c) -> x * c), 0D, (acc, x) -> acc + x)") > 0,
+        lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    val cmpH = df.select(folds.as("naive"),
+      vec.hyperplaneBucket(col("v"), planes).as("fused"))
+      .filter(!(col("naive") <=> col("fused")))
+    assert(cmpH.count() == 0)
+    val cmpD = df.select(
+      expr("aggregate(zip_with(v, u, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+        .as("naive"),
+      vec.sqdist(col("v"), col("u")).as("fused"))
+      .filter(!(col("naive") <=> col("fused")))
+    assert(cmpD.count() == 0)
+  }
+
+  test("fuzz: vector_sum matches the posexplode sum per group") {
+    val rng = new scala.util.Random(7L)
+    val rows = (1 to 300).map(i =>
+      (i % 17, Array.fill(16)(rng.nextDouble() * 2 - 1)))
+    val df = rows.toDF("g", "v")
+    val naive = df
+      .select(col("g"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("g", "pos").agg(sum(col("x")).as("sx"))
+    val fused = df.groupBy("g").agg(vec.vectorSum(col("v")).as("vs"))
+      .select(col("g"), posexplode(col("vs")).as(Seq("pos", "fx")))
+    val joined = naive.join(fused, Seq("g", "pos"))
+      .filter(abs(col("sx") - col("fx")) > lit(1e-12) * greatest(
+        abs(col("sx")), lit(1.0)))
+    assert(joined.count() == 0)
+    // null arrays are ignored; all-null group → null sum
+    val withNulls = Seq((1, Some(Array(1.0, 2.0))), (1, None), (2, None))
+      .toDF("g", "v")
+    val r = withNulls.groupBy("g").agg(vec.vectorSum(col("v")).as("vs"))
+      .orderBy("g").collect()
+    assert(r(0).getSeq[Double](1) == Seq(1.0, 2.0))
+    assert(r(1).isNullAt(1))
+    // ragged rows throw rather than silently truncating
+    val ragged = Seq(Array(1.0), Array(1.0, 2.0)).toDF("v").coalesce(1)
+    assertThrows[org.apache.spark.SparkException] {
+      ragged.agg(vec.vectorSum(col("v"))).collect()
+    }
+  }
+}
