@@ -68,12 +68,15 @@ object RangeJoin {
       !intervals.columns.contains("__bucket"),
       "__bucket is reserved by RangeJoin")
     // the post-join residual filter references startCol/pointCol by
-    // name: any column present on BOTH sides would make those
-    // references ambiguous (AnalysisException) — fail early and clearly
-    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
-    require(shared.isEmpty,
-      s"points and intervals share column(s) ${shared.mkString(", ")} — " +
-        "alias one side before the range join")
+    // name: if THOSE exist on both sides the references are ambiguous
+    // (AnalysisException deep in the join) — fail early and clearly.
+    // Other shared names are fine here and pass through duplicated in
+    // the output, exactly like a plain df.join(other, key).
+    val clash = points.columns.toSet.intersect(intervals.columns.toSet)
+      .intersect(Set(pointCol, startCol))
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(", ")} exist on both sides — the " +
+        "containment filter references them by name; alias one side")
     require(len > 0, s"interval length must be positive, got $len")
     val step = grain.toLowerCase match {
       case "day" => expr("interval 1 day")

@@ -78,7 +78,16 @@ object Okta {
     * (packs/okta.sql data.okta_groups_snapshots — groups view #1). The
     * file connector has no landing-time column, so `recorded_at` is
     * the record's own lastUpdated stamp — monotone across snapshot
-    * pulls, preserving the QUALIFY-latest semantics of [[groups]]. */
+    * pulls, preserving the QUALIFY-latest semantics of [[groups]].
+    *
+    * CONTRACT: this stands in for the reference's landing-time QUALIFY
+    * only while pulls are monotone (each snapshot's lastUpdated ≥ the
+    * previous landing's). A backfill or re-land of an OLDER record
+    * would not win here, where upstream (keyed on landing time) it
+    * would. If out-of-order landings are possible, derive recorded_at
+    * from landing metadata instead — e.g. select
+    * `_metadata.file_modification_time` in the scan — and pass that
+    * frame to [[groups]] with the same latest-per-id reduction. */
   def landGroupSnapshots(spark: SparkSession, path: String): DataFrame =
     Connectors.jsonLines(spark, path, groupSchema)
       .select(

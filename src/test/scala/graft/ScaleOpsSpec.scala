@@ -122,7 +122,10 @@ class ScaleOpsSpec extends SparkSuite {
       var acc = 0.0; var i = 0
       while (i < a.length) {
         val d = a(i) - b(i); acc += d * d; i += 1 }
-      BigDecimal(acc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // EXACT kernel rounding (Num.r4): floor(x·1e4 + 0.5)/1e4 — a
+      // BigDecimal HALF_UP mirror can disagree at representable
+      // half-way points and flake a distance tie
+      math.floor(acc * 10000.0 + 0.5) / 10000.0
     }
     val seeds = vecs.filter(_._1 < 32).sortBy(_._1)
     vecs.map { case (id, _, v) =>
@@ -134,8 +137,9 @@ class ScaleOpsSpec extends SparkSuite {
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {
       d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // same floor(x·1e4 + 0.5)/1e4 rounding as Num.r4 (see sq4)
+    val c = d / (math.sqrt(na) * math.sqrt(nb))
+    math.floor(c * 10000.0 + 0.5) / 10000.0
   }
 
   private def embVecs(): Array[(Long, String, Array[Double])] =
