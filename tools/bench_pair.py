@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""Run ONE same-boot bench pair — the graft Spark suite and the DuckDB
+oracle suite back to back on this machine — and write every artifact
+that must agree in ONE step: BENCH.json, BASELINE_DUCKDB.json, and the
+headline block of BASELINE.md (between the bench-pair markers).
+
+This exists because SURVEY §6's reconciliation rule ("BENCH.json,
+BASELINE.md and the SURVEY delta must all cite ONE committed same-boot
+run") drifted twice when the three were written by hand in separate
+steps. Driver-side tooling only — NOT part of the shipped library.
+
+Usage:
+    python3 tools/bench_pair.py [sf_dir]           # default /root/testdata/sf0.1
+        [--oracle /tmp/vout/oracle_sql.json]       # else dumped via sbt Verify
+        [--bench-out BENCH.json] [--duck-out BASELINE_DUCKDB.json]
+        [--md BASELINE.md] [--label "round 10"] [--dry]
+
+/proc/stat col 9 (steal jiffies) is sampled around each side; a pair
+with heavy steal should be rerun, not committed.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MARK_BEGIN = "<!-- bench-pair:begin -->"
+MARK_END = "<!-- bench-pair:end -->"
+
+
+def steal_jiffies():
+    with open("/proc/stat") as fh:
+        return int(fh.readline().split()[8])
+
+
+def run(cmd, env=None):
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    print(f"[bench_pair] $ {' '.join(cmd)}", file=sys.stderr)
+    subprocess.run(cmd, cwd=REPO, env=e, check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+
+def main():
+    args = sys.argv[1:]
+    def opt(name, default):
+        if name in args:
+            i = args.index(name)
+            v = args[i + 1]
+            del args[i:i + 2]
+            return v
+        return default
+    dry = "--dry" in args
+    if dry:
+        args.remove("--dry")
+    oracle = opt("--oracle", None)
+    bench_out = opt("--bench-out", "BENCH.json")
+    duck_out = opt("--duck-out", "BASELINE_DUCKDB.json")
+    md = opt("--md", "BASELINE.md")
+    label = opt("--label", "")
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+
+    # 1. graft suite (steal-sampled)
+    s0, t0 = steal_jiffies(), time.time()
+    run(["sbt", "-batch", "runMain graft.Bench"],
+        env={"SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32",
+             "SPARK_GRAFT_BENCH_OUT": bench_out})
+    s1, t1 = steal_jiffies(), time.time()
+    with open(os.path.join(REPO, bench_out)) as fh:
+        bench = json.load(fh)
+
+    # 2. oracle SQL dump (cheap, sf0.001) unless supplied
+    if oracle is None:
+        run(["sbt", "-batch",
+             "runMain graft.Verify /root/testdata/sf0.001 /tmp/bench_pair_v"])
+        oracle = "/tmp/bench_pair_v/oracle_sql.json"
+
+    # 3. DuckDB suite, same boot (steal-sampled)
+    s2 = steal_jiffies()
+    duck_raw = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "baseline.py"),
+         sf_dir, oracle],
+        cwd=REPO, check=True, capture_output=True, text=True).stdout
+    s3 = steal_jiffies()
+    duck = json.loads(duck_raw.strip().splitlines()[-1])
+    with open(os.path.join(REPO, duck_out), "w") as fh:
+        fh.write(json.dumps(duck) + "\n")
+
+    hz = os.sysconf("SC_CLK_TCK")
+    steal = {"graft_s": round((s1 - s0) / hz, 2),
+             "duckdb_s": round((s3 - s2) / hz, 2)}
+    g, d = bench["value"], duck["value"]
+    ratio = round(g / d, 2)
+    stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    nq = bench.get("n_queries", len(bench.get("queries", {})))
+    summary = {"graft_s": g, "duckdb_s": d, "ratio": ratio,
+               "n_queries": nq, "steal": steal, "sf": sf_dir,
+               "label": label, "at": stamp}
+    print(json.dumps(summary))
+
+    # 4. BASELINE.md headline block between markers — the same run the
+    # two committed JSONs hold, so the three cannot disagree.
+    block = (
+        f"{MARK_BEGIN}\n"
+        f"| DuckDB oracle suite total ({nq} queries{', ' + label if label else ''}) "
+        f"| **{d:.1f} s** (`{duck_out}` — same-boot pair of `{bench_out}`, "
+        f"written together by `tools/bench_pair.py`; steal "
+        f"{steal['duckdb_s']} s) |\n"
+        f"| graft Spark total, same boot ({nq} queries{', ' + label if label else ''}) "
+        f"| **{g:.1f} s** = **{ratio}×** (local[32], steady-state: "
+        f"best-of-2 + burst arbitration per query, noop-sink writes; "
+        f"steal {steal['graft_s']} s; {stamp}) |\n"
+        f"{MARK_END}")
+    md_path = os.path.join(REPO, md)
+    with open(md_path) as fh:
+        text = fh.read()
+    if MARK_BEGIN in text and MARK_END in text and not dry:
+        pre = text[:text.index(MARK_BEGIN)]
+        post = text[text.index(MARK_END) + len(MARK_END):]
+        with open(md_path, "w") as fh:
+            fh.write(pre + block + post)
+        print(f"[bench_pair] {md} headline block updated", file=sys.stderr)
+    else:
+        print(f"[bench_pair] markers not found in {md} (or --dry) — "
+              f"block:\n{block}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
