@@ -5,7 +5,10 @@ against. Driver-side python only (duckdb is not a library dependency).
 
 Usage:
     sbt -batch "runMain graft.Verify <sf_dir> /tmp/vout"   # dumps oracle_sql.json
-    python3 tools/baseline.py <sf_dir> /tmp/vout/oracle_sql.json
+    python3 tools/baseline.py <sf_dir> /tmp/vout/oracle_sql.json [q_a,q_b,...]
+
+The optional third arg restricts to a comma-separated query subset
+(sf~1 heavy-tail runs time a handful of queries, not the suite).
 """
 import glob
 import json
@@ -25,6 +28,9 @@ for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
 
 with open(oracle_json) as fh:
     oracles = json.load(fh)
+if len(sys.argv) > 3:
+    only = set(sys.argv[3].split(","))
+    oracles = {k: v for k, v in oracles.items() if k in only}
 
 times = {}
 for name in sorted(oracles):

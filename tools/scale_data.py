@@ -11,7 +11,9 @@ dups) and add small deterministic per-dim noise to embeddings (so
 replicas remain near — but not identical to — the originals, the
 realistic near-dup shape for a 10x-grown corpus).
 
-Usage: python3 tools/scale_data.py /root/testdata/sf0.1 /tmp/sf1 10
+Usage: python3 tools/scale_data.py /root/testdata/sf0.1 /tmp/sf1 10 [tables]
+    tables: optional comma list (documents,embeddings,events) — e.g.
+    the alert-engine 100x run scales ONLY events.
 """
 import os
 import sys
@@ -20,10 +22,13 @@ import duckdb
 
 src, dst = sys.argv[1], sys.argv[2]
 reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+tables = (set(sys.argv[4].split(","))
+          if len(sys.argv) > 4 else {"documents", "embeddings", "events"})
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 
-con.execute(f"""
+if "documents" in tables:
+    con.execute(f"""
 COPY (
   SELECT doc_id + r * 10000000 AS doc_id,
          CASE WHEN r = 0 THEN text ELSE text || ' zz' || r END AS text,
@@ -35,7 +40,8 @@ COPY (
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """)
 
-con.execute(f"""
+if "embeddings" in tables:
+    con.execute(f"""
 COPY (
   SELECT vec_id + r * 10000000 AS vec_id,
          CASE WHEN r = 0 THEN embedding ELSE
@@ -49,7 +55,40 @@ COPY (
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
 """)
 
-for t in ("documents", "embeddings"):
+# events: replica r offsets event_id and user_id by r*10^7 — the actor
+# SPACE scales 10x while each actor keeps the original per-actor event
+# density and time window, so alert chains/suppression groups keep
+# their realistic shape (a security log grows by adding actors, not by
+# making every actor 10x noisier).
+# The source table is parquet TIMESTAMP(NANOS); graft's loader reads
+# that exact physical type (nanosAsLong), and DuckDB's COPY always
+# downgrades to µs — so the replica goes through pyarrow to preserve
+# the NANOS column type. (DuckDB's read is already µs-truncated; both
+# engines then read identical values from this file, which is what a
+# same-boot pair compares.)
+if "events" in tables:
+    import pyarrow as pa  # noqa: E402  (driver-side only)
+    import pyarrow.parquet as pq  # noqa: E402
+
+    tbl = con.execute(f"""
+      SELECT event_id + r * 10000000 AS event_id,
+             epoch_ns(ts) AS ts,
+             user_id + r * 10000000 AS user_id,
+             event_type, value, props
+      FROM read_parquet('{src}/events.parquet'), range({reps}) t(r)
+      ORDER BY event_id
+    """).arrow()
+    ts_idx = tbl.schema.get_field_index("ts")
+    tbl = tbl.set_column(ts_idx, "ts",
+                         tbl.column("ts").cast(pa.timestamp("ns")))
+    # row_group_size matches DuckDB COPY's default (122880 rows) — the
+    # grouping the other scaled tables get, and what any real writer
+    # produces at this volume (a single 1M-row group would serialize
+    # Spark's scan behind one task, an artifact not a measurement)
+    pq.write_table(tbl, f"{dst}/events.parquet", row_group_size=122880,
+                   coerce_timestamps=None, store_schema=False)
+
+for t in sorted(tables):
     n, = con.execute(
         f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()
     print(f"{t}: {n} rows")
