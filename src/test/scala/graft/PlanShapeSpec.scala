@@ -36,6 +36,22 @@ class PlanShapeSpec extends SparkSuite {
     assert(planOf("q_alert_suppress").contains("BroadcastHashJoin"))
   }
 
+  test("centroids aggregate vectors before any Generate") {
+    // the per-label mean is ONE VectorSum aggregate with map-side
+    // partials; a posexplode before the aggregation multiplies the
+    // shuffle input by the vector dimension (the r9 3.4x entry). The
+    // only Generate allowed is the output unroll ABOVE the final
+    // aggregate.
+    val plan = SparkEntry.queries("q_embedding_centroids")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("vector_sum"), "centroids lost the VectorSum kernel")
+    val gen = plan.indexOf("Generate")
+    val agg = plan.lastIndexOf("ObjectHashAggregate")
+    assert(gen >= 0 && agg > gen,
+      "the Generate must sit above the final aggregate (output unroll), " +
+        "never below it (per-row explode)")
+  }
+
   test("IVF assignment is an aggregation, not a per-vector window sort") {
     // nearest-centroid argmax must be min_by aggregation (map-side
     // combined); a row_number window would sort+shuffle every
