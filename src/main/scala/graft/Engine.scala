@@ -67,8 +67,17 @@ object Engine {
     "q_alert_suppress" -> ((s, dir) => {
       // the alert set feeds three consumers (noisy-actor profile, the
       // id selection, and the suppression join) — materialize once
-      // instead of re-scanning events per consumer
-      val a = alerts(s, dir).transform(graft.Materialize.frame)
+      // instead of re-scanning events per consumer. PROJECT FIRST: a
+      // checkpoint is an optimizer barrier, so Catalyst cannot push
+      // the consumers' column pruning through it — without the
+      // explicit select the full alert schema (description,
+      // event_data json, ...) is serialized into block storage when
+      // the query touches two columns. At 100 TB that width is the
+      // difference between checkpointing ~2% and ~100% of the alert
+      // bytes (locally the win is modest — 2.45 → 2.0-2.4 s at 100×
+      // events — because block storage is RAM here).
+      val a = alerts(s, dir).select("alert_id", "actor")
+        .transform(graft.Materialize.frame)
       val noisy = a.groupBy(col("actor"))
         .agg(count(lit(1)).as("n")).filter(col("n") >= 8)
         .select(col("actor"))

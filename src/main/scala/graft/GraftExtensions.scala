@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.StringType
 
 import graft.functions.{CosineSimilarity, DistinctGramHashes, DistinctGrams,
   DistinctShingles, DistinctWordGramHashes, FastMd5, MinGramMd5,
-  MinhashSlices, SimHash32}
+  MinhashSlices, SimHash32, VectorSum}
 
 /** Session-extension registration for graft's native Catalyst
   * expressions, so the SQL-AUTHORED rule surface reaches the same fused
@@ -101,5 +101,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         DistinctWordGramHashes(args(0), 4, variant)
       }))
+    e.injectFunction((FunctionIdentifier("graft_vector_sum"),
+      info("graft_vector_sum",
+        "graft_vector_sum(v) - aggregate: elementwise sum of " +
+          "array<double> vectors (map-side partial buffers; the " +
+          "de-exploded centroid shape)"),
+      (args: Seq[Expression]) => VectorSum(one(args, "graft_vector_sum"))))
   }
 }

@@ -63,6 +63,15 @@ class ExtensionsSpec extends SparkSuite {
       // (FunctionsSpec pins the full formulation parity)
       assert(row.getLong(9) == s.range(1)
         .select(graft.functions.hashes.simHash32(lit("a b a"))).head.getLong(0))
+
+      // aggregate kernel: SQL GROUP BY path reaches VectorSum
+      val agg = s.sql(
+        """SELECT g, graft_vector_sum(v) AS vs FROM VALUES
+          |  (1, array(1D, 2D)), (1, array(10D, 20D)), (2, array(5D, 7D))
+          |  AS t(g, v)
+          |GROUP BY g ORDER BY g""".stripMargin).collect()
+      assert(agg(0).getSeq[Double](1) == Seq(11.0, 22.0))
+      assert(agg(1).getSeq[Double](1) == Seq(5.0, 7.0))
     }
   }
 
