@@ -147,6 +147,23 @@ class CorrelationSpec extends SparkSuite {
     rows.groupBy(r => root(r._1)).values.map(_.map(_._1).toSet).toSet
   }
 
+  test("a deep chain resolves to one root through the pointer-jump loop") {
+    // 13 alerts, 5 min apart, same object: every alert's most-recent
+    // match is its immediate predecessor, so the parent forest is a
+    // PATH of depth 12 — past the 3-hop fused seed, forcing ≥ 2
+    // doubling rounds of the loop (3 → 6 → 12). Plus an unrelated
+    // second actor to keep the final left join honest.
+    val chain = (0 until 13).map(i =>
+      alert(f"c$i%02d", "u1", "X", "read", i * 5L))
+    val alerts = df(chain :+ alert("z1", "u2", "Q", "other", 10L): _*)
+    val anch = RuleEngine.correlateAnchored(alerts, 60)
+      .select("alert_id", "correlation_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(chain.map(c => anch(c._1)).toSet.size == 1,
+      "every chain member must carry the root's correlation id")
+    assert(anch("z1") != anch("c00"))
+  }
+
   test("randomized: anchored chains match the brute-force reference") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 5) {

@@ -186,6 +186,79 @@ class FuzzParitySpec extends SparkSuite {
     assert(cmpD.count() == 0)
   }
 
+  test("fuzz: fast_md5 matches the built-in md5 on adversarial text") {
+    val cmp = docs.select(
+      md5(col("text").cast("binary")).as("naive"),
+      graft.functions.hashes.md5(col("text")).as("fused"))
+      .filter(!(col("naive") <=> col("fused")))
+    assert(cmp.count() == 0)
+  }
+
+  test("fuzz: distinct_shingles / distinct_grams on adversarial text") {
+    val dSh = docs.filter(size(split(col("text"), " ")) >= 3)
+    val cmpSh = dSh.select(
+      expr(
+        """array_distinct(transform(sequence(1, size(split(text, ' '))-2),
+          |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+          |    element_at(split(text, ' '), i+1),
+          |    element_at(split(text, ' '), i+2))))""".stripMargin).as("naive"),
+      graft.functions.hashes.distinctShingles(col("text")).as("fused"))
+      .filter(!(col("naive") <=> col("fused")))
+    assert(cmpSh.count() == 0) // first-seen order, element for element
+    val dG = docs.filter(length(col("text")) >= 4)
+    val cmpG = dG.select(
+      expr("array_distinct(transform(sequence(1, length(text)-3), i -> substring(text, i, 4)))")
+        .as("naive"),
+      graft.functions.hashes.distinctGrams(col("text"), 4).as("fused"))
+      .filter(!(col("naive") <=> col("fused")))
+    assert(cmpG.count() == 0)
+  }
+
+  test("fuzz: cosine matches the aggregate/zip_with fold on random vectors") {
+    val rng = new scala.util.Random(11L)
+    def rv(): Array[Double] = Array.fill(8)(rng.nextInt(5) match {
+      case 0 => 0.0
+      case 1 => (rng.nextInt(9) - 4) * 1e-200
+      case _ => rng.nextDouble() * 2 - 1
+    })
+    val df = ((1 to 150).map(_ => (rv(), rv())) :+
+      (Array.fill(8)(0.0), rv())).toDF("a", "b") // zero norm → null
+    // try_divide = the kernel's null-on-zero-norm contract (plain "/"
+    // THROWS under ANSI, which is how the declarative formulation would
+    // kill a whole job on one degenerate row — the kernel's null is the
+    // production-safe behavior)
+    val naive = expr(
+      "try_divide(aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x), " +
+        "sqrt(aggregate(transform(a, x -> x * x), 0D, (acc, x) -> acc + x)) * " +
+        "sqrt(aggregate(transform(b, x -> x * x), 0D, (acc, x) -> acc + x)))")
+    val cmp = df.select(naive.as("naive"),
+      vec.cosine(col("a"), col("b")).as("fused"))
+      .filter(!(col("naive") <=> col("fused")))
+    assert(cmp.count() == 0)
+  }
+
+  test("fuzz: nearest_centroid matches the driver mirror incl. exact ties") {
+    val rng = new scala.util.Random(23L)
+    def rv(): Array[Double] = Array.fill(4)(
+      (rng.nextInt(41) - 20) / 8.0) // representable values → exact ties
+    val cents: Seq[(Long, Array[Double])] =
+      (0L until 6L).map(i => (i, rv())) :+ (6L, Array(0.0, 0.0, 0.0, 0.0)) :+
+        (7L, Array(0.0, 0.0, 0.0, 0.0)) // duplicate seed → cid tiebreak
+    val vecs = (1 to 200).map(_ => rv()) :+ Array(0.0, 0.0, 0.0, 0.0)
+    def mirror(v: Array[Double]): (Long, Double) =
+      cents.map { case (cid, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < v.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+        (math.floor(acc * 10000.0 + 0.5) / 10000.0, cid)
+      }.min match { case (d, cid) => (cid, d) }
+    val got = vecs.toDF("v")
+      .select(vec.nearestCentroid(col("v"), cents).as("m"))
+      .select(col("m.cid"), col("m.dist")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == vecs.map(mirror))
+  }
+
   test("fuzz: vector_sum matches the posexplode sum per group") {
     val rng = new scala.util.Random(7L)
     val rows = (1 to 300).map(i =>
