@@ -123,6 +123,59 @@ class RuleEngineSpec extends SparkSuite {
       .getAs[Long]("counter") == 6L)
   }
 
+  test("randomized: incremental store folds match the reference MERGE mirror") {
+    // K random batches with colliding/null merge keys folded through
+    // mergeIntoStore must equal a driver transcription of the
+    // reference's MERGE (WHEN MATCHED → counter += batch-group count,
+    // store row otherwise untouched; WHEN NOT MATCHED → insert the
+    // batch-group merge). Catches stitched bodies, null-key dup rows,
+    // and time/counter drift across any batch arrival order.
+    val rnd = new scala.util.Random(7L)
+    val objects = Seq(Some("o1"), Some("o2"), Some("o3"), None)
+    val descs = Seq(Some("d1"), Some("d2"), None)
+    var id = 0
+    def batch(): Seq[(String, String, String, Long, Long, Long)] =
+      (0 until 5 + rnd.nextInt(10)).map { _ =>
+        id += 1
+        (f"a$id%04d", objects(rnd.nextInt(objects.length)).orNull,
+          descs(rnd.nextInt(descs.length)).orNull, 1L,
+          1000L + rnd.nextInt(1000), 2000L + rnd.nextInt(1000))
+      }
+    def toDf(rows: Seq[(String, String, String, Long, Long, Long)]) =
+      rows.toDF("alert_id", "object", "description", "counter",
+          "event_time_s", "alert_time_s")
+        .withColumn("query_name", lit("qn")).withColumn("query_id", lit("qi"))
+        .withColumn("environment", lit("e")).withColumn("sources", lit("s"))
+        .withColumn("actor", col("object")).withColumn("action", lit("act"))
+        .withColumn("title", lit("t")).withColumn("detector", lit("d"))
+        .withColumn("event_data", lit("{}"))
+        .withColumn("severity", lit("low"))
+
+    val mirror = scala.collection.mutable.LinkedHashMap
+      .empty[(Option[String], Option[String]), (String, Long, Long, Long)]
+    var store = RuleEngine.mergeAlerts(toDf(Nil))
+    for (_ <- 1 to 4) {
+      val b = batch()
+      store = RuleEngine.mergeIntoStore(store, toDf(b))
+      for ((key, g) <- b.groupBy(r => (Option(r._2), Option(r._3)))) {
+        val minId = g.map(_._1).min
+        val (cnt, et, at) = (g.size.toLong, g.map(_._5).min, g.map(_._6).min)
+        mirror.get(key) match {
+          case Some((sid, sc, set, sat)) =>
+            mirror(key) = (sid, sc + cnt, set, sat) // store row untouched
+          case None => mirror(key) = (minId, cnt, et, at)
+        }
+      }
+    }
+    val got = store.collect().map { r =>
+      (Option(r.getAs[String]("object")),
+        Option(r.getAs[String]("description"))) ->
+        (r.getAs[String]("alert_id"), r.getAs[Long]("counter"),
+          r.getAs[Long]("event_time_s"), r.getAs[Long]("alert_time_s"))
+    }.toMap
+    assert(got == mirror.toMap)
+  }
+
   test("rule output narrows to the typed Alert envelope (graft.model)") {
     import graft.model.{Alert, Model}
     val ds = Model.alerts(alerts)
