@@ -326,7 +326,9 @@ object Ann {
     withV(t(s, dir, "embeddings"))
       .groupBy(col("label"))
       .agg(graft.functions.vec.vectorSum(col("v")).as("__vsum"),
-        count(lit(1)).as("__n"))
+        // count(v), not count(*): VectorSum skips null arrays, so the
+        // denominator must count the same rows the numerator summed
+        count(col("v")).as("__n"))
       .select(col("label"), col("__n"),
         posexplode(col("__vsum")).as(Seq("pos", "sx")))
       .select(col("label"), (col("pos") + 1).as("dim"),

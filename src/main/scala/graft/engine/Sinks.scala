@@ -510,7 +510,16 @@ object Dispatcher {
     * event_time order within each group by a task-local ticket map,
     * so cross-correlation work stays parallel while within-correlation
     * order matches the reference. Uncorrelated alerts key by their own
-    * alert_id (no skew partition, always create). */
+    * alert_id (no skew partition, always create).
+    *
+    * Delivery is AT-LEAST-ONCE, like [[Dispatcher.dispatch]]: Spark may
+    * re-run a partition on task retry/speculation, re-invoking
+    * createTicket/appendToTicket. The in-memory [[JiraTickets]] double
+    * tolerates replays; a REAL ticket API swapped in behind [[JiraSink]]
+    * must make both calls idempotent on the alert_id carried in every
+    * payload (e.g. create-if-absent keyed by alert_id, append deduped on
+    * (ticket, alert_id)) — otherwise a speculative re-execution files
+    * duplicate tickets and double-appends bodies. */
   def dispatchJira(
       batch: DataFrame,
       store: DataFrame,

@@ -130,6 +130,12 @@ case class SquaredL2Distance(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // nullable even when both children are not: the ragged-input branch
+  // below sets isNull. Without this, nullSafeCodeGen's non-nullable
+  // branch assigns to an undeclared isNull (janino failure → interpreted
+  // fallback) and the interpreted null can read back as 0.0 downstream.
+  override def nullable: Boolean = true
+
   override def nullIntolerant: Boolean = true
 
   override def prettyName: String = "squared_l2_distance"
@@ -342,12 +348,17 @@ case class HyperplaneBucket(child: Expression,
   * Null input arrays are ignored (like every Spark agg). A
   * length-mismatched (ragged) row throws — silently truncating would
   * produce a plausible-but-wrong centroid (the SquaredL2Distance
-  * lesson); embedding columns are fixed-dimension by contract. */
+  * lesson); embedding columns are fixed-dimension by contract. The
+  * buffer carries an explicit `seen` flag so a zero-length input array
+  * is real data, not the no-input sentinel: a group of only empty
+  * arrays evals to an empty array, and an empty array mixed with
+  * non-empty rows hits the same ragged-row require as any other
+  * length mismatch. */
 case class VectorSum(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Double]]
+    extends TypedImperativeAggregate[VectorSum.Buf]
     with UnaryLike[Expression] {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -360,53 +371,58 @@ case class VectorSum(
   override def nullable: Boolean = true
   override def prettyName: String = "vector_sum"
 
-  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+  override def createAggregationBuffer(): VectorSum.Buf =
+    new VectorSum.Buf(false, Array.emptyDoubleArray)
 
-  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+  override def update(buf: VectorSum.Buf, input: InternalRow): VectorSum.Buf = {
     val v = child.eval(input)
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (buf.isEmpty) {
+    if (!buf.seen) {
       val fresh = new Array[Double](n)
       var i = 0
       while (i < n) { fresh(i) = arr.getDouble(i); i += 1 }
-      fresh
+      buf.sums = fresh
+      buf.seen = true
     } else {
-      require(buf.length == n,
-        s"$prettyName: length mismatch (${buf.length} vs $n)")
+      require(buf.sums.length == n,
+        s"$prettyName: length mismatch (${buf.sums.length} vs $n)")
       var i = 0
-      while (i < n) { buf(i) += arr.getDouble(i); i += 1 }
-      buf
+      while (i < n) { buf.sums(i) += arr.getDouble(i); i += 1 }
     }
+    buf
   }
 
-  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
-    if (a.isEmpty) return b
-    if (b.isEmpty) return a
-    require(a.length == b.length,
-      s"$prettyName: length mismatch (${a.length} vs ${b.length})")
+  override def merge(a: VectorSum.Buf, b: VectorSum.Buf): VectorSum.Buf = {
+    if (!b.seen) return a
+    if (!a.seen) return b
+    require(a.sums.length == b.sums.length,
+      s"$prettyName: length mismatch (${a.sums.length} vs ${b.sums.length})")
     var i = 0
-    while (i < a.length) { a(i) += b(i); i += 1 }
+    while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
     a
   }
 
-  override def eval(buf: Array[Double]): Any =
-    if (buf.isEmpty) null else new GenericArrayData(buf)
+  override def eval(buf: VectorSum.Buf): Any =
+    if (!buf.seen) null else new GenericArrayData(buf.sums)
 
-  override def serialize(buf: Array[Double]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+  // 1 seen byte + 8 bytes per dim — the length is implied by the size
+  override def serialize(buf: VectorSum.Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(1 + buf.sums.length * 8)
+    bb.put(if (buf.seen) 1.toByte else 0.toByte)
     var i = 0
-    while (i < buf.length) { bb.putDouble(buf(i)); i += 1 }
+    while (i < buf.sums.length) { bb.putDouble(buf.sums(i)); i += 1 }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+  override def deserialize(bytes: Array[Byte]): VectorSum.Buf = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val out = new Array[Double](bytes.length / 8)
+    val seen = bb.get() == 1.toByte
+    val out = new Array[Double]((bytes.length - 1) / 8)
     var i = 0
     while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
-    out
+    new VectorSum.Buf(seen, out)
   }
 
   override def withNewMutableAggBufferOffset(o: Int): VectorSum =
@@ -415,6 +431,15 @@ case class VectorSum(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(newChild: Expression): VectorSum =
     copy(child = newChild)
+}
+
+object VectorSum {
+  /** Aggregation buffer: `seen` distinguishes "no non-null input yet"
+    * from "saw a zero-length array" — without it an empty input array
+    * would be silently ignored in a mixed group instead of throwing
+    * the ragged-row error, and an all-empty group would eval to null
+    * instead of an empty array. */
+  final class Buf(var seen: Boolean, var sums: Array[Double])
 }
 
 /** Column-API surface for the custom expressions. */

@@ -167,6 +167,13 @@ class FunctionsSpec extends SparkSuite {
     // null propagation
     assert(Seq((Array(1.0), Option.empty[Array[Double]])).toDF("a", "b")
       .select(vec.sqdist(col("a"), col("b"))).head.isNullAt(0))
+    // ragged arrays → null even when BOTH children are non-nullable
+    // (literal arrays): the expression must declare nullable=true or
+    // codegen's non-nullable branch assigns an undeclared isNull and
+    // the interpreted fallback's null can read back as 0.0
+    assert(spark.range(1)
+      .select(vec.sqdist(array(lit(1.0), lit(2.0)), array(lit(3.0))))
+      .head.isNullAt(0))
   }
 
   test("nearest_centroid: argmin, 4dp rounding, smallest-cid tiebreak") {

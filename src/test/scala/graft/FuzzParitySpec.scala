@@ -285,5 +285,30 @@ class FuzzParitySpec extends SparkSuite {
     assertThrows[org.apache.spark.SparkException] {
       ragged.agg(vec.vectorSum(col("v"))).collect()
     }
+    // an empty array is DATA, not the no-input sentinel: an all-empty
+    // group sums to an empty array (not null), and an empty array mixed
+    // with non-empty rows is a ragged row like any other
+    val allEmpty = Seq(Array.empty[Double], Array.empty[Double]).toDF("v")
+    assert(allEmpty.agg(vec.vectorSum(col("v"))).head
+      .getSeq[Double](0).isEmpty)
+    val mixedEmpty =
+      Seq(Array(1.0, 2.0), Array.empty[Double]).toDF("v").coalesce(1)
+    assertThrows[org.apache.spark.SparkException] {
+      mixedEmpty.agg(vec.vectorSum(col("v"))).collect()
+    }
+  }
+
+  test("vector_sum mean: count(v) denominator matches the rows summed") {
+    // a null embedding must not deflate the centroid mean — the
+    // numerator (VectorSum skips nulls) and denominator (count(v))
+    // must cover the same rows, mirroring the posexplode/avg oracle
+    val df = Seq(
+      (1, Some(Array(2.0, 4.0))), (1, Some(Array(4.0, 8.0))), (1, None))
+      .toDF("g", "v")
+    val r = df.groupBy("g")
+      .agg(vec.vectorSum(col("v")).as("s"), count(col("v")).as("n"))
+      .select(expr("transform(s, x -> x / n)").as("mean"))
+      .head.getSeq[Double](0)
+    assert(r == Seq(3.0, 6.0))
   }
 }
