@@ -65,24 +65,26 @@ object Engine {
         .orderBy(col("object"), col("description"))),
 
     "q_alert_suppress" -> ((s, dir) => {
-      // the alert set feeds three consumers (noisy-actor profile, the
-      // id selection, and the suppression join) — materialize once
-      // instead of re-scanning events per consumer. PROJECT FIRST: a
-      // checkpoint is an optimizer barrier, so Catalyst cannot push
-      // the consumers' column pruning through it — without the
-      // explicit select the full alert schema (description,
-      // event_data json, ...) is serialized into block storage when
-      // the query touches two columns. At 100 TB that width is the
-      // difference between checkpointing ~2% and ~100% of the alert
-      // bytes (locally the win is modest — 2.45 → 2.0-2.4 s at 100×
-      // events — because block storage is RAM here).
+      // noisy-actor suppression keyed on the ACTOR, not the alert id:
+      // the suppression predicate is per-actor, so the alert set feeds
+      // exactly two consumers — the per-actor profile (map-side partial
+      // agg, tiny shuffle) and one broadcast left join on actor. The
+      // pre-r11 shape selected the suppressed alert IDS first and then
+      // re-joined them back, which cost a third scan of the
+      // materialized frame AND broadcast O(alerts) ids; suppressOnKey
+      // broadcasts O(noisy actors) — bounded by |alerts|/threshold —
+      // the shape that survives 100 TB. PROJECT FIRST: a checkpoint is
+      // an optimizer barrier, so Catalyst cannot push the consumers'
+      // column pruning through it — without the explicit select the
+      // full alert schema (description, event_data json, ...) is
+      // serialized into block storage when the query touches two
+      // columns.
       val a = alerts(s, dir).select("alert_id", "actor")
         .transform(graft.Materialize.frame)
       val noisy = a.groupBy(col("actor"))
         .agg(count(lit(1)).as("n")).filter(col("n") >= 8)
         .select(col("actor"))
-      val supIds = a.join(broadcast(noisy), Seq("actor")).select("alert_id")
-      RuleEngine.suppress(a, supIds, "noisy_actor_squelch")
+      RuleEngine.suppressOnKey(a, noisy, "actor", "noisy_actor_squelch")
         .select(col("alert_id"), col("actor"), col("suppressed"),
           col("suppression_rule"))
         .orderBy(col("alert_id"))

@@ -137,16 +137,31 @@ object RuleEngine {
   def suppress(
       alerts: DataFrame,
       suppressedIds: DataFrame,
+      ruleName: String): DataFrame =
+    suppressOnKey(alerts, suppressedIds, "alert_id", ruleName)
+
+  /** Suppression keyed on an arbitrary column. When a suppression rule
+    * is really a predicate over an alert ATTRIBUTE (actor, source ip,
+    * rule name, ...), suppressing on that key broadcasts the attribute
+    * set — bounded by the attribute's cardinality — instead of blowing
+    * the id set up to one row per suppressed ALERT and broadcasting
+    * O(alerts) ids. Same reference semantics (an alert is suppressed iff
+    * a suppression query selected it; alert_suppressions_runner.py:15-38)
+    * — the selection is just factored through its key. */
+  def suppressOnKey(
+      alerts: DataFrame,
+      suppressedKeys: DataFrame,
+      keyCol: String,
       ruleName: String): DataFrame = {
     val sup = broadcast(
-      suppressedIds.select(col("alert_id").as("__sup_id")).distinct())
+      suppressedKeys.select(col(keyCol).as("__sup_key")).distinct())
     alerts
-      .join(sup, alerts("alert_id") === sup("__sup_id"), "left")
-      .withColumn("suppressed", col("__sup_id").isNotNull)
+      .join(sup, alerts(keyCol) === sup("__sup_key"), "left")
+      .withColumn("suppressed", col("__sup_key").isNotNull)
       .withColumn(
         "suppression_rule",
-        when(col("__sup_id").isNotNull, lit(ruleName)))
-      .drop("__sup_id")
+        when(col("__sup_key").isNotNull, lit(ruleName)))
+      .drop("__sup_key")
   }
 
   /** Correlation: alerts from the same actor whose event times chain

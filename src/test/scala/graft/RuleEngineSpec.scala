@@ -196,6 +196,19 @@ class RuleEngineSpec extends SparkSuite {
     assert(out.filter(!col("suppressed")).count() == 3)
   }
 
+  test("suppressOnKey on actor equals id-based suppress of that actor's alerts") {
+    val byKey = RuleEngine.suppressOnKey(
+      alerts, alerts.filter(col("actor") === "u1").select("actor"),
+      "actor", "squelch2")
+    val byId = RuleEngine.suppress(
+      alerts, alerts.filter(col("actor") === "u1").select("alert_id"),
+      "squelch2")
+    val cols = Seq("alert_id", "suppressed", "suppression_rule")
+    assert(byKey.select(cols.map(col): _*).orderBy("alert_id").collect().toSeq ==
+      byId.select(cols.map(col): _*).orderBy("alert_id").collect().toSeq)
+    assert(byKey.filter(col("suppressed")).count() == 3)
+  }
+
   test("correlate chains within gap, breaks on gap") {
     val c = RuleEngine.correlate(alerts, gapMinutes = 60)
     val u1 = c.filter(col("actor") === "u1")
