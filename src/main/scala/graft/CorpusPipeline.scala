@@ -56,10 +56,17 @@ object CorpusPipeline {
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
         xxhash64(col("text")).as("content_key"))
       .observe(oQ, count(lit(1)).as("n"))
-    val wd = Window.partitionBy(col("content_key")).orderBy(col("doc_id"))
+    // keep-smallest-doc_id per content hash via min_by AGGREGATE, not a
+    // row_number window: the aggregate partial-combines map-side (one
+    // row per content_key leaves each task) where the window shuffles
+    // and sorts every survivor row per key — same result, less traffic
     val deduped = quality
-      .withColumn("rn", row_number().over(wd))
-      .filter(col("rn") === 1)
+      .groupBy(col("content_key"))
+      .agg(min_by(struct(col("doc_id"), col("source"), col("lang"),
+        col("n_chars")), col("doc_id")).as("__keep"))
+      .select(col("__keep.doc_id").as("doc_id"),
+        col("__keep.source").as("source"), col("__keep.lang").as("lang"),
+        col("__keep.n_chars").as("n_chars"))
       .observe(oD, count(lit(1)).as("n"))
     val wc = Window.partitionBy(col("source"))
       .orderBy(CorpusOps.capOrder, col("doc_id"))

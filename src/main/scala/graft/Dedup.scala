@@ -381,29 +381,40 @@ object Dedup {
     * 4-gram windows — the plan is what matters). Per-doc DISTINCT
     * window hashes (deduped inside the row-local array expression
     * before the explode, as in decontaminate), then one gram-keyed
-    * aggregate counts how many documents carry each window, and the
-    * join back flags each doc's spans that appear elsewhere. Both
-    * shuffles key on the 32-byte gram hash — never all-pairs, never a
-    * doc×doc join; the gram frame is materialized ONCE and consumed by
-    * both sides (the count and the flag join). Output: per-doc span
-    * census + duplicated fraction. */
+    * aggregate counts how many documents carry each window, and one
+    * LEFT join back + one doc aggregate computes the census and the
+    * dup flags in a single pass (the r10 shape — semi join, right
+    * join, two doc aggregates — consumed the gram frame three times).
+    * Gram keys are xxhash64 LONGS: no hash reaches the output (counts
+    * only), so any injective mapping agrees with the md5-keyed oracle,
+    * and both shuffles move 8-byte longs instead of 32-char hex.
+    * The gram frame IS materialized (16-byte rows after the narrow
+    * projection): measured at sf~1 (BASELINE.md r11), recomputing the
+    * text scan + gram kernel per consumer loses to one checkpoint of
+    * the long rows. Output: per-doc span census + duplicated
+    * fraction. */
   def spanDedup(s: SparkSession, dir: String): DataFrame = {
-    val grams = t(s, dir, "documents")
+    // checkpoint the per-doc gram ARRAY (one row per doc), not the
+    // exploded frame: the expensive thing to avoid recomputing is the
+    // text scan + gram kernel, while the explode is a codegen'd
+    // Generate each consumer replays for free — so the checkpoint
+    // serializes |docs| array rows instead of |grams| pairs
+    val docGrams = t(s, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 4)
       .select(col("doc_id"),
-        explode(Grams.distinctWordGrams(col("text"), "md5")).as("g"))
+        Grams.distinctWordGrams(col("text"), "xxhash64").as("gs"))
+      .transform(graft.Materialize.frame)
+    val grams = docGrams.select(col("doc_id"), explode(col("gs")).as("g"))
     val shared = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
-      .select(col("g"))
-    grams.join(shared, Seq("g"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
-      .join(grams.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams")), Seq("doc_id"), "right")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        Num.r4(coalesce(col("n_dup"), lit(0L)) / col("n_grams"))
-          .as("dup_ratio"))
+      .select(col("g"), lit(1).as("__dup"))
+    grams.join(shared, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__dup")).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        Num.r4(col("n_dup") / col("n_grams")).as("dup_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -412,36 +423,73 @@ object Dedup {
     * republishing another slice (or an eval set hiding inside a
     * training source) before mixing. Per-(source, gram) DISTINCT
     * 4-gram hashes (row-local dedup before the explode, cross-doc
-    * dedup in one (source, g) aggregate), then a gram-keyed self-join
-    * emits each gram's source PAIRS — bounded by |sources|² rows per
-    * gram, never doc×doc — and one aggregate per pair yields
-    * |intersection|; Jaccard closes over broadcast per-source set
-    * sizes. Zero-overlap pairs are absent by construction. */
+    * dedup in one (source, g) aggregate), then one gram-keyed
+    * bit_or aggregate folds each gram's source set into a LONG BITMASK
+    * (sources get dense bit ids, driver-enumerated like the k-means
+    * centroids — a bounded dimension table, not data), and a second,
+    * tiny aggregate counts grams per distinct mask. Every output then
+    * derives from that mask census with bit tests: per-source sizes =
+    * Σ cnt over masks containing the bit, pair intersections = Σ cnt
+    * over masks containing both bits. Never doc×doc, never a set
+    * object per gram — the corpus-sized shuffle carries (long, long).
+    * Zero-overlap pairs are absent by construction. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    // gram key = xxhash64 LONG, not an md5 hex string: the (source, g)
-    // distinct and the gram-keyed self-join below shuffle 8-byte longs
-    // instead of 32-char strings (4x narrower exchange, native long
-    // hashing). The oracle keeps md5 — every count here is invariant
-    // under ANY injective gram mapping, so the engines agree without
-    // sharing a hash function (collision odds ~n^2/2^65, negligible).
-    val grams = t(s, dir, "documents")
+    // gram key = xxhash64 LONG, not an md5 hex string: the per-gram
+    // aggregate below shuffles 8-byte longs instead of 32-char strings
+    // (4x narrower exchange, native long hashing). The oracle keeps
+    // md5 — every count here is invariant under ANY injective gram
+    // mapping, so the engines agree without sharing a hash function
+    // (collision odds ~n^2/2^65, negligible).
+    // Source names are a DIMENSION, not data: enumerate them once on
+    // the driver (sorted, so bit order == lexicographic order and the
+    // a<b bit filter below reproduces the string ordering), then the
+    // whole overlap matrix needs ONE corpus-sized shuffle — the
+    // declarative bit_or per gram, map-side combined, (g: long,
+    // mask: long) rows. The r10/r11a shapes (self-join / collect_set)
+    // moved set objects or three exchanges of the same frame; the
+    // mask census after this aggregate is ≤ |distinct masks| rows, so
+    // everything downstream is driver-scale. >64 sources needs
+    // segmented mask planes (one bit_or per 64-source plane); this
+    // corpus-mix surface is a dozen sources, so fail loudly instead.
+    val srcs = t(s, dir, "documents").select(col("source"))
+      .distinct().orderBy(col("source"))
+      .collect().map(_.getString(0))
+    require(srcs.length <= 64,
+      s"sourceOverlap: ${srcs.length} sources exceed the 64-bit mask; " +
+        "segment sources into 64-wide planes")
+    val n = srcs.length
+    val sidOf = element_at(
+      map(srcs.zipWithIndex.flatMap { case (src, i) =>
+        Seq(lit(src), lit(i)) }: _*), col("source"))
+    val nameOf = (sid: org.apache.spark.sql.Column) => element_at(
+      array(srcs.map(lit): _*), (sid + 1).cast("int"))
+    val maskCensus = t(s, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 4)
-      .select(col("source"),
+      .select(sidOf.as("sid"),
         explode(Grams.distinctWordGrams(col("text"), "xxhash64")).as("g"))
-      .distinct()
-    val sizes = grams.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_grams"))
-    val inter = grams.select(col("source").as("source_a"), col("g"))
-      .join(grams.select(col("source").as("source_b"), col("g")), Seq("g"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .groupBy(col("g"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), sid))").as("mask"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("cnt"))
+    val withA = maskCensus
+      .select(col("mask"), col("cnt"),
+        explode(sequence(lit(0), lit(n - 1))).as("a"))
+      .filter(expr("(shiftright(mask, a) & 1) = 1"))
+    val sizes = withA.groupBy(col("a"))
+      .agg(sum(col("cnt")).as("n_grams"))
+    val inter = withA
+      .select(col("mask"), col("cnt"), col("a"),
+        explode(sequence(lit(0), lit(n - 1))).as("b"))
+      .filter(col("a") < col("b") &&
+        expr("(shiftright(mask, b) & 1) = 1"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("cnt")).as("n_shared"))
     inter
-      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
-        .withColumnRenamed("n_grams", "na")), Seq("source_a"))
-      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
-        .withColumnRenamed("n_grams", "nb")), Seq("source_b"))
-      .select(col("source_a"), col("source_b"), col("n_shared"),
+      .join(broadcast(sizes.withColumnRenamed("n_grams", "na")), Seq("a"))
+      .join(broadcast(sizes.withColumnRenamed("a", "b")
+        .withColumnRenamed("n_grams", "nb")), Seq("b"))
+      .select(nameOf(col("a")).as("source_a"), nameOf(col("b")).as("source_b"),
+        col("n_shared"),
         Num.r4(col("n_shared") / (col("na") + col("nb") - col("n_shared")))
           .as("jaccard"))
       .orderBy(col("source_a"), col("source_b"))
