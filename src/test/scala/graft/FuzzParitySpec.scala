@@ -311,4 +311,53 @@ class FuzzParitySpec extends SparkSuite {
       .head.getSeq[Double](0)
     assert(r == Seq(3.0, 6.0))
   }
+
+  test("fuzz: json_long_field matches from_json LongType field") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rng = new scala.util.Random(4242L)
+    val values = Vector("0", "7", "-13", "123456789012345", "1.5", "-0.25",
+      "1e3", "2E-1", "\"5\"", "true", "false", "null", "01", "-",
+      "9223372036854775807", "9223372036854775808", // Long.Max, Max+1
+      "-9223372036854775808", "[1,2]", "{\"k\":9}", "{}",
+      "\"a\\\"b\"", "\"\\u0041\"")
+    val keys = Vector("k", "kk", "key", "\\u006b", "a\\\"b", "字")
+    def doc(): String = {
+      val nFields = rng.nextInt(5)
+      val fields = (0 until nFields).map { _ =>
+        s""""${keys(rng.nextInt(keys.length))}":${values(rng.nextInt(values.length))}"""
+      }
+      val ws = if (rng.nextBoolean()) " " else ""
+      s"{$ws${fields.mkString(s",$ws")}$ws}"
+    }
+    val malformed = Seq("", "   ", "{", "}", "{\"k\":}", "{\"k\" 1}",
+      "{\"k\":1", "[{\"k\":1}]", "5", "\"k\"", "{\"k\":1} x", "{\"k\":1}}",
+      "{\"k\":1,}", "{,\"k\":1}", "{\"k\"\":1}", "not json",
+      "{\"k\": 00}", "{\"k\":+1}", "{\"k\":--1}", "{\"k\":1 2}")
+    val pinned = Seq(
+      """{"k":1,"k":2}""", // duplicate: last wins
+      """{"k":1,"k":1.5}""", // duplicate, last malformed -> null
+      """{"k":1.5,"k":3}""", // duplicate, last good -> 3
+      """{"a":{"k":9},"k":4}""", // nested k must not shadow top level
+      """{"a":[{"k":9}],"b":"\"k\":7"}""", // k inside array/string only
+      """{"\u006b":11}""", // escaped key decodes to k
+      """{ "k" : 42 }""", """{"k":-0}""", """{"k":0}""",
+      """{"a":[01],"k":1}""", // invalid token INSIDE a container
+      """{"a":[1,-],"k":1}""",
+      "{\"a\":\"x\ty\",\"k\":1}", // raw control char in a string value
+      """{"a":truth,"k":1}""", // bad literal
+      """{"a":[[[[[[1]]]]]],"k":5}""", // harmless deep nesting
+      """{"k":1,"a":"\q"}""") // invalid escape after the value
+    val docs = (pinned ++ malformed ++ (1 to 400).map(_ => doc()))
+      .distinct.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+    val df = docs.toDF("id", "doc")
+    val sch = StructType(Seq(StructField("k", LongType)))
+    val cmp = df.select(col("id"), col("doc"),
+        graft.functions.json.longField(col("doc"), "k").as("kern"),
+        from_json(col("doc"), sch).getField("k").as("decl"))
+      .filter(!(col("kern") <=> col("decl")))
+      .collect()
+    assert(cmp.isEmpty,
+      s"divergence on: ${cmp.take(10).map(r => r.getString(1) +
+        " kern=" + r.get(2) + " decl=" + r.get(3)).mkString(" | ")}")
+  }
 }
