@@ -35,7 +35,9 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       catch {
         case e: Throwable =>
-          errors(name) = String.valueOf(e.getMessage).take(200)
+          // full diagnostic belongs in the BENCH.json FILE (bounded only
+          // against pathological megabyte messages); stdout gets a count.
+          errors(name) = String.valueOf(e.getMessage).take(4000)
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -126,8 +128,15 @@ object Bench {
       .sortBy(-_._2).take(40)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // Errors must not balloon the stdout line either (round-11 regression:
+    // 49 × ~200-char error strings blew past the 2 kB tail and the whole
+    // round's bench record parsed as null). stdout carries only the error
+    // COUNT and the first failing key; full strings live in the file.
+    val errCompact =
+      if (errors.isEmpty) "{\"count\":0}"
+      else s"""{"count":${errors.size},"first":"${esc(errors.head._1)}"}"""
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"errors":$errs,"sf":"$sfDir","full":"$out"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"errors":$errCompact,"sf":"$sfDir","full":"$out"}"""
     // scalastyle:off println
     println(compact)
     // scalastyle:on println

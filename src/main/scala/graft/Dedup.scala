@@ -393,17 +393,24 @@ object Dedup {
     * text scan + gram kernel per consumer loses to one checkpoint of
     * the long rows. Output: per-doc span census + duplicated
     * fraction. */
+  /** The pre-checkpoint stage of [[spanDedup]]: per-doc distinct word-gram
+    * hash arrays via the fused gram kernel. Exposed (package-private) so
+    * the plan-shape suite can assert the kernel on the stage where it
+    * runs — after Materialize.frame the downstream plan only shows the
+    * checkpoint's `Scan ExistingRDD`, hiding the kernel from inspection. */
+  private[graft] def spanDocGrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 4)
+      .select(col("doc_id"),
+        Grams.distinctWordGrams(col("text"), "xxhash64").as("gs"))
+
   def spanDedup(s: SparkSession, dir: String): DataFrame = {
     // checkpoint the per-doc gram ARRAY (one row per doc), not the
     // exploded frame: the expensive thing to avoid recomputing is the
     // text scan + gram kernel, while the explode is a codegen'd
     // Generate each consumer replays for free — so the checkpoint
     // serializes |docs| array rows instead of |grams| pairs
-    val docGrams = t(s, dir, "documents")
-      .filter(size(split(col("text"), " ")) >= 4)
-      .select(col("doc_id"),
-        Grams.distinctWordGrams(col("text"), "xxhash64").as("gs"))
-      .transform(graft.Materialize.frame)
+    val docGrams = spanDocGrams(s, dir).transform(graft.Materialize.frame)
     val grams = docGrams.select(col("doc_id"), explode(col("gs")).as("g"))
     val shared = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs"))

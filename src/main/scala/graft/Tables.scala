@@ -10,16 +10,26 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read
-      // natively; read the raw int64 nanos and truncate to a µs
-      // TimestampType (Spark's native precision — floor, matching how
-      // whole-second comparisons behave in ns engines).
-      // The conf is (re)set here rather than only at session build
-      // because the driver smoke-checks with a session it builds itself;
-      // the set is idempotent and safe per-read.
+      // events.ts has shipped in two encodings across testdata
+      // generations: parquet TIMESTAMP(NANOS) (which Spark can only read
+      // as a raw int64 via the nanosAsLong legacy conf) and native
+      // timestamp[us] (TIMESTAMP_NTZ / TIMESTAMP in Spark). Dispatch on
+      // the loaded dtype so the engine reads whichever layout the data
+      // carries. The conf is (re)set on the Long branch only, and there
+      // rather than at session build because the driver smoke-checks
+      // with a session it builds itself; the set is idempotent.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // int64 nanos → truncate to Spark's native µs precision (floor,
+          // matching whole-second comparisons in ns engines).
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          // timestamp[us]: NTZ → session TimestampType. Session TZ is
+          // UTC, so the cast is identity on the instant.
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -183,14 +183,28 @@ class PlanShapeSpec extends SparkSuite {
     // distinct_word_gram_hashes expression; an array_distinct(transform(
     // sequence)) chain is an interpreted CodegenFallback allocating a
     // string per gram per row — the scale-bug class the sf~1 run exposed
-    for (name <- Seq("q_decontaminate", "q_span_dedup",
-        "q_source_overlap", "q_gram_novelty")) {
+    for (name <- Seq("q_decontaminate", "q_source_overlap",
+        "q_gram_novelty")) {
       val plan = planOf(name)
       assert(plan.contains("distinct_word_gram_hashes"),
         s"$name lost the fused gram kernel")
       assert(!plan.contains("array_distinct"),
         s"$name regressed to the interpreted gram chain")
     }
+    // q_span_dedup checkpoints the gram array (Materialize.frame), so its
+    // downstream plan shows only `Scan ExistingRDD` — assert the kernel on
+    // the pre-checkpoint stage it actually runs in, and the checkpoint on
+    // the final plan.
+    val spanPre = Dedup.spanDocGrams(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(spanPre.contains("distinct_word_gram_hashes"),
+      "q_span_dedup's gram stage lost the fused gram kernel")
+    assert(!spanPre.contains("array_distinct"),
+      "q_span_dedup regressed to the interpreted gram chain")
+    val spanPlan = planOf("q_span_dedup")
+    assert(spanPlan.contains("ExistingRDD"),
+      "q_span_dedup lost its gram-array checkpoint (Materialize.frame)")
+    assert(!spanPlan.contains("array_distinct"))
   }
 
   test("ccnet buckets broadcast the vocabulary, window only doc-level rows") {
