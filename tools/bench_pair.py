@@ -60,13 +60,24 @@ def main():
     duck_out = opt("--duck-out", "BASELINE_DUCKDB.json")
     md = opt("--md", "BASELINE.md")
     label = opt("--label", "")
+    # --only q_a,q_b: pair a query SUBSET (e.g. the alert engine at a
+    # scaled events dir) — same tool, same artifact discipline, its own
+    # marker block via --mark so subset pairs never overwrite the
+    # full-suite headline.
+    only = opt("--only", None)
+    mark = opt("--mark", None)
+    mark_begin = (f"<!-- bench-pair:{mark}:begin -->" if mark
+                  else MARK_BEGIN)
+    mark_end = f"<!-- bench-pair:{mark}:end -->" if mark else MARK_END
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     # 1. graft suite (steal-sampled)
+    genv = {"SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32",
+            "SPARK_GRAFT_BENCH_OUT": bench_out}
+    if only:
+        genv["SPARK_GRAFT_BENCH_ONLY"] = only
     s0, t0 = steal_jiffies(), time.time()
-    run(["sbt", "-batch", "runMain graft.Bench"],
-        env={"SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32",
-             "SPARK_GRAFT_BENCH_OUT": bench_out})
+    run(["sbt", "-batch", "runMain graft.Bench"], env=genv)
     s1, t1 = steal_jiffies(), time.time()
     with open(os.path.join(REPO, bench_out)) as fh:
         bench = json.load(fh)
@@ -79,9 +90,12 @@ def main():
 
     # 3. DuckDB suite, same boot (steal-sampled)
     s2 = steal_jiffies()
+    duck_cmd = [sys.executable, os.path.join(REPO, "tools", "baseline.py"),
+                sf_dir, oracle]
+    if only:
+        duck_cmd.append(only)
     duck_raw = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "baseline.py"),
-         sf_dir, oracle],
+        duck_cmd,
         cwd=REPO, check=True, capture_output=True, text=True).stdout
     s3 = steal_jiffies()
     duck = json.loads(duck_raw.strip().splitlines()[-1])
@@ -103,7 +117,7 @@ def main():
     # 4. BASELINE.md headline block between markers — the same run the
     # two committed JSONs hold, so the three cannot disagree.
     block = (
-        f"{MARK_BEGIN}\n"
+        f"{mark_begin}\n"
         f"| DuckDB oracle suite total ({nq} queries{', ' + label if label else ''}) "
         f"| **{d:.1f} s** (`{duck_out}` — same-boot pair of `{bench_out}`, "
         f"written together by `tools/bench_pair.py`; steal "
@@ -111,14 +125,24 @@ def main():
         f"| graft Spark total, same boot ({nq} queries{', ' + label if label else ''}) "
         f"| **{g:.1f} s** = **{ratio}×** (local[32], steady-state: "
         f"best-of-2 + burst arbitration per query, noop-sink writes; "
-        f"steal {steal['graft_s']} s; {stamp}) |\n"
-        f"{MARK_END}")
+        f"steal {steal['graft_s']} s; {stamp}) |\n")
+    # subset pairs get per-query rows (that's what they exist to show);
+    # the full suite's ~160-row table stays in the JSON artifacts only
+    if only:
+        for q in sorted(bench.get("queries", {})):
+            gq = bench["queries"].get(q)
+            dq = duck.get("queries", {}).get(q)
+            if gq is None or dq is None:
+                continue
+            r = f"{gq / dq:.2f}x" if dq else "n/a"
+            block += f"| {q} | {gq:.2f} | {dq:.2f} | {r} |\n"
+    block += mark_end
     md_path = os.path.join(REPO, md)
     with open(md_path) as fh:
         text = fh.read()
-    if MARK_BEGIN in text and MARK_END in text and not dry:
-        pre = text[:text.index(MARK_BEGIN)]
-        post = text[text.index(MARK_END) + len(MARK_END):]
+    if mark_begin in text and mark_end in text and not dry:
+        pre = text[:text.index(mark_begin)]
+        post = text[text.index(mark_end) + len(mark_end):]
         with open(md_path, "w") as fh:
             fh.write(pre + block + post)
         print(f"[bench_pair] {md} headline block updated", file=sys.stderr)

@@ -60,33 +60,48 @@ COPY (
 # density and time window, so alert chains/suppression groups keep
 # their realistic shape (a security log grows by adding actors, not by
 # making every actor 10x noisier).
-# The source table is parquet TIMESTAMP(NANOS); graft's loader reads
-# that exact physical type (nanosAsLong), and DuckDB's COPY always
-# downgrades to µs — so the replica goes through pyarrow to preserve
-# the NANOS column type. (DuckDB's read is already µs-truncated; both
-# engines then read identical values from this file, which is what a
-# same-boot pair compares.)
+# The replica must carry the SAME ts column type as the source (the
+# loader dispatches on it; a scaled run should exercise the same
+# branch the real data does). Sources have shipped both TIMESTAMP(NANOS)
+# (through r10) and timestamp[us] (since the r11 regeneration):
+# DuckDB COPY always downgrades to µs, so the ns case goes through
+# pyarrow to preserve the NANOS type; the µs case COPYies directly.
 if "events" in tables:
     import pyarrow as pa  # noqa: E402  (driver-side only)
     import pyarrow.parquet as pq  # noqa: E402
 
-    tbl = con.execute(f"""
-      SELECT event_id + r * 10000000 AS event_id,
-             epoch_ns(ts) AS ts,
-             user_id + r * 10000000 AS user_id,
-             event_type, value, props
-      FROM read_parquet('{src}/events.parquet'), range({reps}) t(r)
-      ORDER BY event_id
-    """).arrow()
-    ts_idx = tbl.schema.get_field_index("ts")
-    tbl = tbl.set_column(ts_idx, "ts",
-                         tbl.column("ts").cast(pa.timestamp("ns")))
-    # row_group_size matches DuckDB COPY's default (122880 rows) — the
-    # grouping the other scaled tables get, and what any real writer
-    # produces at this volume (a single 1M-row group would serialize
-    # Spark's scan behind one task, an artifact not a measurement)
-    pq.write_table(tbl, f"{dst}/events.parquet", row_group_size=122880,
-                   coerce_timestamps=None, store_schema=False)
+    src_ts = pq.read_schema(f"{src}/events.parquet").field("ts").type
+    if src_ts == pa.timestamp("ns"):
+        tbl = con.execute(f"""
+          SELECT event_id + r * 10000000 AS event_id,
+                 epoch_ns(ts) AS ts,
+                 user_id + r * 10000000 AS user_id,
+                 event_type, value, props
+          FROM read_parquet('{src}/events.parquet'), range({reps}) t(r)
+          ORDER BY event_id
+        """).arrow()
+        ts_idx = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(ts_idx, "ts",
+                             tbl.column("ts").cast(pa.timestamp("ns")))
+        # row_group_size matches DuckDB COPY's default (122880 rows) —
+        # the grouping the other scaled tables get, and what any real
+        # writer produces at this volume (a single 1M-row group would
+        # serialize Spark's scan behind one task, an artifact not a
+        # measurement)
+        pq.write_table(tbl, f"{dst}/events.parquet",
+                       row_group_size=122880,
+                       coerce_timestamps=None, store_schema=False)
+    else:
+        con.execute(f"""
+COPY (
+  SELECT event_id + r * 10000000 AS event_id,
+         ts,
+         user_id + r * 10000000 AS user_id,
+         event_type, value, props
+  FROM read_parquet('{src}/events.parquet'), range({reps}) t(r)
+  ORDER BY event_id
+) TO '{dst}/events.parquet' (FORMAT PARQUET)
+""")
 
 for t in sorted(tables):
     n, = con.execute(
