@@ -129,6 +129,8 @@ def main():
     # subset pairs get per-query rows (that's what they exist to show);
     # the full suite's ~160-row table stays in the JSON artifacts only
     if only:
+        block += "\n| query | graft s | duckdb s | ratio |\n"
+        block += "| --- | --- | --- | --- |\n"
         for q in sorted(bench.get("queries", {})):
             gq = bench["queries"].get(q)
             dq = duck.get("queries", {}).get(q)
