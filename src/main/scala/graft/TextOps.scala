@@ -135,10 +135,15 @@ object TextOps {
     * One scan, four codegen'd regexp_count projections, one map-side
     * combined aggregate — no explode, no shuffle of text. */
   def piiScan(s: SparkSession, dir: String): DataFrame = {
-    val counts = PiiPatterns.foldLeft(t(s, dir, "documents")) {
-      case (df, (name, pat)) =>
-        df.withColumn(s"c_$name", regexp_count(col("text"), lit(pat)))
-    }
+    // one fused string pass per pattern family (PiiCounts kernel) in a
+    // single projection — the four-regexp_count form ran four
+    // java.util.regex engines per row and was 4.3× DuckDB's RE2 at 10×
+    // data; the kernel is parity-pinned against regexp_count by
+    // PiiFuzzSpec
+    val counts = t(s, dir, "documents")
+      .withColumn("__pii", graft.functions.text.piiCounts(col("text")))
+      .select(col("source") +: PiiPatterns.map { case (n, _) =>
+        col(s"__pii.c_$n").as(s"c_$n") }: _*)
     counts
       .withColumn("flagged",
         PiiPatterns.map { case (n, _) => col(s"c_$n") > 0 }

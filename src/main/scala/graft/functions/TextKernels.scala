@@ -99,6 +99,197 @@ object TextKernelUtil {
     }
     n
   }
+
+  // --- PII census kernel -------------------------------------------------
+  //
+  // Single-pass replacements for the four regexp_count projections of
+  // TextOps.PiiPatterns. Each scanner replicates java.util.regex /
+  // RE2 leftmost-first NON-OVERLAPPING counting for its exact pattern,
+  // including \b word boundaries (ASCII \w — Java's default and RE2's:
+  // any char > 0x7f is a non-word char, so scanning UTF-16 units is
+  // sound) and the bounded backtracking the patterns admit:
+  //  * \d{1,3}\. groups can only match a full digit run of 1-3 ending
+  //    at '.', because shortening a longer run leaves a digit where
+  //    the '.' must be — so no general backtracking is needed;
+  //  * the email domain [A-Za-z0-9.-]+\.[A-Za-z]{2,} backtracks to the
+  //    LAST '.' inside the maximal domain run that is followed by >=2
+  //    letters and preceded by >=1 domain char.
+  // Pinned against regexp_count by PiiFuzzSpec on adversarial corpora
+  // (near-misses, unseparated concatenations, boundary abuse).
+
+  private def isDig(c: Char): Boolean = c >= '0' && c <= '9'
+  private def isLetterC(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  // Java's \b word-char predicate WITHOUT UNICODE_CHARACTER_CLASS is
+  // NOT ascii-\w: java.util.regex.Pattern.Bound treats any Unicode
+  // letter/digit (code-point) plus '_' as a word char, and a
+  // NON_SPACING_MARK as word iff a charwise backward scan over marks
+  // reaches a letter/digit (Bound.hasBaseCharacter — including its
+  // quirk of stepping one CHAR at a time, so a low surrogate under the
+  // scan aborts it). Verified empirically over all 1,112,063 code
+  // points against Pattern.compile("\\b1") in this JDK.
+  private def isWordCp(cp: Int): Boolean =
+    cp == '_' || Character.isLetterOrDigit(cp)
+
+  private def hasBase(s: String, i: Int): Boolean = {
+    var x = i
+    while (x >= 0) {
+      val cp = s.codePointAt(x)
+      if (Character.isLetterOrDigit(cp)) return true
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) return false
+      x -= 1
+    }
+    false
+  }
+
+  /** Java-\b word-ness of the char BEFORE index i. */
+  private def wordLeft(s: String, i: Int): Boolean =
+    i > 0 && {
+      val cp = s.codePointBefore(i)
+      isWordCp(cp) ||
+        (Character.getType(cp) == Character.NON_SPACING_MARK &&
+          hasBase(s, i - 1))
+    }
+
+  /** Java-\b word-ness of the char AT index i. */
+  private def wordRight(s: String, i: Int): Boolean =
+    i < s.length && {
+      val cp = s.codePointAt(i)
+      isWordCp(cp) ||
+        (Character.getType(cp) == Character.NON_SPACING_MARK &&
+          hasBase(s, i))
+    }
+  private def isLocalC(c: Char): Boolean =
+    isLetterC(c) || isDig(c) || c == '.' || c == '_' || c == '%' ||
+      c == '+' || c == '-'
+  private def isDomainC(c: Char): Boolean =
+    isLetterC(c) || isDig(c) || c == '.' || c == '-'
+
+  /** Count matches of `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}`. */
+  def countEmail(s: String): Long = {
+    val n = s.length
+    var cnt = 0L
+    var s0 = 0 // next search start (previous match end)
+    var a = 0
+    while (a < n) {
+      if (s.charAt(a) == '@' && a > s0) {
+        var ls = a // local-part start: maximal local run ending at a-1
+        while (ls > s0 && isLocalC(s.charAt(ls - 1))) ls -= 1
+        if (ls < a) {
+          val d0 = a + 1
+          var de = d0 // maximal domain run [d0, de)
+          while (de < n && isDomainC(s.charAt(de))) de += 1
+          // longest [A-Za-z0-9.-]+ prefix wins: last '.' at q >= d0+1
+          // followed by >= 2 letters
+          var q = -1
+          var lr = 0
+          var p = de - 2
+          while (q < 0 && p >= d0 + 1) {
+            if (s.charAt(p) == '.') {
+              var e = p + 1
+              while (e < n && isLetterC(s.charAt(e))) e += 1
+              if (e - (p + 1) >= 2) { q = p; lr = e - (p + 1) }
+            }
+            p -= 1
+          }
+          if (q >= 0) {
+            cnt += 1
+            s0 = q + 1 + lr
+            a = s0 - 1 // loop increment puts the next '@' probe at s0
+          }
+        }
+      }
+      a += 1
+    }
+    cnt
+  }
+
+  /** Count matches of `\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b`. */
+  def countIpv4(s: String): Long = {
+    val n = s.length
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      if (isDig(s.charAt(i)) && !wordLeft(s, i)) {
+        var pos = i
+        var ok = true
+        var g = 0
+        while (ok && g < 3) { // three "1-3 digits then '.'" groups
+          var r = 0
+          while (r <= 3 && pos + r < n && isDig(s.charAt(pos + r))) r += 1
+          if (r >= 1 && r <= 3 && pos + r < n && s.charAt(pos + r) == '.')
+            pos += r + 1
+          else ok = false
+          g += 1
+        }
+        if (ok) { // final group: 1-3 digits then a word boundary
+          var r = 0
+          while (r <= 3 && pos + r < n && isDig(s.charAt(pos + r))) r += 1
+          if (r >= 1 && r <= 3 && !wordRight(s, pos + r)) {
+            cnt += 1
+            i = pos + r - 1 // resume after the match
+          }
+        }
+      }
+      i += 1
+    }
+    cnt
+  }
+
+  /** Count matches of `\b\d{3}-\d{2}-\d{4}\b` (match length 11). */
+  def countSsn(s: String): Long = {
+    val n = s.length
+    var cnt = 0L
+    var i = 0
+    while (i + 11 <= n) {
+      if (isDig(s.charAt(i)) && !wordLeft(s, i) &&
+          isDig(s.charAt(i + 1)) && isDig(s.charAt(i + 2)) &&
+          s.charAt(i + 3) == '-' &&
+          isDig(s.charAt(i + 4)) && isDig(s.charAt(i + 5)) &&
+          s.charAt(i + 6) == '-' &&
+          isDig(s.charAt(i + 7)) && isDig(s.charAt(i + 8)) &&
+          isDig(s.charAt(i + 9)) && isDig(s.charAt(i + 10)) &&
+          !wordRight(s, i + 11)) {
+        cnt += 1
+        i += 11
+      } else i += 1
+    }
+    cnt
+  }
+
+  /** Count matches of `\b\d{3}[-.]\d{3}[-.]\d{4}\b` (match length 12). */
+  def countPhone(s: String): Long = {
+    val n = s.length
+    var cnt = 0L
+    var i = 0
+    while (i + 12 <= n) {
+      val s1 = if (i + 3 < n) s.charAt(i + 3) else ' '
+      val s2 = if (i + 7 < n) s.charAt(i + 7) else ' '
+      if (isDig(s.charAt(i)) && !wordLeft(s, i) &&
+          isDig(s.charAt(i + 1)) && isDig(s.charAt(i + 2)) &&
+          (s1 == '-' || s1 == '.') &&
+          isDig(s.charAt(i + 4)) && isDig(s.charAt(i + 5)) &&
+          isDig(s.charAt(i + 6)) &&
+          (s2 == '-' || s2 == '.') &&
+          isDig(s.charAt(i + 8)) && isDig(s.charAt(i + 9)) &&
+          isDig(s.charAt(i + 10)) && isDig(s.charAt(i + 11)) &&
+          !wordRight(s, i + 12)) {
+        cnt += 1
+        i += 12
+      } else i += 1
+    }
+    cnt
+  }
+
+  /** struct(c_email, c_ipv4, c_ssn, c_phone) in one string pass each —
+    * the four PiiPatterns regexp_count projections without four
+    * java.util.regex engines per row. */
+  def piiCounts(u: UTF8String): InternalRow = {
+    val s = u.toString
+    new GenericInternalRow(Array[Any](
+      countEmail(s), countIpv4(s), countSsn(s), countPhone(s)))
+  }
 }
 
 /** See TextKernelUtil.tokenInListCount. `tokens` is a literal list fixed
@@ -219,6 +410,37 @@ case class TrigramStats(child: Expression) extends UnaryExpression {
       newChild: Expression): TrigramStats = copy(child = newChild)
 }
 
+/** See TextKernelUtil.piiCounts: struct(c_email, c_ipv4, c_ssn,
+  * c_phone) per row. Cited pattern semantics: TextOps.PiiPatterns. */
+case class PiiCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("c_email", LongType, nullable = false),
+    StructField("c_ipv4", LongType, nullable = false),
+    StructField("c_ssn", LongType, nullable = false),
+    StructField("c_phone", LongType, nullable = false)))
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "pii_counts"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernelUtil.piiCounts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernelUtil.piiCounts($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PiiCounts = copy(child = newChild)
+}
+
 object text {
   def tokenInListCount(c: Column, tokens: Seq[String]): Column =
     graftexpr.column(TokenInListCount(graftexpr.expression(c), tokens))
@@ -231,4 +453,7 @@ object text {
 
   def bucketWeightSum(c: Column, weights: Array[Double]): Column =
     graftexpr.column(BucketWeightSum(graftexpr.expression(c), weights))
+
+  def piiCounts(c: Column): Column =
+    graftexpr.column(PiiCounts(graftexpr.expression(c)))
 }
