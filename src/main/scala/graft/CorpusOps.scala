@@ -118,13 +118,19 @@ object CorpusOps {
     * scale the vocab is capped to top-V with an OOV floor; the synthetic
     * vocabulary here fits whole. */
   def lmQuality(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // hashed token stream, per-doc array checkpoint — same shape and
+    // rationale as [[ccnetBuckets]] (injective word key, counts-only
+    // output)
+    val docToks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.hashes.wordHashes(col("text")).as("hs"))
+      .transform(graft.Materialize.frame)
+    val toks = docToks.select(col("doc_id"), explode(col("hs")).as("h"))
+    val freq = toks.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
     val tot = freq.agg(sum(col("cnt")).as("total"))
     val lp = freq.crossJoin(broadcast(tot))
-      .select(col("word"), log(col("cnt") / col("total")).as("logp"))
-    toks.join(broadcast(lp), Seq("word"))
+      .select(col("h"), log(col("cnt") / col("total")).as("logp"))
+    toks.join(broadcast(lp), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         Num.r4(avg(col("logp"))).as("avg_logprob"))
@@ -284,18 +290,29 @@ object CorpusOps {
     * a sample, broadcast, bucketed by comparison — no global sort);
     * the census output is identical either way. */
   def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
-    // both the vocabulary count and the per-doc scoring read the token
-    // explode — materialize it once (as gramNovelty does for grams) so
-    // the text split/explode scan doesn't run per consumer
-    val toks = t(s, dir, "documents")
+    // Token identity is an xxhash64 LONG (WordHashes kernel — one hash
+    // per word straight from the text bytes, no per-word string), and
+    // the checkpoint holds the per-DOC hash array (|docs| narrow rows,
+    // 8 B/token) with the explode replayed per consumer — the spanDedup
+    // shape. The previous form materialized the exploded token STRINGS
+    // (|tokens| rows of (doc_id, lang, word)) and shuffled strings into
+    // the vocabulary aggregate: 2.7 s vs DuckDB 0.9 s at 10×. Only
+    // counts and averages-over-counts reach the output, so any
+    // injective word key agrees with the string-keyed oracle.
+    // measured both ways at 10×: checkpointing the per-doc hash array
+    // wins (1.39 s vs 1.78 s) — the token stream is consumed twice and
+    // the array rows are narrow
+    val docToks = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("word"))
+        graft.functions.hashes.wordHashes(col("text")).as("hs"))
       .transform(graft.Materialize.frame)
-    val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val toks = docToks.select(col("doc_id"), col("lang"),
+      explode(col("hs")).as("h"))
+    val freq = toks.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
     val tot = freq.agg(sum(col("cnt")).as("total"))
     val lp = freq.crossJoin(broadcast(tot))
-      .select(col("word"), log(col("cnt") / col("total")).as("logp"))
-    val scored = toks.join(broadcast(lp), Seq("word"))
+      .select(col("h"), log(col("cnt") / col("total")).as("logp"))
+    val scored = toks.join(broadcast(lp), Seq("h"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(Num.r4(avg(col("logp"))).as("score"))
     val w = org.apache.spark.sql.expressions.Window

@@ -351,6 +351,33 @@ object Md5Util {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(java.util.Arrays.copyOf(order, cnt))
   }
+
+  /** xxhash64 (Spark seed 42) of EVERY space-separated word of `s`, in
+    * order, duplicates kept — transform(split(s, ' '), w -> xxhash64(w))
+    * without the interpreted lambda or the per-word string: each word is
+    * hashed straight from its byte region. The unigram twin of
+    * [[distinctWordGramXx]], for token-stream operators (LM vocab
+    * counts, per-doc score folds) whose downstream only needs an
+    * injective word key. */
+  def wordHashesXx(s: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val starts = wordStartOffsets(bytes)
+    val nWords = starts.length - 1
+    val out = new Array[Long](nWords)
+    var w = 0
+    while (w < nWords) {
+      val start = starts(w)
+      val len = starts(w + 1) - 1 - start
+      out(w) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+          len, 42L)
+      w += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
 }
 
 /** Drop-in replacement for the built-in md5() over string input with
@@ -645,6 +672,32 @@ case class DistinctWordGramHashes(child: Expression, width: Int,
       newChild: Expression): DistinctWordGramHashes = copy(child = newChild)
 }
 
+/** See Md5Util.wordHashesXx: per-word xxhash64 longs, order kept. */
+case class WordHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "word_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Md5Util.wordHashesXx(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Util.wordHashesXx($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordHashes = copy(child = newChild)
+}
+
 object hashes {
   /** md5 hex digest of a string column (same output as
     * functions.md5(c.cast(binary)), faster per row). */
@@ -680,4 +733,8 @@ object hashes {
       variant: String): Column =
     graftexpr.column(
       DistinctWordGramHashes(graftexpr.expression(c), width, variant))
+
+  /** per-word xxhash64 longs, duplicates and order kept (see WordHashes). */
+  def wordHashes(c: Column): Column =
+    graftexpr.column(WordHashes(graftexpr.expression(c)))
 }

@@ -105,6 +105,14 @@ class FuzzParitySpec extends SparkSuite {
     assert(short.count() == 0)
   }
 
+  test("fuzz: word_hashes parity (order and duplicates kept)") {
+    val cmp = docs.select(
+      expr("transform(split(text, ' '), w -> xxhash64(w))").as("naive"),
+      graft.functions.hashes.wordHashes(col("text")).as("fused"))
+      .filter(!(col("naive") <=> col("fused")))
+    assert(cmp.count() == 0, "word_hashes diverges from xxhash64(split)")
+  }
+
   test("fuzz: simhash32 parity on adversarial text") {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
