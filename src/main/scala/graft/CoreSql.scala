@@ -92,8 +92,12 @@ object CoreSql {
 
   /** #21 JSON extraction from a VARIANT-style string column. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    // JsonLongField kernel (from_json-parity byte scanner, fuzz-pinned)
+    // instead of get_json_object's per-row path-matcher walk — same
+    // single-field hot path as the SARs views
     t(s, dir, "events")
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k",
+        graft.functions.json.longField(col("props"), "k").cast("int"))
       .groupBy(col("event_type"))
       .agg(
         count(when(col("k") > 50, 1)).as("n_high"),
@@ -143,12 +147,19 @@ object CoreSql {
     * object (key, value) per event — the data.*_v view shape — then a
     * per-key profile. */
   def variantFlatten(s: SparkSession, dir: String): DataFrame =
+    // two-level aggregate instead of count + countDistinct in one: the
+    // mixed-distinct form plans an Expand that doubles the exploded
+    // kv stream before the shuffle; grouping by (key, value) first
+    // makes both outputs plain counts over the grouped frame
+    // (count(value) skips the null-value group, exactly like the
+    // countDistinct it replaces)
     graft.sources.Connectors.flattenJsonMap(
       t(s, dir, "events").select(col("event_id"), col("props")),
       "props", org.apache.spark.sql.types.StringType)
+      .groupBy(col("key"), col("value"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("key"))
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col("value")).as("n_values"))
+      .agg(sum(col("c")).as("n"), count(col("value")).as("n_values"))
       .orderBy(col("key"))
 
   /** #26b as-of join (operators.AsOf): for each error event, the most

@@ -229,16 +229,27 @@ object TextOps {
     * no global sort). */
   def bm25(s: SparkSession, dir: String,
       terms: Seq[String] = Seq("spark", "table", "scan")): DataFrame = {
+    // one row-local pass (TermStats kernel) computes the token total and
+    // the per-term counts together — the split+explode form materialized
+    // every word of every document just to keep the query-term hits, and
+    // re-ran the split for the corpus stats. |docs| narrow rows reach
+    // both consumers; nothing token-level is ever generated.
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), size(col("w")).as("dl"), col("w"))
+      .select(col("doc_id"),
+        graft.functions.text.termStats(col("text"), terms).as("ts"))
+      .select(col("doc_id"), col("ts.dl").as("dl"), col("ts.cnts").as("cnts"))
+      // two consumers (corpus stats, tf rows) — checkpoint the |docs|
+      // narrow rows so the text scan + kernel runs once
+      .transform(graft.Materialize.frame)
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val tf = docs
-      .select(col("doc_id"), col("dl"), explode(col("w")).as("word"))
-      .filter(col("word").isin(terms: _*))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      .select(col("doc_id"), col("dl"),
+        posexplode(col("cnts")).as(Seq("ti", "tf")))
+      .filter(col("tf") > 0)
+      .select(col("doc_id"), col("dl"),
+        element_at(lit(terms.toArray), col("ti") + 1).as("word"),
+        col("tf"))
     val idf = tf.groupBy(col("word"))
       .agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))

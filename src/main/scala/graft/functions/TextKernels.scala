@@ -100,6 +100,30 @@ object TextKernelUtil {
     n
   }
 
+  /** One-pass per-document term statistics for fixed-vocabulary scoring
+    * (BM25 over query terms): total token count plus one occurrence
+    * count per term of `tokens` — replaces split+size+explode+filter+
+    * groupBy over the full token stream with a single row-local scan
+    * (the explode materializes every word of every document just to
+    * keep a handful of term hits). Token identity is exact string
+    * equality on space-separated words, like [[tokenInListCount]]. */
+  def termStats(s: UTF8String, tokens: Array[String]): InternalRow = {
+    val words = s.toString.split(" ", -1)
+    val cnts = new Array[Long](tokens.length)
+    var i = 0
+    while (i < words.length) {
+      var j = 0
+      while (j < tokens.length) {
+        if (words(i) == tokens(j)) cnts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](words.length.toLong,
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(cnts)))
+  }
+
   // --- PII census kernel -------------------------------------------------
   //
   // Single-pass replacements for the four regexp_count projections of
@@ -410,6 +434,42 @@ case class TrigramStats(child: Expression) extends UnaryExpression {
       newChild: Expression): TrigramStats = copy(child = newChild)
 }
 
+/** See TextKernelUtil.termStats: struct(dl, cnts) per row — token total
+  * plus per-term occurrence counts for the plan-time `tokens` list. */
+case class TermStats(child: Expression, tokens: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", LongType, nullable = false),
+    StructField("cnts",
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "term_stats"
+
+  private lazy val tokenArray = tokens.toArray
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernelUtil.termStats(v.asInstanceOf[UTF8String], tokenArray)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokens", tokenArray, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernelUtil.termStats($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TermStats = copy(child = newChild)
+}
+
 /** See TextKernelUtil.piiCounts: struct(c_email, c_ipv4, c_ssn,
   * c_phone) per row. Cited pattern semantics: TextOps.PiiPatterns. */
 case class PiiCounts(child: Expression) extends UnaryExpression {
@@ -456,4 +516,7 @@ object text {
 
   def piiCounts(c: Column): Column =
     graftexpr.column(PiiCounts(graftexpr.expression(c)))
+
+  def termStats(c: Column, tokens: Seq[String]): Column =
+    graftexpr.column(TermStats(graftexpr.expression(c), tokens))
 }

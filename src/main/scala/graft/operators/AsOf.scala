@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** General as-of join — for each left row, the single most recent right
   * row with equal keys and rightTime <= leftTime, no older than
@@ -12,16 +13,40 @@ import org.apache.spark.sql.functions._
   *
   * This is the bucket-keyed shape proven by the anchored-correlation
   * join (engine/RuleEngine.anchoredParents): both sides bucket time by
-  * the tolerance width, the left side duplicates into its own and the
-  * previous bucket (a right match within tolerance can only live
-  * there), and the join is a plain multi-key EQUI-join — shuffles
-  * partition on (keys, bucket), candidates are bounded per bucket, and
-  * a max_by argmax picks the match without any window sort. The left
-  * frame is consumed exactly ONCE (LEFT OUTER candidate join, then the
-  * argmax collapses the bucket duplicates), so the left scan is not
-  * paid twice. AQE handles residual bucket skew.
+  * the tolerance width and the join is a plain multi-key EQUI-join —
+  * shuffles partition on (keys, bucket), candidates are bounded per
+  * bucket, and an argmax aggregate picks the match without any window
+  * sort. Two plan-shape choices are deliberate:
+  *
+  *  - the RIGHT side duplicates into its own and the NEXT bucket (a
+  *    right row at rt can only serve left rows in bucket(rt) or
+  *    bucket(rt)+1), so each left row enters the join ONCE — the
+  *    argmax input is |left| + |candidates| rows, not 2x|left|;
+  *  - the argmax ordering (rightTime, rightId) is PACKED into one
+  *    DECIMAL(38,0) — (rt + 2^62)*2^63 + (rid + 2^62), order-isomorphic
+  *    to the (rt, rid) lexicographic pair for |values| < 2^62 — and
+  *    each matched column rides its own max_by against that key.
+  *    max_by/first over fixed-width buffers plan as HashAggregate
+  *    (map-side combined, plan-verified); the struct-keyed max_by this
+  *    replaces forced a SortAggregate — two extra full sorts of every
+  *    candidate row. At 10x events the two shapes measure within noise
+  *    (~1.3 s, candidates are sparse there); the sort cost scales with
+  *    the candidate count, which is exactly what grows with key skew
+  *    and tolerance width. The key is unique per candidate (rid is
+  *    unique), so the per-column argmaxes cannot tear across rows.
+  *
+  * AQE handles residual bucket skew.
   */
 object AsOf {
+
+  private val Two62 = BigDecimal(BigInt(1) << 62)
+  private val Two63 = BigDecimal(BigInt(1) << 63)
+
+  /** (rt, rid) lexicographic order as one fixed-width decimal; null iff
+    * rt/rid are null (unmatched left rows — max_by then ignores them). */
+  private def packedKey(rt: Column, rid: Column): Column =
+    (rt.cast(DecimalType(38, 0)) + lit(Two62)) * lit(Two63) +
+      (rid.cast(DecimalType(38, 0)) + lit(Two62))
 
   /** @param keys       equality key columns present on both sides
     * @param leftId     unique left row id (the argmax grouping key)
@@ -42,8 +67,7 @@ object AsOf {
     require(toleranceS > 0, s"toleranceS must be positive, got $toleranceS")
     val rCols = right.columns.filterNot(keys.contains).toSeq
     val generated =
-      Seq("__lbk", "__rbk", "__m") ++ rCols.map("r_" + _) ++
-        keys.map("__rk_" + _)
+      Seq("__lbk", "__rbk") ++ rCols.map("r_" + _) ++ keys.map("__rk_" + _)
     val collisions = left.columns.toSet.intersect(generated.toSet)
     require(collisions.isEmpty,
       s"left columns collide with asofJoin-generated names: " +
@@ -52,27 +76,26 @@ object AsOf {
     val r = right.select(
       keys.map(k => col(k).as(s"__rk_$k")) ++
         rCols.map(c => col(c).as(s"r_$c")): _*)
-      .withColumn("__rbk", floor(col(s"r_$rightTimeS") / toleranceS))
+      .withColumn("__rbk", explode(array(
+        floor(col(s"r_$rightTimeS") / toleranceS),
+        floor(col(s"r_$rightTimeS") / toleranceS) + 1)))
     val lt = col(leftTimeS)
     val rt = col(s"r_$rightTimeS")
     val leftCols = left.columns.toSeq
+    val key = packedKey(rt, col(s"r_$rightId"))
     val aggs =
-      leftCols.filterNot(_ == leftId).map(c => first(col(c)).as(c)) :+
-        max_by(struct(rCols.map(c => col(s"r_$c")): _*),
-          struct(rt, col(s"r_$rightId"))).as("__m")
-    // LEFT OUTER so unmatched left rows survive; the groupBy collapses
-    // the two bucket copies of each left row, max_by ignores null-keyed
-    // rows, and first() re-emits the (identical) left values — left's
-    // lineage is evaluated exactly once.
+      leftCols.filterNot(_ == leftId).map(c => first(col(c)).as(c)) ++
+        rCols.map(c => max_by(col(s"r_$c"), key).as(s"r_$c"))
+    // LEFT OUTER so unmatched left rows survive (their r_* stay null:
+    // max_by ignores null keys); first() re-emits the left values —
+    // left's lineage is evaluated exactly once and never duplicated.
     left
-      .withColumn("__lbk",
-        explode(array(floor(lt / toleranceS), floor(lt / toleranceS) - 1)))
+      .withColumn("__lbk", floor(lt / toleranceS))
       .join(r, keys.map(k => col(k) === col(s"__rk_$k"))
         .foldLeft(col("__lbk") === col("__rbk"))(_ && _) &&
         rt <= lt && lt - rt <= toleranceS, "left")
       .groupBy(col(leftId))
       .agg(aggs.head, aggs.tail: _*)
-      .select(leftCols.map(col) ++
-        rCols.map(c => col(s"__m.r_$c").as(s"r_$c")): _*)
+      .select(leftCols.map(col) ++ rCols.map(c => col(s"r_$c")): _*)
   }
 }

@@ -113,6 +113,22 @@ class FuzzParitySpec extends SparkSuite {
     assert(cmp.count() == 0, "word_hashes diverges from xxhash64(split)")
   }
 
+  test("fuzz: term_stats parity (token total + per-term counts)") {
+    val terms = Seq("a", "ab", "😀", "")
+    val ts = graft.functions.text.termStats(col("text"), terms)
+    val naive = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"),
+      array(terms.map(t0 =>
+        size(filter(split(col("text"), " "), w => w === lit(t0)))
+          .cast("long")): _*).as("cnts"))
+    val fused = docs.select(col("doc_id"),
+      ts.getField("dl").as("dl"), ts.getField("cnts").as("cnts"))
+    val bad = fused.join(naive, Seq("doc_id"))
+      .filter(!(fused("dl") <=> naive("dl")) ||
+        !(fused("cnts") <=> naive("cnts")))
+    assert(bad.count() == 0, "term_stats diverges from split/filter")
+  }
+
   test("fuzz: simhash32 parity on adversarial text") {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
