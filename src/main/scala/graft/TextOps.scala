@@ -275,12 +275,16 @@ object TextOps {
     * vocab×sources frame, which is bounded by |vocab|·|sources| no
     * matter the corpus size. */
   def tfidfTerms(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    // tf is the expensive frame (full token explode + aggregate) and
+    // has two consumers (idf, final join) — checkpoint it; it is the
+    // stored term-frequency table at scale. n_src never needed the
+    // token stream at all: count sources on the raw table.
     val tf = t(s, dir, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("source"), col("word"))
       .agg(count(lit(1)).as("tf"))
-    val nSrc = tf.select(col("source")).distinct()
-      .agg(count(lit(1)).as("n_src"))
+    val nSrc = t(s, dir, "documents")
+      .agg(countDistinct(col("source")).as("n_src"))
     val idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nSrc))
       .select(col("word"), log(col("n_src").cast("double") / col("df"))
