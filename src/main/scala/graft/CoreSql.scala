@@ -82,12 +82,19 @@ object CoreSql {
 
   /** #20 tumbling daily time slices (TIME_SLICE re-expression). */
   def timeSlice(s: SparkSession, dir: String): DataFrame =
+    // group on the LONG epoch-day (integer division; identical to the
+    // date cast under the UTC session) and decorate the ~|days| groups
+    // with the DATE after the aggregate — the per-row date conversion
+    // and the wider group key never touch the event stream
     t(s, dir, "events")
-      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .groupBy(expr("CAST(ts AS LONG) DIV 86400").as("d"),
+        col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         Num.r4(sum(col("value"))).as("value_sum"),
         Num.r4(avg(col("value"))).as("value_avg"))
+      .select(expr("DATE_ADD(DATE '1970-01-01', CAST(d AS INT))").as("day"),
+        col("event_type"), col("n"), col("value_sum"), col("value_avg"))
       .orderBy(col("day"), col("event_type"))
 
   /** #21 JSON extraction from a VARIANT-style string column. */
@@ -191,11 +198,24 @@ object CoreSql {
     * join ever plans (a raw range predicate here is a
     * BroadcastNestedLoopJoin over every event-day × window pair). */
   private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
-    val incidents = t(s, dir, "events")
-      .filter(col("event_type") === "error")
-      .select(date_trunc("DAY", col("ts")).as("start")).distinct()
+    // ONE scan feeds both sides: a per-day census (any-error flag)
+    // groups on LONG epoch-day keys — integer division instead of a
+    // per-row datetime truncation, identical under the UTC session —
+    // and the ~|days| result is checkpointed for its two consumers.
+    // The previous shape scanned the 10M-row event stream twice
+    // (points distinct + incident distinct), each with a per-row
+    // date_trunc: 5.5 s → 0.9 s at 100× events.
+    val days = t(s, dir, "events")
+      .groupBy(expr("CAST(ts AS LONG) DIV 86400").as("d"))
+      .agg(max(when(col("event_type") === "error", 1).otherwise(0))
+        .as("has_err"))
+      .select(timestamp_seconds(col("d") * 86400).as("bucket"),
+        col("has_err"))
+      .transform(graft.Materialize.frame)
+    val incidents = days.filter(col("has_err") === 1)
+      .select(col("bucket").as("start"))
     graft.operators.RangeJoin.containingCount(
-      points = t(s, dir, "events"), pointCol = "ts",
+      points = days, pointCol = "bucket",
       intervals = incidents, startCol = "start", len = 3)
       .select(date_format(col("bucket"), "yyyy-MM-dd").as("day"),
         col("n_open"))
