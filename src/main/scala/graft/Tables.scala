@@ -8,7 +8,29 @@ object Tables {
   val names = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Loaded-table cache — the catalog role a metastore plays in a real
+  // deployment. `spark.read.parquet` re-lists the path and re-reads a
+  // footer for the schema on EVERY call; a rule engine resolving the
+  // same base tables hundreds of times per run (each bench query
+  // constructs its plan from scratch) should pay that I/O once per
+  // (session, path). The cached value is the analyzed DataFrame — an
+  // immutable logical plan; optimization/execution still run per query,
+  // so this caches metadata, never results. Keyed weakly on the session
+  // so stopped sessions (tests boot many) don't pin their plans.
+  private val cache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.HashMap[String, DataFrame]]
+
+  private def cached(spark: SparkSession, key: String)(
+      load: => DataFrame): DataFrame = cache.synchronized {
+    cache.computeIfAbsent(spark, _ => scala.collection.mutable.HashMap())
+      .getOrElseUpdate(key, load)
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    cached(spark, s"$dir/$name")(load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped in two encodings across testdata
       // generations: parquet TIMESTAMP(NANOS) (which Spark can only read
