@@ -39,9 +39,19 @@ object Baselines {
   }
 
   /** #10 outlier detection: trailing-window hourly counts vs the p95 of
-    * the history window (the alerting use of the percentile baseline). */
+    * the history window (the alerting use of the percentile baseline).
+    *
+    * The hourly census is MATERIALIZED before it forks: its two
+    * consumers (history profile, trailing slice) filter on the DERIVED
+    * hour column, so Catalyst pushes each window predicate below the
+    * aggregate into its own scan — two full decodes of the event
+    * stream with no reusable exchange between them (verified on the
+    * plan; the windows partition the data, so together they re-read
+    * everything). Checkpointing |types × hours| narrow rows replaces
+    * the second scan — and is exactly the stored hourly-baseline table
+    * this module maintains at scale in the reference design. */
   def baselineOutliers(s: SparkSession, dir: String): DataFrame = {
-    val h = hourly(s, dir)
+    val h = hourly(s, dir).transform(graft.Materialize.frame)
     val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
     val profile = h.filter(col("h") < cutoff)
       .groupBy(col("event_type"))
@@ -72,13 +82,26 @@ object Baselines {
   /** #12 per-entity activity stats. Ref: baseline_modules/login/module.R
     * (num_logins, num_days, percent_of_days, average_per_day_when_active). */
   def loginBaseline(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-    val totals = e.agg(
-      countDistinct(col("ts").cast("date")).as("total_days"))
-    e.groupBy(col("user_id"))
+    // One (user, day) census feeds everything. The direct form — a
+    // global countDistinct(day) branch plus a per-user
+    // count + countDistinct agg — scans the event stream TWICE and
+    // plans an Expand (2 rows per input row) for the mixed-distinct
+    // aggregate; at 100x events that was 2 x 10M timestamp decodes
+    // plus a 20M-row shuffle. The census shape scans once, shuffles
+    // map-side-combined (user, day) partials, and every downstream
+    // aggregate is a plain count/sum over |users x active-days| rows:
+    // active_days = count(*), n_events = sum(n), total observation
+    // days = countDistinct(day) over the census (cardinality |days|).
+    val perUserDay = t(s, dir, "events")
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .transform(graft.Materialize.frame)
+    val totals = perUserDay.agg(
+      countDistinct(col("day")).as("total_days"))
+    perUserDay.groupBy(col("user_id"))
       .agg(
-        count(lit(1)).as("n_events"),
-        countDistinct(col("ts").cast("date")).as("active_days"))
+        sum(col("n")).as("n_events"),
+        count(lit(1)).as("active_days"))
       .crossJoin(broadcast(totals))
       .withColumn("pct_days",
         Num.r4(col("active_days") / col("total_days")))
@@ -95,17 +118,43 @@ object Baselines {
       .withColumn("is_new", col("first_seen_s") >= lit(1706054400L)) // 2024-01-24Z
       .orderBy(col("user_id"), col("event_type"))
 
-  /** #14 per-group summary statistics. Ref: baseline_modules/summary_stats. */
+  /** #14 per-group summary statistics. Ref: baseline_modules/summary_stats.
+    *
+    * Computed over a (group, value) frequency census, not the raw rows:
+    * the exact median is the expensive piece — `percentile` is an
+    * ObjectHashAggregate whose partial buffers hold every input value,
+    * so over raw events the shuffle carries |rows| doubles in
+    * serialized buffers. Metric streams repeat values (this table:
+    * ~18k distinct under 10M rows at 100x, and replication never grows
+    * the value domain), so aggregate (group, value, n) first — plain
+    * codegen'd counts, map-side combined — and feed `percentile`'s
+    * frequency form. Worst case (all-distinct values) it degrades to
+    * the same volume as the direct shape; with any repetition the
+    * percentile input collapses by the duplication factor. The moments
+    * become weighted sums over the census: mean = s1/n and
+    * var = (s2 - s1^2/n)/(n-1) — both then 4dp-rounded like the
+    * declarative twins they replace. */
   def summaryStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("f"))
       .groupBy(col("event_type"))
       .agg(
-        count(lit(1)).as("n"),
-        Num.r4(avg(col("value"))).as("mean_value"),
-        Num.r4(stddev_samp(col("value"))).as("sd_value"),
+        sum(col("f")).as("n"),
+        sum(col("value") * col("f")).as("__s1"),
+        sum(col("value") * col("value") * col("f")).as("__s2"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
-        Num.r4(percentile(col("value"), lit(0.5))).as("median_value"))
+        Num.r4(percentile(col("value"), lit(0.5), col("f")))
+          .as("median_value"))
+      .select(col("event_type"), col("n"),
+        Num.r4(col("__s1") / col("n")).as("mean_value"),
+        // stddev_samp semantics: NULL for a single observation; FP
+        // cancellation can drive the numerator a hair negative — clamp
+        when(col("n") > 1, Num.r4(sqrt(greatest(lit(0.0),
+          (col("__s2") - col("__s1") * col("__s1") / col("n")) /
+            (col("n") - 1))))).as("sd_value"),
+        col("min_value"), col("max_value"), col("median_value"))
       .orderBy(col("event_type"))
 
   /** #15 linear trend of daily counts + day-30 prediction.

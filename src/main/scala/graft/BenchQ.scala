@@ -5,7 +5,7 @@ object BenchQ {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     graft.SparkEntry.queries("q_agg_pushdown")(spark, dir).write.mode("overwrite").format("noop").save()
     for (q <- args) {
       val t0 = System.nanoTime()

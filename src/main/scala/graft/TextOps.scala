@@ -283,6 +283,7 @@ object TextOps {
       .select(col("source"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("source"), col("word"))
       .agg(count(lit(1)).as("tf"))
+      .transform(graft.Materialize.frame)
     val nSrc = t(s, dir, "documents")
       .agg(countDistinct(col("source")).as("n_src"))
     val idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
