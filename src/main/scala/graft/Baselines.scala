@@ -82,22 +82,29 @@ object Baselines {
   /** #12 per-entity activity stats. Ref: baseline_modules/login/module.R
     * (num_logins, num_days, percent_of_days, average_per_day_when_active). */
   def loginBaseline(s: SparkSession, dir: String): DataFrame = {
-    // One (user, day) census feeds everything. The direct form — a
-    // global countDistinct(day) branch plus a per-user
-    // count + countDistinct agg — scans the event stream TWICE and
-    // plans an Expand (2 rows per input row) for the mixed-distinct
-    // aggregate; at 100x events that was 2 x 10M timestamp decodes
-    // plus a 20M-row shuffle. The census shape scans once, shuffles
-    // map-side-combined (user, day) partials, and every downstream
-    // aggregate is a plain count/sum over |users x active-days| rows:
-    // active_days = count(*), n_events = sum(n), total observation
-    // days = countDistinct(day) over the census (cardinality |days|).
+    // One (user, day) census feeds the per-user stats. The direct
+    // per-user count + countDistinct mix plans an Expand (2 rows per
+    // input row); the census shape shuffles map-side-combined
+    // (user, day) partials and every downstream aggregate is a plain
+    // count/sum over |users x active-days| rows: active_days =
+    // count(*), n_events = sum(n).
+    //
+    // total observation days comes from its OWN pass over the ts
+    // column, not from a materialized census: at 100x events the
+    // census is ~0.7 x |rows| (per-actor density is a handful of
+    // events spread over the window, so (user, day) barely collapses)
+    // and checkpointing it costs a |census|-row storage round-trip —
+    // measurably slower than re-scanning the column-pruned stream
+    // (one timestamp column, ~36 groups, map-side combined to nothing
+    // before the shuffle). On the production date-partitioned layout
+    // (Tables.writePartitionedEvents) the day census is partition
+    // METADATA — the listing, no data pass at all — so the flat-file
+    // fallback deliberately keeps the same logical shape.
     val perUserDay = t(s, dir, "events")
       .groupBy(col("user_id"), col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("n"))
-      .transform(graft.Materialize.frame)
-    val totals = perUserDay.agg(
-      countDistinct(col("day")).as("total_days"))
+    val totals = t(s, dir, "events").agg(
+      countDistinct(col("ts").cast("date")).as("total_days"))
     perUserDay.groupBy(col("user_id"))
       .agg(
         sum(col("n")).as("n_events"),

@@ -36,21 +36,40 @@ object SarsPack {
     * path, instance_id, NAME like 'process_events'): every second event
     * is a process event; the path cycles over 25 binaries per the
     * deterministic `k` key. Mirrored exactly by the `pe` oracle CTE. */
-  def processEventsFromEvents(events: DataFrame): DataFrame = {
-    // JsonLongField kernel, not from_json/get_json_object: extracting
-    // ONE typed field is the per-row hot path of both SARs queries,
-    // and the byte-scan kernel does it without Jackson tokenization or
-    // an InternalRow per row (~4x on the parse at 100x events;
-    // from_json-parity fuzz-pinned in FuzzParitySpec)
-    val k = graft.functions.json.longField(col("props"), "k")
-    events
-      .select(col("ts").as("event_time"), col("user_id"), k.as("k"))
+  def processEventsFromEvents(events: DataFrame): DataFrame =
+    rawProcessEvents(events)
       .withColumn("name",
         when(col("k") % 2 === 0, "process_events").otherwise("file_events"))
-      .withColumn("process",
-        concat_ws("", lit("/usr/bin/p"), col("k") % 25))
-      .withColumn("instance_id", concat_ws("", lit("i-"), col("user_id")))
-  }
+      .withColumn("process", processCol(col("k") % 25))
+      .withColumn("instance_id", instanceCol(col("user_id")))
+
+  /** The numeric core of the pe view: (event_time, user_id, k). Both
+    * SARs queries group and filter on columns DERIVED from these three
+    * — `name` is `k % 2`, `process` is `k % 25`, `instance_id` is the
+    * user id — so the per-row hot path carries only the numerics and
+    * the display strings are built AFTER aggregation, over |groups|
+    * rows instead of |events| (string construction and string-key
+    * hashing both leave the 10M-row path; the group keys become
+    * fixed-width UnsafeRow fields).
+    *
+    * JsonLongField kernel, not from_json/get_json_object: extracting
+    * ONE typed field is the per-row hot path of both SARs queries,
+    * and the byte-scan kernel does it without Jackson tokenization or
+    * an InternalRow per row (~4x on the parse at 100x events;
+    * from_json-parity fuzz-pinned in FuzzParitySpec). */
+  private def rawProcessEvents(events: DataFrame): DataFrame =
+    events.select(col("ts").as("event_time"), col("user_id"),
+      graft.functions.json.longField(col("props"), "k").as("k"))
+
+  // Display-column builders, shared by the per-row view (API parity)
+  // and the post-aggregation projections. concat_ws skips a null k
+  // slot exactly like grouping merges the null-k numeric group, so
+  // the two paths agree on null handling (those groups are hits=0
+  // rows and are filtered anyway — k is never null on this data).
+  private def processCol(pnum: org.apache.spark.sql.Column) =
+    concat_ws("", lit("/usr/bin/p"), pnum)
+  private def instanceCol(uid: org.apache.spark.sql.Column) =
+    concat_ws("", lit("i-"), uid)
 
   private val PeCte: String =
     """WITH pe AS (
@@ -123,12 +142,54 @@ object SarsPack {
       .orderBy(col("process"), col("instance_id"))
   }
 
+  /** processBaseline over the events-derived view, fused: when the pe
+    * view is OURS (the run.py extraction), the group keys pre-date
+    * their display form — (k % 25, day, user_id) are the same
+    * partitions as (process, day, instance_id), so the 10M-row path
+    * groups on fixed-width numerics (cheaper UnsafeRow hashing, no
+    * per-row concat) and the display strings are built once per GROUP.
+    * Identical output to processBaseline(processEventsFromEvents(ev))
+    * — the generic operator stays the public API for arbitrary
+    * osquery-shaped frames (SarsSpec pins that contract). */
+  def processBaselineFromEvents(events: DataFrame): DataFrame =
+    rawProcessEvents(events)
+      .filter(col("event_time") >= lit(From).cast("timestamp") &&
+        col("event_time") < lit(To).cast("timestamp"))
+      .groupBy((col("k") % 25).as("__p"),
+        to_date(col("event_time")).as("day"), col("user_id"))
+      .agg(sum(when(col("k") % 2 === 0, 1L).otherwise(0L)).as("hits"))
+      .filter(col("hits") > 0L)
+      .select(processCol(col("__p")).as("process"), col("day"),
+        instanceCol(col("user_id")).as("instance_id"), col("hits"))
+
+  /** newProcesses over the events-derived view — same fusion as
+    * [[processBaselineFromEvents]]: one scan, one numeric-key shuffle,
+    * conditional window sums, display strings on the surviving rows. */
+  def newProcessesFromEvents(events: DataFrame): DataFrame = {
+    val ts = col("event_time")
+    val isProc = col("k") % 2 === 0
+    val inRecent = ts >= lit(DayAgo).cast("timestamp") &&
+      ts < lit(To).cast("timestamp")
+    val inKnown = ts >= lit(From).cast("timestamp") &&
+      ts < lit(DayAgo).cast("timestamp")
+    rawProcessEvents(events)
+      .filter(ts >= lit(From).cast("timestamp") &&
+        ts < lit(To).cast("timestamp"))
+      .groupBy((col("k") % 25).as("__p"), col("user_id"))
+      .agg(sum(when(isProc && inRecent, 1L).otherwise(0L)).as("hits"),
+        sum(when(isProc && inKnown, 1L).otherwise(0L)).as("__known"))
+      .filter(col("hits") > 0L && col("__known") === 0L)
+      .select(processCol(col("__p")).as("process"),
+        instanceCol(col("user_id")).as("instance_id"), col("hits"))
+      .orderBy(col("process"), col("instance_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sars_process_baseline" -> ((s: SparkSession, dir: String) =>
-      processBaseline(processEventsFromEvents(t(s, dir, "events")))
+      processBaselineFromEvents(t(s, dir, "events"))
         .orderBy(col("day"), col("process"), col("instance_id"))),
     "q_sars_new_process" -> ((s: SparkSession, dir: String) =>
-      newProcesses(processEventsFromEvents(t(s, dir, "events"))))
+      newProcessesFromEvents(t(s, dir, "events")))
   )
 
   def oracle: Map[String, String] = Map(

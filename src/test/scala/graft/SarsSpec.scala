@@ -43,6 +43,18 @@ class SarsSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() == 5)
   }
 
+  test("fused events-path queries match the generic operators row-for-row") {
+    val ev = Tables.t(spark, Sf, "events")
+    val baseFused = SarsPack.processBaselineFromEvents(ev)
+    val baseGeneric = SarsPack.processBaseline(pe)
+    assert(baseFused.exceptAll(baseGeneric).isEmpty &&
+      baseGeneric.exceptAll(baseFused).isEmpty)
+    val newFused = SarsPack.newProcessesFromEvents(ev)
+    val newGeneric = SarsPack.newProcesses(pe)
+    assert(newFused.exceptAll(newGeneric).isEmpty &&
+      newGeneric.exceptAll(newFused).isEmpty)
+  }
+
   test("new-process detection flags a process unseen in the baseline") {
     // a process whose k-slot only fires in the trailing day would be
     // flagged; plant one explicitly to pin the anti-join direction
