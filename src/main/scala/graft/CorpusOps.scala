@@ -353,7 +353,36 @@ object CorpusOps {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** #90 deterministic training-order shuffle: the "random" read order
+    * of one training epoch, reproducible from the seed alone — no RNG
+    * state, no driver-side coordination, re-seedable per epoch. Docs
+    * are salted-hashed into S order streams (a loader reads streams in
+    * index order, or assigns one stream set per data-parallel worker)
+    * and ordered inside each stream by the full hash; position is a
+    * per-stream row_number, so every sort covers ONE stream. The
+    * alternative — row_number over a global ORDER BY hash — funnels
+    * the corpus through a single partition for numbering, the classic
+    * scale bug this shape exists to avoid; S scales with the cluster
+    * so each stream's sort stays executor-sized. Stream id reuses the
+    * seq_pack digit trick (prefix mod 8 = last-hex-digit, oracle
+    * needs no 48-bit hex parse). */
+  def corpusShuffle(s: SparkSession, dir: String, seed: String = "ep1",
+      streams: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stream")).orderBy(col("__k"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        hashPrefix(s"shuf-$seed", col("doc_id"), 12).as("__k"),
+        (conv(hashPrefix(s"shuf-$seed", col("doc_id"), 6), 16, 10)
+          .cast("long") % streams).as("stream"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("stream"), col("pos"), col("doc_id"), col("source"))
+      .orderBy(col("stream"), col("pos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_shuffle" -> ((s: SparkSession, dir: String) =>
+      corpusShuffle(s, dir)),
     "q_domain_cap" -> ((s: SparkSession, dir: String) => domainCap(s, dir)),
     "q_doc_chunk" -> ((s: SparkSession, dir: String) => docChunk(s, dir)),
     "q_gram_novelty" -> (gramNovelty _),
@@ -370,6 +399,20 @@ object CorpusOps {
     "q_seq_pack" -> ((s: SparkSession, dir: String) => seqPack(s, dir)))
 
   def oracle: Map[String, String] = Map(
+    "q_corpus_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    substr(md5('shuf-ep1:' || doc_id), 1, 12) AS k,
+        |    CAST((strpos('0123456789abcdef',
+        |      substr(md5('shuf-ep1:' || doc_id), 6, 1)) - 1) % 8 AS BIGINT)
+        |      AS stream
+        |  FROM documents
+        |)
+        |SELECT stream,
+        |  CAST(row_number() OVER (PARTITION BY stream
+        |    ORDER BY k, doc_id) AS BIGINT) AS pos,
+        |  doc_id, source
+        |FROM d ORDER BY stream, pos""".stripMargin,
     "q_domain_cap" ->
       """WITH r AS (
         |  SELECT doc_id, source,

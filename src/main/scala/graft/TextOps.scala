@@ -302,7 +302,40 @@ object TextOps {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** #89 BPE tokenizer training, the data-side step: the adjacent
+    * symbol-pair census that picks each merge (Sennrich et al. 2016 —
+    * this is iteration one over character symbols; subsequent merges
+    * re-run the same census over the updated symbol strings). Two
+    * stages, each the scale-right shape:
+    *
+    *  1. word census — the canonical explode + map-side-combined count.
+    *     The shuffle carries (word, partial) pairs, and by Heaps' law
+    *     the distinct-word domain grows ~O(corpus^0.5), so stage 2's
+    *     input is orders of magnitude smaller than the corpus;
+    *  2. pair census over DISTINCT words, weighted by word frequency —
+    *     each pair observation rides the word's count, never a per-
+    *     occurrence row. The char-bigram lambda is interpreted, which
+    *     is fine OFF the per-row hot path (|vocab| rows, not |tokens|);
+    *     the top-k is a TakeOrdered, not a global sort.
+    *
+    * A production tokenizer trainer would loop stage 2 with a merge
+    * table broadcast back over the word census — the census itself
+    * never re-reads the corpus, which is the property that matters at
+    * 100 TB: one text scan total, all iterations run on the vocab. */
+  def bpePairs(s: SparkSession, dir: String, k: Int = 50): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, length(word) - 1)," +
+          " i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(k)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_pairs" -> ((s: SparkSession, dir: String) => bpePairs(s, dir)),
     "q_pseudonymize" -> pseudonymize _,
     "q_lang_id" -> langId _,
     "q_quality_score" -> qualityScore _,
@@ -316,6 +349,19 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w AS word, count(*) AS f
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        |  WHERE length(w) >= 2
+        |  GROUP BY w
+        |), pairs AS (
+        |  SELECT substring(word, i, 2) AS pair, sum(f) AS freq
+        |  FROM words, unnest(range(1, length(word))) AS t(i)
+        |  GROUP BY 1
+        |)
+        |SELECT pair, CAST(freq AS BIGINT) AS freq
+        |FROM pairs ORDER BY freq DESC, pair LIMIT 50""".stripMargin,
     "q_pii_scan" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN

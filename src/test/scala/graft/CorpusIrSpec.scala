@@ -121,6 +121,53 @@ class CorpusIrSpec extends SparkSuite {
     }
   }
 
+  // --- BPE pair census ----------------------------------------------
+
+  test("bpePairs matches a brute-force merge-pair census") {
+    val wordFreq = docs.flatMap(_._2.split(" ", -1))
+      .filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+    val pairFreq = scala.collection.mutable.Map[String, Long]()
+    for ((w, f) <- wordFreq; i <- 0 until w.length - 1)
+      pairFreq(w.substring(i, i + 2)) =
+        pairFreq.getOrElse(w.substring(i, i + 2), 0L) + f
+    val expected = pairFreq.toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(50)
+    val got = TextOps.bpePairs(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  // --- deterministic training-order shuffle --------------------------
+
+  test("corpusShuffle is a reproducible seed-keyed permutation") {
+    val out = CorpusOps.corpusShuffle(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every document appears exactly once
+    assert(out.map(_._3).sorted.toSeq == docs.map(_._1).sorted)
+    // positions are dense 1..n within each stream
+    for ((stream, rows) <- out.groupBy(_._1))
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.size).toSeq,
+        s"stream $stream positions not dense")
+    // same seed → identical order; different seed → different order
+    val again = CorpusOps.corpusShuffle(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+    val reseeded = CorpusOps.corpusShuffle(spark, Sf, seed = "ep2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq != reseeded.toSeq)
+    assert(reseeded.map(_._3).sorted.toSeq == docs.map(_._1).sorted)
+  }
+
+  test("corpusShuffle numbering never funnels through one partition") {
+    // the row_number window must be hash-partitioned on stream — a
+    // global ORDER BY window would plan a SinglePartition exchange
+    val plan = CorpusOps.corpusShuffle(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"shuffle numbering collapsed to one partition:\n$plan")
+  }
+
   // --- source overlap ------------------------------------------------
 
   test("sourceOverlap matches a brute-force pairwise Jaccard") {
