@@ -425,6 +425,64 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** #91 prefix-filter containment join (PPJoin-family): all document
+    * pairs whose word-4-gram CONTAINMENT |A∩B| / min(|A|,|B|) ≥ t —
+    * the asymmetric near-dup signal MinHash-LSH (#28) structurally
+    * misses: a short doc wholly quoted inside a long one has high
+    * containment but LOW Jaccard, so no minhash band ever buckets the
+    * pair. Candidate generation uses the prefix-filter theorem: order
+    * every doc's grams by a single global total order (document
+    * frequency, rarest first, gram hash as tie-break) — if
+    * |A∩B| ≥ t·min(na,nb), the SMALLER doc must share a gram within
+    * its first ⌊(1-t)·n⌋+1 rarest grams with the other doc's full
+    * list. Probing every doc's prefix against the full gram index is
+    * therefore lossless, and the join fans out by df(g) of PREFIX
+    * grams only — rare by construction, so candidate work is
+    * Σ_{prefix grams} df(g), never |docs|². The two engines use
+    * different tie-break orders (xxhash64 longs here, gram text in
+    * the oracle): any consistent total order satisfies the theorem,
+    * so candidate SETS differ but the verified output is identical.
+    * `dfCap` (mirrored in the oracle) excludes grams seen in more
+    * docs than the cap from candidate generation — a guard against
+    * boilerplate-only prefixes; it can drop a pair only if every
+    * shared rare gram is corpus-boilerplate, which at the default
+    * means the "contained" text is not distinctive content. */
+  def containmentJoin(s: SparkSession, dir: String, ct: Double = 0.5,
+      dfCap: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docG = spanDocGrams(s, dir)
+      .withColumn("ng", size(col("gs")).cast("long"))
+      .transform(graft.Materialize.frame)
+    val grams = docG.select(col("doc_id"), col("ng"),
+      explode(col("gs")).as("g"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val rankW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("g"))
+    val prefix = grams.join(dfreq, Seq("g"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= floor(lit(1.0 - ct) * col("ng")) + 1 &&
+        col("df") <= dfCap)
+      .select(col("doc_id").as("pid"), col("g"))
+    val cand = prefix
+      .join(grams.select(col("doc_id").as("fid"), col("g")), Seq("g"))
+      .filter(col("pid") =!= col("fid"))
+      .select(least(col("pid"), col("fid")).as("doc_a"),
+        greatest(col("pid"), col("fid")).as("doc_b"))
+      .distinct()
+    cand
+      .join(docG.select(col("doc_id").as("doc_a"), col("gs").as("ga"),
+        col("ng").as("na")), Seq("doc_a"))
+      .join(docG.select(col("doc_id").as("doc_b"), col("gs").as("gb"),
+        col("ng").as("nb")), Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .filter(col("inter") / least(col("na"), col("nb")) >= ct)
+      .select(col("doc_a"), col("doc_b"),
+        Num.r4(col("inter") / least(col("na"), col("nb")))
+          .as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** #79 cross-source overlap matrix: estimated containment between
     * every pair of corpus sources — the view that catches a crawl slice
     * republishing another slice (or an eval set hiding inside a
@@ -503,6 +561,8 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_containment" -> ((s: SparkSession, dir: String) =>
+      containmentJoin(s, dir)),
     "q_source_overlap" -> sourceOverlap _,
     "q_span_dedup" -> spanDedup _,
     "q_corpus_curation" -> corpusCuration _,
@@ -624,6 +684,50 @@ object Dedup {
         |JOIN sizes sa ON sa.source = source_a
         |JOIN sizes sb ON sb.source = source_b
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // Prefix tie-break differs by engine (gram text here, xxhash64 in
+    // Spark) — any consistent total order is lossless under the prefix
+    // theorem, so the verified outputs agree even though candidate
+    // sets differ. df <= 100 mirrors the Spark dfCap guard.
+    "q_dedup_containment" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_aggregate(w[i:i+3], 'string_agg', ' ') AS g
+        |  FROM words, UNNEST(range(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 4
+        |), gc AS (
+        |  SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id
+        |), df AS (
+        |  SELECT g, count(*) AS df FROM g GROUP BY g
+        |), ranked AS (
+        |  SELECT gr.doc_id, gr.g, df.df,
+        |    row_number() OVER (PARTITION BY gr.doc_id
+        |      ORDER BY df.df, gr.g) AS rn,
+        |    gc.ng
+        |  FROM g gr JOIN df USING (g) JOIN gc USING (doc_id)
+        |), prefix AS (
+        |  SELECT doc_id, g FROM ranked
+        |  WHERE rn <= CAST(floor(0.5 * ng) AS BIGINT) + 1 AND df <= 100
+        |), cand AS (
+        |  SELECT DISTINCT least(p.doc_id, f.doc_id) AS doc_a,
+        |    greatest(p.doc_id, f.doc_id) AS doc_b
+        |  FROM prefix p JOIN g f ON f.g = p.g AND f.doc_id <> p.doc_id
+        |), inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN g a ON a.doc_id = c.doc_a
+        |  JOIN g b ON b.doc_id = c.doc_b AND b.g = a.g
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.doc_a, i.doc_b,
+        |  round(i.inter * 1.0 / least(ca.ng, cb.ng), 4) AS containment
+        |FROM inter i
+        |JOIN gc ca ON ca.doc_id = i.doc_a
+        |JOIN gc cb ON cb.doc_id = i.doc_b
+        |WHERE i.inter * 1.0 / least(ca.ng, cb.ng) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_span_dedup" ->
       """WITH words AS (

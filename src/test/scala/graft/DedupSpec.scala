@@ -54,6 +54,31 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("containmentJoin matches brute-force all-pairs containment") {
+    // at sf0.001 every gram's df is far below the dfCap guard, so the
+    // prefix-filtered output must equal the exhaustive all-pairs scan
+    val docs = Tables.t(spark, Sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sets = docs.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      if (w.length < 4) None
+      else Some(id -> w.sliding(4).map(_.mkString(" ")).toSet)
+    }.toMap
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = sa.intersect(sb).size
+      c = inter.toDouble / math.min(sa.size, sb.size)
+      if c >= 0.5
+    } yield (a, b,
+      BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSeq.sortBy(p => (p._1, p._2))
+    val got = Dedup.containmentJoin(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected && expected.nonEmpty)
+  }
+
   test("lsh candidate pairs never include a doc paired with itself") {
     val cand = Dedup.lshCandidates(Dedup.minhashSignatures(spark, Sf))
       .filter(col("doc_a") >= col("doc_b"))
