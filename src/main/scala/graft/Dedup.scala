@@ -498,55 +498,74 @@ object Dedup {
     * over masks containing both bits. Never doc×doc, never a set
     * object per gram — the corpus-sized shuffle carries (long, long).
     * Zero-overlap pairs are absent by construction. */
-  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    // gram key = xxhash64 LONG, not an md5 hex string: the per-gram
-    // aggregate below shuffles 8-byte longs instead of 32-char strings
-    // (4x narrower exchange, native long hashing). The oracle keeps
-    // md5 — every count here is invariant under ANY injective gram
-    // mapping, so the engines agree without sharing a hash function
-    // (collision odds ~n^2/2^65, negligible).
-    // Source names are a DIMENSION, not data: enumerate them once on
-    // the driver (sorted, so bit order == lexicographic order and the
-    // a<b bit filter below reproduces the string ordering), then the
-    // whole overlap matrix needs ONE corpus-sized shuffle — the
-    // declarative bit_or per gram, map-side combined, (g: long,
-    // mask: long) rows. The r10/r11a shapes (self-join / collect_set)
-    // moved set objects or three exchanges of the same frame; the
-    // mask census after this aggregate is ≤ |distinct masks| rows, so
-    // everything downstream is driver-scale. >64 sources needs
-    // segmented mask planes (one bit_or per 64-source plane); this
-    // corpus-mix surface is a dozen sources, so fail loudly instead.
-    val srcs = t(s, dir, "documents").select(col("source"))
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(t(s, dir, "documents"))
+
+  /** Frame-generic body of [[sourceOverlap]] (spec-injectable).
+    *
+    * gram key = xxhash64 LONG, not an md5 hex string: the per-gram
+    * aggregate below shuffles 8-byte longs instead of 32-char strings
+    * (4x narrower exchange, native long hashing). The oracle keeps
+    * md5 — every count here is invariant under ANY injective gram
+    * mapping, so the engines agree without sharing a hash function
+    * (collision odds ~n^2/2^65, negligible).
+    * Source names are a DIMENSION, not data: enumerate them once on
+    * the driver (sorted, so bit order == lexicographic order and the
+    * a<b bit filter below reproduces the string ordering), then the
+    * whole overlap matrix needs ONE corpus-sized shuffle — the
+    * declarative bit_or per gram, map-side combined, (g: long,
+    * masks) rows. The r10/r11a shapes (self-join / collect_set)
+    * moved set objects or three exchanges of the same frame; the
+    * mask census after this aggregate is ≤ |distinct masks| rows, so
+    * everything downstream is driver-scale. Beyond 64 sources the
+    * mask SEGMENTS into ⌈n/64⌉ 64-wide planes — one conditional
+    * bit_or per plane in the same single aggregate, census keyed on
+    * the plane array; the single-plane corpus keeps the exact r11
+    * hot-path expression (no per-row DIV/mod when n ≤ 64). */
+  def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val srcs = docs.select(col("source"))
       .distinct().orderBy(col("source"))
       .collect().map(_.getString(0))
-    require(srcs.length <= 64,
-      s"sourceOverlap: ${srcs.length} sources exceed the 64-bit mask; " +
-        "segment sources into 64-wide planes")
+    require(srcs.nonEmpty, "sourceOverlap: no sources")
     val n = srcs.length
+    val planes = (n + 63) / 64
     val sidOf = element_at(
       map(srcs.zipWithIndex.flatMap { case (src, i) =>
         Seq(lit(src), lit(i)) }: _*), col("source"))
     val nameOf = (sid: org.apache.spark.sql.Column) => element_at(
       array(srcs.map(lit): _*), (sid + 1).cast("int"))
-    val maskCensus = t(s, dir, "documents")
+    val maskAggs =
+      if (planes == 1)
+        Seq(expr("bit_or(shiftleft(CAST(1 AS BIGINT), sid))").as("__m0"))
+      else (0 until planes).map { p =>
+        expr(s"bit_or(IF(sid DIV 64 = $p, " +
+          "shiftleft(CAST(1 AS BIGINT), sid % 64), CAST(0 AS BIGINT)))")
+          .as(s"__m$p")
+      }
+    val maskCensus = docs
       .filter(size(split(col("text"), " ")) >= 4)
       .select(sidOf.as("sid"),
         explode(Grams.distinctWordGrams(col("text"), "xxhash64")).as("g"))
       .groupBy(col("g"))
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), sid))").as("mask"))
-      .groupBy(col("mask"))
+      .agg(maskAggs.head, maskAggs.tail: _*)
+      .select(array((0 until planes).map(p => col(s"__m$p")): _*)
+        .as("masks"))
+      .groupBy(col("masks"))
       .agg(count(lit(1)).as("cnt"))
+    val bitA = expr("(shiftright(element_at(masks, " +
+      "CAST(a DIV 64 AS INT) + 1), CAST(a % 64 AS INT)) & 1) = 1")
+    val bitB = expr("(shiftright(element_at(masks, " +
+      "CAST(b DIV 64 AS INT) + 1), CAST(b % 64 AS INT)) & 1) = 1")
     val withA = maskCensus
-      .select(col("mask"), col("cnt"),
+      .select(col("masks"), col("cnt"),
         explode(sequence(lit(0), lit(n - 1))).as("a"))
-      .filter(expr("(shiftright(mask, a) & 1) = 1"))
+      .filter(bitA)
     val sizes = withA.groupBy(col("a"))
       .agg(sum(col("cnt")).as("n_grams"))
     val inter = withA
-      .select(col("mask"), col("cnt"), col("a"),
+      .select(col("masks"), col("cnt"), col("a"),
         explode(sequence(lit(0), lit(n - 1))).as("b"))
-      .filter(col("a") < col("b") &&
-        expr("(shiftright(mask, b) & 1) = 1"))
+      .filter(col("a") < col("b") && bitB)
       .groupBy(col("a"), col("b"))
       .agg(sum(col("cnt")).as("n_shared"))
     inter

@@ -54,6 +54,25 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("sourceOverlap segments beyond 64 sources into mask planes") {
+    // 70 sources → 2 mask planes. Each source carries one unique
+    // 4-gram; pair (i, i+35) shares exactly one 4-gram. Every doc has
+    // 5 sliding 4-grams (8 words), so jaccard = 1/(5+5-1) = 0.1111.
+    val docs = (0 until 70).map { i =>
+      val j = if (i < 35) i else i - 35
+      (f"src$i%02d",
+        s"u${i}a u${i}b u${i}c u${i}d s${j}a s${j}b s${j}c s${j}d")
+    }.toDF("source", "text")
+    val out = Dedup.sourceOverlapOf(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 35)
+    for (i <- 0 until 35) {
+      val key = (f"src$i%02d", f"src${i + 35}%02d")
+      assert(out(key) == ((1L, 0.1111)), s"pair $key: ${out.get(key)}")
+    }
+  }
+
   test("containmentJoin matches brute-force all-pairs containment") {
     // at sf0.001 every gram's df is far below the dfCap guard, so the
     // prefix-filtered output must equal the exhaustive all-pairs scan
