@@ -115,6 +115,22 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("Generate"), "q_repetition explodes trigrams")
   }
 
+  test("bpe pair census top-k is a TakeOrdered, not a global sort") {
+    val plan = planOf("q_bpe_pairs")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bpe top-k lost TakeOrdered:\n$plan")
+  }
+
+  test("containment join is candidate-keyed with no nested-loop stage") {
+    val plan = planOf("q_dedup_containment")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"containment fell back to a nested loop:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"containment funnels through one partition:\n$plan")
+    assert(plan.contains("array_intersect"),
+      "containment verify lost the candidate-only array intersection")
+  }
+
   test("anchored-correlation candidate join is keyed by (actor, bucket)") {
     // the self-join must equi-join on the time bucket as well as the
     // actor — actor-only keys let one hot actor generate f² candidates
