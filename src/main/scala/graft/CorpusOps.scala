@@ -380,7 +380,67 @@ object CorpusOps {
       .orderBy(col("stream"), col("pos"))
   }
 
+  /** #92 DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how target-like its hashed-feature
+    * distribution is — the log-likelihood ratio between a TARGET
+    * bucket-unigram model (here: the corpus's English slice) and the
+    * RAW model, mean-per-token. The paper's core scaling trick is that
+    * features hash into a FIXED bucket space, so both "models" are
+    * 256-entry tables no matter the corpus size:
+    *
+    *  - one census pass builds raw + target bucket counts (bucket =
+    *    md5 byte 1 of the word — the [[TextOps.qualityClassifier]]
+    *    convention, mirrored verbatim by the oracle);
+    *  - the Laplace-smoothed log-ratio table is a driver-side
+    *    256-double array (bounded dimension, like the k-means
+    *    centroids) folded into the fused BucketWeightSum kernel, so
+    *    SCORING is one shuffle-free codegen'd projection per doc —
+    *    no join of the token stream against anything;
+    *  - weights are quantized to 1/1024 (dyadic): every partial sum
+    *    is exactly representable, so the kernel's in-order fold and
+    *    the oracle's group-sum agree bit-for-bit in any order — the
+    *    same determinism trick the quality classifier's 1/16 table
+    *    uses, applied to learned weights.
+    *
+    * The selection verdict is threshold-at-zero (more target-like than
+    * raw); production DSIR samples against the weights instead — same
+    * table, same plan. */
+  def importanceWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bkt = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .select(col("lang"),
+        conv(substring(md5(col("word")), 3, 2), 16, 10)
+          .cast("int").as("bkt"))
+    val counts = bkt.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val nr = counts.map(_._2).sum.toDouble
+    val nt = counts.map(_._3).sum.toDouble
+    val cr = Array.fill(256)(0L); val ct = Array.fill(256)(0L)
+    counts.foreach { case (b, r, t) => cr(b) = r; ct(b) = t }
+    val llr = Array.tabulate(256) { b =>
+      val w = math.log((ct(b) + 1.0) / (nt + 256)) -
+        math.log((cr(b) + 1.0) / (nr + 256))
+      math.floor(w * 1024 + 0.5) / 1024
+    }
+    docs
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("llr_mean", Num.r4(
+        graft.functions.text.bucketWeightSum(col("text"), llr)
+          / col("n_tok")))
+      .withColumn("verdict",
+        when(col("llr_mean") > 0, "keep").otherwise("drop"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        col("llr_mean"), col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_importance_weights" -> ((s: SparkSession, dir: String) =>
+      importanceWeights(s, dir)),
     "q_corpus_shuffle" -> ((s: SparkSession, dir: String) =>
       corpusShuffle(s, dir)),
     "q_domain_cap" -> ((s: SparkSession, dir: String) => domainCap(s, dir)),
@@ -399,6 +459,40 @@ object CorpusOps {
     "q_seq_pack" -> ((s: SparkSession, dir: String) => seqPack(s, dir)))
 
   def oracle: Map[String, String] = Map(
+    // bucket = md5 byte 1 of the word (the quality-classifier
+    // convention); weights quantized to 1/1024 so the sum order
+    // cannot move the 4dp rounding
+    "q_importance_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+        |    unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    (strpos('0123456789abcdef', substr(md5(word), 3, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(md5(word), 4, 1)) - 1
+        |      AS bkt
+        |  FROM toks
+        |), census AS (
+        |  SELECT bkt, count(*) AS cr,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |  FROM b GROUP BY bkt
+        |), tot AS (
+        |  SELECT sum(cr) AS nr, sum(ct) AS nt FROM census
+        |), llr AS (
+        |  SELECT bkt,
+        |    floor((ln((ct + 1.0) / (nt + 256)) - ln((cr + 1.0) / (nr + 256)))
+        |      * 1024 + 0.5) / 1024.0 AS w
+        |  FROM census, tot
+        |), per AS (
+        |  SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+        |    round(sum(w) / n_tok, 4) AS llr_mean
+        |  FROM b JOIN llr USING (bkt)
+        |  GROUP BY doc_id, lang, n_tok
+        |)
+        |SELECT doc_id, lang, n_tok, llr_mean,
+        |  CASE WHEN llr_mean > 0 THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM per ORDER BY doc_id""".stripMargin,
     "q_corpus_shuffle" ->
       """WITH d AS (
         |  SELECT doc_id, source,

@@ -138,6 +138,45 @@ class CorpusIrSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  // --- DSIR importance weights ---------------------------------------
+
+  test("importanceWeights matches a brute-force bucket-LLR model") {
+    val rows = Tables.t(spark, Sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(w: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      ((d(1) >> 4) & 0xf) * 16 + (d(1) & 0xf)
+    }
+    val cr = Array.fill(256)(0L); val ct = Array.fill(256)(0L)
+    for ((_, lang, text) <- rows; w <- text.split(" ", -1)) {
+      val b = bucket(w); cr(b) += 1; if (lang == "en") ct(b) += 1
+    }
+    val nr = cr.sum.toDouble; val nt = ct.sum.toDouble
+    val llr = Array.tabulate(256) { b =>
+      val w = math.log((ct(b) + 1.0) / (nt + 256)) -
+        math.log((cr(b) + 1.0) / (nr + 256))
+      math.floor(w * 1024 + 0.5) / 1024
+    }
+    val expected = rows.map { case (id, lang, text) =>
+      val ws = text.split(" ", -1)
+      val mean = ws.map(w => llr(bucket(w))).sum / ws.length
+      val r = BigDecimal(mean)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, lang, ws.length.toLong, r, if (r > 0) "keep" else "drop")
+    }.sortBy(_._1).toSeq
+    val got = CorpusOps.importanceWeights(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getString(4))).toSeq
+    assert(got == expected)
+    // the model must actually separate the target: English docs score
+    // higher on average than the rest
+    val (en, rest) = got.partition(_._2 == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(en.map(_._4).sum / en.size > rest.map(_._4).sum / rest.size)
+  }
+
   // --- deterministic training-order shuffle --------------------------
 
   test("corpusShuffle is a reproducible seed-keyed permutation") {
