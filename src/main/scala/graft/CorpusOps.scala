@@ -406,26 +406,37 @@ object CorpusOps {
     * The selection verdict is threshold-at-zero (more target-like than
     * raw); production DSIR samples against the weights instead — same
     * table, same plan. */
-  def importanceWeights(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val bkt = docs
-      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
-      .select(col("lang"),
+  /** The learned 256-entry LLR table of [[importanceWeights]], exposed
+    * so the streaming gate (StreamingCorpus.targetGate) can score with
+    * a frozen copy of the same model. `isTarget` marks the target
+    * slice (default: the English docs). */
+  def llrTable(docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column = col("lang") === "en")
+      : Array[Double] = {
+    val counts = docs
+      .select(isTarget.as("tgt"),
+        explode(split(col("text"), " ")).as("word"))
+      .select(col("tgt"),
         conv(substring(md5(col("word")), 3, 2), 16, 10)
           .cast("int").as("bkt"))
-    val counts = bkt.groupBy(col("bkt"))
+      .groupBy(col("bkt"))
       .agg(count(lit(1)).as("cr"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val nr = counts.map(_._2).sum.toDouble
     val nt = counts.map(_._3).sum.toDouble
     val cr = Array.fill(256)(0L); val ct = Array.fill(256)(0L)
     counts.foreach { case (b, r, t) => cr(b) = r; ct(b) = t }
-    val llr = Array.tabulate(256) { b =>
+    Array.tabulate(256) { b =>
       val w = math.log((ct(b) + 1.0) / (nt + 256)) -
         math.log((cr(b) + 1.0) / (nr + 256))
       math.floor(w * 1024 + 0.5) / 1024
     }
+  }
+
+  def importanceWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val llr = llrTable(docs)
     docs
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
       .withColumn("llr_mean", Num.r4(

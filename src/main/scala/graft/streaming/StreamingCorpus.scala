@@ -78,6 +78,26 @@ object StreamingCorpus {
       .drop("h")
   }
 
+  /** Model-based quality gate in-stream — DSIR data selection applied
+    * at ingest: score each arriving document with a FROZEN 256-entry
+    * log-likelihood-ratio table (learned offline by
+    * `CorpusOps.llrTable` over the landed corpus) and admit docs more
+    * target-like than raw. The score is the fused BucketWeightSum
+    * kernel — a stateless codegen'd projection: no state store, no
+    * shuffle, valid under any trigger, and bit-identical to the batch
+    * `CorpusOps.importanceWeights` score for the same table
+    * (spec-pinned). Refresh cadence = restart the query with the next
+    * landing cycle's table, exactly how [[novelAgainstHistory]]
+    * refreshes its Bloom filter. */
+  def targetGate(docs: DataFrame, llr: Array[Double],
+      threshold: Double = 0.0): DataFrame =
+    docs
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("llr_mean", graft.Num.r4(
+        graft.functions.text.bucketWeightSum(col("text"), llr)
+          / col("n_tok")))
+      .filter(col("llr_mean") > threshold)
+
   /** Land the deduped signature stream into a parquet signature store:
     * append-only micro-batches (the landing contract — downstream LSH
     * reads the store on its own cadence; at-least-once on failure, the

@@ -109,4 +109,37 @@ class StreamingCorpusSpec extends SparkSuite {
     assert(spark.table("novel_docs").columns.sorted.toSeq ==
       Seq("doc_id", "ingest_time", "text"))
   }
+
+  test("targetGate scores in-stream exactly like the batch DSIR model") {
+    implicit val ctx = spark.sqlContext
+    // model learned offline over the landed corpus
+    val corpus = Tables.t(spark, Sf, "documents")
+    val llr = CorpusOps.llrTable(corpus)
+    val input = MemoryStream[StreamDoc]
+    val q = StreamingCorpus.targetGate(input.toDF(), llr)
+      .writeStream.format("memory").queryName("gated_docs")
+      .outputMode(OutputMode.Append).start()
+    // replay real corpus docs (both verdict classes) through the
+    // stream: the gate must admit exactly the batch model's keep set,
+    // with identical scores
+    val batch = CorpusOps.importanceWeights(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getString(4))).toSeq
+    val sampleIds = (batch.filter(_._3 == "keep").take(10) ++
+      batch.filter(_._3 == "drop").take(10)).map(_._1).toSet
+    val sample = corpus.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => sampleIds.contains(d._1))
+    input.addData(sample.map { case (id, t) =>
+      StreamDoc(id, t, ts("2024-01-01 10:00:00")) })
+    q.processAllAvailable()
+    val streamed = spark.table("gated_docs").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("llr_mean"))
+      .toMap
+    q.stop()
+    val expected = batch
+      .filter(r => sampleIds.contains(r._1) && r._3 == "keep")
+      .map(r => r._1 -> r._2).toMap
+    assert(streamed == expected)
+    assert(expected.nonEmpty && streamed.size < sample.length)
+  }
 }
