@@ -413,7 +413,49 @@ object Ann {
       .orderBy(col("label"))
   }
 
+  /** #93 cell-prototype diversity sample (coreset selection): one
+    * representative per Voronoi cell — the member NEAREST its cell
+    * seed — plus the cell census. This is the cluster-prototype
+    * recipe for pruning/diversifying an embedding corpus (keep one
+    * exemplar per semantic neighborhood; SemDeDup's sibling for
+    * budget-driven selection). The whole selection is one
+    * map-side-combined HashAggregate over the narrow
+    * [[nearestSeed]] projection: the (dist, vec_id) argmin rides a
+    * single LONG key — 4dp-quantized distance in the high bits,
+    * vec_id in the low 32 — so no struct-keyed min_by (which would
+    * force a SortAggregate over every vector, the AsOf lesson) and
+    * no per-cell window. min(dist) separately recovers the
+    * representative's distance (it IS the argmin's distance). */
+  def diverseSample(s: SparkSession, dir: String, cells: Int = 32,
+      cap: Int = 500): DataFrame = {
+    val e = withV(t(s, dir, "embeddings")).select(col("vec_id"), col("v"))
+    val cents = seedCentroids(e, cells)
+    if (cents.isEmpty)
+      return s.emptyDataFrame
+        .withColumn("cell", lit(0L)).withColumn("n_vecs", lit(0L))
+        .withColumn("rep_id", lit(0L)).withColumn("rep_dist", lit(0.0))
+        .limit(0)
+    val ns = nearestSeed(cents)
+    val assigned = Dedup.dropHotBuckets(
+      e.select(col("vec_id"), ns.getField("cid").as("cell"),
+        ns.getField("dist").as("dist")),
+      Seq("cell"), cap)
+    assigned
+      .withColumn("__k",
+        round(col("dist") * 10000).cast("long") * lit(1L << 32)
+          + col("vec_id"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("__k")).as("__min"),
+        min(col("dist")).as("rep_dist"))
+      .select(col("cell"), col("n_vecs"),
+        col("__min").bitwiseAND(lit((1L << 32) - 1)).as("rep_id"),
+        col("rep_dist"))
+      .orderBy(col("cell"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_diverse_sample" -> ((s: SparkSession, dir: String) =>
+      diverseSample(s, dir)),
     "q_knn_graph" -> ((s: SparkSession, dir: String) => knnGraph(s, dir)),
     "q_semdedup" -> ((s: SparkSession, dir: String) => semDedup(s, dir)),
     "q_ann_bruteforce" -> bruteForce _,
@@ -508,6 +550,24 @@ object Ann {
        |)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q_diverse_sample" ->
+      s"""${cellCte(32, 500)}, dist AS (
+         |  SELECT ec.vec_id, ec.cell,
+         |    round(sum((d.x - c.x) * (d.x - c.x)), 4) AS dist
+         |  FROM ec
+         |  JOIN d ON d.vec_id = ec.vec_id
+         |  JOIN c0 c ON c.i = d.i AND c.cid = ec.cell
+         |  GROUP BY ec.vec_id, ec.cell
+         |), ranked AS (
+         |  SELECT cell, vec_id, dist,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY dist, vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY cell) AS n_vecs
+         |  FROM dist
+         |)
+         |SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |  vec_id AS rep_id, dist AS rep_dist
+         |FROM ranked WHERE rn = 1 ORDER BY cell""".stripMargin,
     "q_knn_graph" ->
       s"""${cellCte(32, 500)}, p AS (
          |  SELECT a.vec_id, b.vec_id AS nbr_id,

@@ -150,6 +150,29 @@ class ScaleOpsSpec extends SparkSuite {
       .map(row => (row.getLong(0), String.valueOf(row.get(1)),
         row.getSeq[Double](2).toArray))
 
+  test("diverseSample picks the seed-nearest member of every cell") {
+    def sq4(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      math.floor(acc * 10000.0 + 0.5) / 10000.0
+    }
+    val vecs = embVecs()
+    val seeds = vecs.filter(_._1 < 32).sortBy(_._1)
+      .map(v => v._1 -> v._3).toMap
+    val cellOf = cellsOf(vecs)
+    val expected = vecs.groupBy(v => cellOf(v._1))
+      .filter(_._2.length <= 500)
+      .map { case (cell, members) =>
+        val (dist, rep) = members
+          .map { case (id, _, v) => (sq4(v, seeds(cell)), id) }.min
+        cell -> ((members.length.toLong, rep, dist))
+      }
+    val got = Ann.diverseSample(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected && expected.nonEmpty)
+  }
+
   test("knn graph: rank-1 edges match a brute-force driver computation") {
     val r = Materialize.frame(Ann.knnGraph(spark, Sf))
     // k bound and rank integrity
