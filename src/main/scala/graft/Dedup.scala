@@ -448,9 +448,16 @@ object Dedup {
     * shared rare gram is corpus-boilerplate, which at the default
     * means the "contained" text is not distinctive content. */
   def containmentJoin(s: SparkSession, dir: String, ct: Double = 0.5,
+      dfCap: Int = 100): DataFrame =
+    containmentJoinOf(spanDocGrams(s, dir), ct, dfCap)
+
+  /** Frame-generic body of [[containmentJoin]] over a (doc_id,
+    * gs: array&lt;long&gt;) distinct-gram frame — spec-injectable, so the
+    * prefix-filter losslessness can be fuzz-pinned on random corpora. */
+  def containmentJoinOf(docGrams: DataFrame, ct: Double = 0.5,
       dfCap: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docG = spanDocGrams(s, dir)
+    val docG = docGrams
       .withColumn("ng", size(col("gs")).cast("long"))
       .transform(graft.Materialize.frame)
     val grams = docG.select(col("doc_id"), col("ng"),

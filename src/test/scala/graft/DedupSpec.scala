@@ -98,6 +98,43 @@ class DedupSpec extends SparkSuite {
     assert(got == expected && expected.nonEmpty)
   }
 
+  test("fuzz: prefix-filter candidates are lossless vs all-pairs containment") {
+    // random small-vocab corpora force heavy gram sharing — the worst
+    // case for a candidate filter; with the df cap not binding, the
+    // prefix theorem says output must equal the exhaustive scan exactly
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 5) {
+      val docs: Seq[(Long, Seq[String])] = (0 until 14).map { i =>
+        (i.toLong, Seq.fill(4 + rnd.nextInt(9))("w" + rnd.nextInt(10)))
+      }
+      // splice a few true containments: doc 3/7/11 embed their
+      // predecessor's full text
+      val spliced = docs.map { case (id, ws) =>
+        if (id % 4 == 3) (id, docs((id - 1).toInt)._2 ++ ws) else (id, ws)
+      }
+      val gramSets: Map[Long, Set[String]] = spliced.map { case (id, ws) =>
+        id -> ws.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+      }.toMap
+      val gramIds = gramSets.values.flatten.toSeq.distinct.sorted.zipWithIndex
+        .map { case (g, i) => g -> (i + 1).toLong }.toMap
+      val df = gramSets.toSeq
+        .map { case (id, gs) => (id, gs.map(gramIds).toSeq) }
+        .toDF("doc_id", "gs")
+      val got = Dedup.containmentJoinOf(df, ct = 0.5, dfCap = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val expected = (for {
+        (a, sa) <- gramSets; (b, sb) <- gramSets if a < b
+        inter = sa.intersect(sb).size
+        c = inter.toDouble / math.min(sa.size, sb.size)
+        if c >= 0.5
+      } yield (a, b, BigDecimal(c)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      assert(got == expected, s"round $round")
+      assert(expected.nonEmpty, s"round $round degenerate")
+    }
+  }
+
   test("lsh candidate pairs never include a doc paired with itself") {
     val cand = Dedup.lshCandidates(Dedup.minhashSignatures(spark, Sf))
       .filter(col("doc_a") >= col("doc_b"))
