@@ -334,7 +334,47 @@ object TextOps {
       .orderBy(col("freq").desc, col("pair"))
       .limit(k)
 
+  /** #94 PMI collocation mining `q_pmi_pairs`: the adjacent-word-pair
+    * pointwise-mutual-information census — the classic phrase detector
+    * (word2phrase / Mikolov-style "new_york" merging) a tokenizer or
+    * embedding pipeline runs before training. Two map-side-combined
+    * censuses over ONE text scan each (bigram pairs as two columns —
+    * never a concatenated pair string on the 100 TB path — and the
+    * unigram vocab), then PMI scored on the |bigram-vocab| census rows
+    * with the unigram table BROADCAST (the ccnet precedent: vocab
+    * ≪ corpus by Heaps' law) and top-k as a TakeOrdered. All factor
+    * products are exact integers under 2^53 and the formula text is
+    * identical in both engines, so ln/round agree bit-for-bit. */
+  def pmiPairs(s: SparkSession, dir: String, minCount: Int = 5,
+      k: Int = 30): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bi = docs
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1)," +
+          " i -> struct(element_at(w, i) AS wa," +
+          " element_at(w, i + 1) AS wb))")).as("p"))
+      .select(col("p.wa"), col("p.wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c_ab"))
+    val uni = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val tot = bi.agg(sum(col("c_ab")).cast("double").as("n"))
+    bi.filter(col("c_ab") >= minCount)
+      .join(broadcast(uni.select(col("word").as("wa"), col("c").as("ca"))),
+        Seq("wa"))
+      .join(broadcast(uni.select(col("word").as("wb"), col("c").as("cb"))),
+        Seq("wb"))
+      .crossJoin(broadcast(tot))
+      .select(col("wa"), col("wb"), col("c_ab"),
+        Num.r4(log((col("c_ab") * col("n")) / (col("ca") * col("cb"))))
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("wa"), col("wb"))
+      .limit(k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pmi_pairs" -> ((s: SparkSession, dir: String) => pmiPairs(s, dir)),
     "q_bpe_pairs" -> ((s: SparkSession, dir: String) => bpePairs(s, dir)),
     "q_pseudonymize" -> pseudonymize _,
     "q_lang_id" -> langId _,
@@ -349,6 +389,27 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_pmi_pairs" ->
+      """WITH w AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |), bi AS (
+        |  SELECT w[i] AS wa, w[i+1] AS wb
+        |  FROM w, unnest(range(1, len(w))) t(i)
+        |), cab AS (
+        |  SELECT wa, wb, count(*) AS c_ab FROM bi GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT word, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |  ) GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(c_ab) AS DOUBLE) AS n FROM cab
+        |)
+        |SELECT wa, wb, CAST(c_ab AS BIGINT) AS c_ab,
+        |  round(ln((c_ab * n) / (ua.c * ub.c)), 4) AS pmi
+        |FROM cab JOIN uni ua ON ua.word = cab.wa
+        |JOIN uni ub ON ub.word = cab.wb, tot
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, wa, wb LIMIT 30""".stripMargin,
     "q_bpe_pairs" ->
       """WITH words AS (
         |  SELECT w AS word, count(*) AS f

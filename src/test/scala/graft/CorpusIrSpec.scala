@@ -138,6 +138,28 @@ class CorpusIrSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  // --- PMI collocations ----------------------------------------------
+
+  test("pmiPairs matches a brute-force collocation census") {
+    val texts = docs.map(_._2)
+    val bigrams = texts.flatMap(_.split(" ", -1).sliding(2)
+      .filter(_.length == 2).map(a => (a(0), a(1))))
+    val cab = bigrams.groupBy(identity).map { case (p, o) => p -> o.size }
+    val uni = texts.flatMap(_.split(" ", -1))
+      .groupBy(identity).map { case (w, o) => w -> o.size }
+    val n = bigrams.size.toDouble
+    val expected = cab.toSeq
+      .filter(_._2 >= 5)
+      .map { case ((wa, wb), c) =>
+        (wa, wb, c.toLong, r4(math.log((c * n) / (uni(wa).toLong * uni(wb))))) }
+      .sortBy { case (wa, wb, _, pmi) => (-pmi, wa, wb) }
+      .take(30)
+    val got = TextOps.pmiPairs(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected && expected.nonEmpty)
+  }
+
   // --- DSIR importance weights ---------------------------------------
 
   test("importanceWeights matches a brute-force bucket-LLR model") {
