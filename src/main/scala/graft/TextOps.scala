@@ -348,23 +348,31 @@ object TextOps {
   def pmiPairs(s: SparkSession, dir: String, minCount: Int = 5,
       k: Int = 30): DataFrame = {
     val docs = t(s, dir, "documents")
+    // Bigram census on xxhash64 LONG pairs from the fused WordHashes
+    // stream — word STRINGS never enter the wide shuffle (the r11
+    // token-stream principle); the adjacency lambda runs over long
+    // arrays, not strings. PMI and counts are injective-invariant, so
+    // the string-keyed oracle agrees; word text is recovered for the
+    // top-k ONLY, from the (tiny, broadcast) vocab census — which is
+    // also where ca/cb come from. Collision odds ~vocab²/2^65.
     val bi = docs
-      .select(split(col("text"), " ").as("w"))
+      .select(graft.functions.hashes.wordHashes(col("text")).as("hs"))
       .select(explode(expr(
-        "transform(sequence(1, size(w) - 1)," +
-          " i -> struct(element_at(w, i) AS wa," +
-          " element_at(w, i + 1) AS wb))")).as("p"))
-      .select(col("p.wa"), col("p.wb"))
-      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c_ab"))
+        "transform(sequence(1, size(hs) - 1)," +
+          " i -> struct(element_at(hs, i) AS ha," +
+          " element_at(hs, i + 1) AS hb))")).as("p"))
+      .select(col("p.ha"), col("p.hb"))
+      .groupBy(col("ha"), col("hb")).agg(count(lit(1)).as("c_ab"))
     val uni = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .withColumn("h", xxhash64(col("word")))
     val tot = bi.agg(sum(col("c_ab")).cast("double").as("n"))
     bi.filter(col("c_ab") >= minCount)
-      .join(broadcast(uni.select(col("word").as("wa"), col("c").as("ca"))),
-        Seq("wa"))
-      .join(broadcast(uni.select(col("word").as("wb"), col("c").as("cb"))),
-        Seq("wb"))
+      .join(broadcast(uni.select(col("h").as("ha"),
+        col("word").as("wa"), col("c").as("ca"))), Seq("ha"))
+      .join(broadcast(uni.select(col("h").as("hb"),
+        col("word").as("wb"), col("c").as("cb"))), Seq("hb"))
       .crossJoin(broadcast(tot))
       .select(col("wa"), col("wb"), col("c_ab"),
         Num.r4(log((col("c_ab") * col("n")) / (col("ca") * col("cb"))))
