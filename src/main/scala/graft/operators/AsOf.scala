@@ -53,6 +53,15 @@ object AsOf {
     * @param leftTimeS  left epoch-seconds column
     * @param rightId    unique right row id (deterministic tie-break)
     * @param rightTimeS right epoch-seconds column
+    * @param direction  "backward" (default): most recent right row at
+    *                   or before leftTime; "forward": earliest right
+    *                   row at or after leftTime — the two directions a
+    *                   full ASOF surface offers (e.g. joining an event
+    *                   to the NEXT config snapshot instead of the
+    *                   previous one). Forward mirrors every plan
+    *                   choice: the right side duplicates into its own
+    *                   and the PREVIOUS bucket, and the argmax flips
+    *                   to a min_by over the same packed key.
     * @return left rows + matched right columns prefixed `r_` (null
     *         where no right row matches — LEFT ASOF semantics) */
   def asofJoin(
@@ -63,8 +72,12 @@ object AsOf {
       leftTimeS: String,
       rightId: String,
       rightTimeS: String,
-      toleranceS: Long): DataFrame = {
+      toleranceS: Long,
+      direction: String = "backward"): DataFrame = {
     require(toleranceS > 0, s"toleranceS must be positive, got $toleranceS")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
     val rCols = right.columns.filterNot(keys.contains).toSeq
     val generated =
       Seq("__lbk", "__rbk") ++ rCols.map("r_" + _) ++ keys.map("__rk_" + _)
@@ -78,22 +91,28 @@ object AsOf {
         rCols.map(c => col(c).as(s"r_$c")): _*)
       .withColumn("__rbk", explode(array(
         floor(col(s"r_$rightTimeS") / toleranceS),
-        floor(col(s"r_$rightTimeS") / toleranceS) + 1)))
+        floor(col(s"r_$rightTimeS") / toleranceS) +
+          (if (fwd) -1 else 1))))
     val lt = col(leftTimeS)
     val rt = col(s"r_$rightTimeS")
     val leftCols = left.columns.toSeq
     val key = packedKey(rt, col(s"r_$rightId"))
     val aggs =
       leftCols.filterNot(_ == leftId).map(c => first(col(c)).as(c)) ++
-        rCols.map(c => max_by(col(s"r_$c"), key).as(s"r_$c"))
+        rCols.map(c => (if (fwd) min_by(col(s"r_$c"), key)
+          else max_by(col(s"r_$c"), key)).as(s"r_$c"))
+    val timePred =
+      if (fwd) rt >= lt && rt - lt <= toleranceS
+      else rt <= lt && lt - rt <= toleranceS
     // LEFT OUTER so unmatched left rows survive (their r_* stay null:
-    // max_by ignores null keys); first() re-emits the left values —
-    // left's lineage is evaluated exactly once and never duplicated.
+    // max_by/min_by ignore null keys); first() re-emits the left
+    // values — left's lineage is evaluated exactly once, never
+    // duplicated.
     left
       .withColumn("__lbk", floor(lt / toleranceS))
       .join(r, keys.map(k => col(k) === col(s"__rk_$k"))
         .foldLeft(col("__lbk") === col("__rbk"))(_ && _) &&
-        rt <= lt && lt - rt <= toleranceS, "left")
+        timePred, "left")
       .groupBy(col(leftId))
       .agg(aggs.head, aggs.tail: _*)
       .select(leftCols.map(col) ++ rCols.map(c => col(s"r_$c")): _*)

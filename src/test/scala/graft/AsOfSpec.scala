@@ -57,6 +57,42 @@ class AsOfSpec extends SparkSuite {
     }
   }
 
+  test("forward direction picks the earliest right row at-or-after") {
+    val left = frame((1L, "a", 100L), (2L, "a", 5000L), (3L, "b", 100L))
+    val right = frame((10L, "a", 140L), (11L, "a", 190L), (12L, "b", 3000L))
+    val got = AsOf.asofJoin(left, right, Seq("k"),
+        "id", "t", "id", "t", 1000L, direction = "forward")
+      .select(col("id"), col("r_id")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).contains(10L)) // earliest of 140, 190
+    assert(got(2L).isEmpty)       // nothing at-or-after 5000 within tol
+    assert(got(3L).isEmpty)       // b's row is 2900s ahead: beyond tol
+  }
+
+  test("randomized: forward matches a brute-force next-match scan") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 4) {
+      val lrows = (0 until 25).map(i =>
+        (i.toLong, s"k${rnd.nextInt(3)}", rnd.nextInt(5000).toLong))
+      val rrows = (0 until 25).map(i =>
+        (100L + i, s"k${rnd.nextInt(3)}", rnd.nextInt(5000).toLong))
+      val tol = 700L
+      val expected = lrows.map { case (lid, lk, lt) =>
+        val cands = rrows.filter { case (_, rk, rt) =>
+          rk == lk && rt >= lt && rt - lt <= tol
+        }
+        lid -> (if (cands.isEmpty) None
+                else Some(cands.minBy { case (rid, _, rt) => (rt, rid) }._1))
+      }.toMap
+      val got = AsOf.asofJoin(frame(lrows: _*), frame(rrows: _*),
+          Seq("k"), "id", "t", "id", "t", tol, direction = "forward")
+        .select(col("id"), col("r_id")).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("plans as an equi-join keyed by the time bucket") {
     val plan = AsOf.asofJoin(
         frame((1L, "a", 10L)), frame((2L, "a", 5L)),
