@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY.md §2 #32-34: similarity search over the embedding column.
   * Brute-force is the exact baseline (probe broadcast, per-partition
@@ -421,8 +422,9 @@ object Ann {
     * budget-driven selection). The whole selection is one
     * map-side-combined HashAggregate over the narrow
     * [[nearestSeed]] projection: the (dist, vec_id) argmin rides a
-    * single LONG key — 4dp-quantized distance in the high bits,
-    * vec_id in the low 32 — so no struct-keyed min_by (which would
+    * single DECIMAL(38,0) packed key (the AsOf.packedKey pattern) —
+    * 4dp-quantized distance above vec_id — so no struct-keyed min_by
+    * (which would
     * force a SortAggregate over every vector, the AsOf lesson) and
     * no per-cell window. min(dist) separately recovers the
     * representative's distance (it IS the argmin's distance). */
@@ -440,15 +442,20 @@ object Ann {
       e.select(col("vec_id"), ns.getField("cid").as("cell"),
         ns.getField("dist").as("dist")),
       Seq("cell"), cap)
+    // Packed key as DECIMAL(38,0) (the AsOf.packedKey pattern): a LONG
+    // pack silently flips sign when the quantized distance reaches 2^31
+    // (squared-L2 ~2.1e5) or vec_id leaves [0, 2^32) — decimal widths
+    // make the lexicographic (dist, vec_id) order exact for any domain.
+    val two63 = lit(BigDecimal(BigInt(1) << 63))
     assigned
       .withColumn("__k",
-        round(col("dist") * 10000).cast("long") * lit(1L << 32)
-          + col("vec_id"))
+        round(col("dist") * 10000).cast(DecimalType(38, 0)) * two63
+          + col("vec_id").cast(DecimalType(38, 0)))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"), min(col("__k")).as("__min"),
         min(col("dist")).as("rep_dist"))
       .select(col("cell"), col("n_vecs"),
-        col("__min").bitwiseAND(lit((1L << 32) - 1)).as("rep_id"),
+        (col("__min") % two63).cast("long").as("rep_id"),
         col("rep_dist"))
       .orderBy(col("cell"))
   }

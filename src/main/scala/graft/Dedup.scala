@@ -440,8 +440,18 @@ object Dedup {
     * grams only — rare by construction, so candidate work is
     * Σ_{prefix grams} df(g), never |docs|². The two engines use
     * different tie-break orders (xxhash64 longs here, gram text in
-    * the oracle): any consistent total order satisfies the theorem,
-    * so candidate SETS differ but the verified output is identical.
+    * the oracle): any consistent total order satisfies the theorem
+    * (the pigeonhole bound holds for ANY ⌊(1-t)n⌋+1 grams of the
+    * smaller doc), so candidate SETS differ but the verified output
+    * is identical — PROVIDED dfCap does not bind at an equal-df
+    * prefix boundary. When it does, one engine's prefix can retain
+    * the only shared cap-eligible gram while the other's swaps it
+    * for an unshared equal-df tie, so cross-engine output parity is
+    * only guaranteed with the cap non-binding (the fuzz spec pins
+    * losslessness at dfCap=1000 for exactly this reason; the sf0.01
+    * oracle hash-matches at the default cap because no shared gram
+    * straddles a cap-boundary tie on that corpus — an empirical
+    * fact, not a theorem).
     * `dfCap` (mirrored in the oracle) excludes grams seen in more
     * docs than the cap from candidate generation — a guard against
     * boilerplate-only prefixes; it can drop a pair only if every

@@ -355,8 +355,15 @@ object TextOps {
     // the string-keyed oracle agrees; word text is recovered for the
     // top-k ONLY, from the (tiny, broadcast) vocab census — which is
     // also where ca/cb come from. Collision odds ~vocab²/2^65.
+    // Guard: a one-word doc yields size(hs)=1, and Spark's
+    // sequence(1, 0) is DESCENDING [1, 0] — not empty — so the lambda
+    // would reach element_at(hs, 0) and throw. Same trap documented at
+    // the shingles guard (Dedup) and bpePairs' length filter; the
+    // oracle's range(1, len(w)) is empty for len=1, so the filter also
+    // keeps the engines semantically aligned.
     val bi = docs
       .select(graft.functions.hashes.wordHashes(col("text")).as("hs"))
+      .filter(size(col("hs")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(hs) - 1)," +
           " i -> struct(element_at(hs, i) AS ha," +

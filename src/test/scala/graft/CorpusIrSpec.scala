@@ -160,6 +160,24 @@ class CorpusIrSpec extends SparkSuite {
     assert(got == expected && expected.nonEmpty)
   }
 
+  test("pmiPairs survives single-token and empty documents") {
+    // sequence(1, 0) is DESCENDING [1, 0] in Spark — without the
+    // size >= 2 guard a one-word doc (or empty text: split yields one
+    // element) reaches element_at(hs, 0) and throws. Pin on a corpus
+    // the generated testdata never produces.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pmi_guard").toString
+    Seq((1L, "", "en", "s", 0L), (2L, "solo", "en", "s", 4L),
+      (3L, "alpha beta alpha beta alpha beta alpha beta alpha beta",
+        "en", "s", 53L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.pmiPairs(spark, dir, minCount = 2, k = 5).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("alpha", "beta"), ("beta", "alpha")))
+  }
+
   // --- DSIR importance weights ---------------------------------------
 
   test("importanceWeights matches a brute-force bucket-LLR model") {
