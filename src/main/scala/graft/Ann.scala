@@ -224,32 +224,118 @@ object Ann {
   def pqAnn(s: SparkSession, dir: String, probeId: Long = 0L,
       k: Int = 10): DataFrame = {
     val e = withV(t(s, dir, "embeddings")).select(col("vec_id"), col("v"))
-    val cb = broadcast(e.filter(col("vec_id") < PqK)
+    val cb = pqCodebook(e)
+    pqAdcScore(pqCodes(e, cb), pqAdcTable(e, cb, probeId), probeId)
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Demo codebook: the subvectors of the K lowest vec_ids, broadcast
+    * (production trains per-subspace Lloyd with [[kmeans]]'s machinery;
+    * everything downstream is unchanged). */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    broadcast(e.filter(col("vec_id") < PqK)
       .select(col("vec_id").cast("int").as("code"), col("v").as("cv")))
+
+  /** PQ encode: per-(vector, codeword) subspace distances, then argmin
+    * per subspace as min(struct(dist, code)) — map-side combined, ties
+    * to the smallest code. Returns (vec_id, m, code) — the stored code
+    * table at scale. */
+  private def pqCodes(sub: DataFrame, cb: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val subCols = (0 until PqM).map(m => pqSubDist(m).as(s"d$m"))
-    // per-(vector, codeword) subspace distances, then argmin per
-    // subspace as min(struct(dist, code)) — map-side combined, ties to
-    // the smallest code
-    val codes = e.crossJoin(cb)
-      .select(col("vec_id") +: col("code") +: subCols: _*)
-      .groupBy(col("vec_id"))
+    val keep = carry.map(col)
+    sub.crossJoin(cb)
+      .select(col("vec_id") +: col("code") +: (keep ++ subCols): _*)
+      .groupBy(col("vec_id") +: keep: _*)
       .agg(min(struct(col("d0"), col("code"))).as("m0"),
         (1 until PqM).map(m =>
           min(struct(col(s"d$m"), col("code"))).as(s"m$m")): _*)
-      .select(col("vec_id"), explode(array((0 until PqM).map(m =>
-        struct(lit(m).as("m"), col(s"m$m.code").as("code"))): _*)).as("c"))
-      .select(col("vec_id"), col("c.m").as("m"), col("c.code").as("code"))
-    // ADC table: probe × codebook → M×K rows, broadcast
-    val dt = broadcast(e.filter(col("vec_id") === probeId)
+      .select(col("vec_id") +: keep :+ explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), col(s"m$m.code").as("code"))): _*)).as("c"): _*)
+      .select(col("vec_id") +: keep :+ col("c.m").as("m")
+        :+ col("c.code").as("code"): _*)
+  }
+
+  /** ADC table: probe × codebook → M×K subspace distances, broadcast. */
+  private def pqAdcTable(e: DataFrame, cb: DataFrame,
+      probeId: Long): DataFrame = {
+    val subCols = (0 until PqM).map(m => pqSubDist(m).as(s"d$m"))
+    broadcast(e.filter(col("vec_id") === probeId)
       .crossJoin(cb)
       .select(col("code") +: subCols: _*)
       .select(col("code"), explode(array((0 until PqM).map(m =>
         struct(lit(m).as("m"), col(s"d$m").as("d"))): _*)).as("x"))
       .select(col("x.m").as("m"), col("code"), col("x.d").as("d")))
+  }
+
+  /** Asymmetric distance: M table lookups against each vector's code. */
+  private def pqAdcScore(codes: DataFrame, dt: DataFrame,
+      probeId: Long, carry: Seq[String] = Nil): DataFrame =
     codes.filter(col("vec_id") =!= probeId)
       .join(dt, Seq("m", "code"))
-      .groupBy(col("vec_id"))
+      .groupBy(col("vec_id") +: carry.map(col): _*)
       .agg(Num.r4(sum(col("d"))).as("adc_dist"))
+
+  /** Driver-side 4dp half-up rounding — the kernels' exact
+    * floor(x·1e4+0.5)/1e4 (the ScaleOpsSpec mirror convention). */
+  private def r4d(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
+  /** #34c composed IVF-PQ search `q_ann_ivf_pq` — the production
+    * 100 TB ANN shape: the IVF coarse quantizer prunes the corpus to
+    * the probe's `nprobe` nearest cells, and PQ asymmetric distance
+    * ranks what survives. Both halves are the existing machinery
+    * ([[nearestSeed]] cells, [[pqCodes]]/[[pqAdcTable]] ADC) composed
+    * with NO new shuffle shapes:
+    *
+    *  - the cell assignment is the narrow fused [[NearestCentroid]]
+    *    projection (no crossJoin, no window);
+    *  - the probed cells are computed ON THE DRIVER from the K×D seed
+    *    matrix + the 1-row probe vector (both bounded model collects)
+    *    and folded into the plan as an `isin` LITERAL — at 100 TB the
+    *    code table is stored partitioned BY cell, so this literal is a
+    *    partition-pruning predicate: search reads nprobe/K of the
+    *    index, the inverted-file story realized as Spark partition
+    *    pruning;
+    *  - encoding runs AFTER the cell filter (identical codes — the
+    *    argmin is per-vector — but only survivors pay it; at scale the
+    *    codes are precomputed and this stage is just the pruned scan);
+    *  - scoring is the same broadcast-ADC join + map-side-combined sum
+    *    as [[pqAnn]].
+    *
+    * Output: top-k (vec_id, cell, adc_dist) by ADC distance. */
+  def ivfPqAnn(s: SparkSession, dir: String, probeId: Long = 0L,
+      cells: Int = 32, nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val e = withV(t(s, dir, "embeddings")).select(col("vec_id"), col("v"))
+    def empty = e.select(col("vec_id"), lit(0L).as("cell"),
+      lit(0d).as("adc_dist")).limit(0)
+    val seeds = seedCentroids(e, cells)
+    if (seeds.isEmpty) return empty
+    val probeRows = e.filter(col("vec_id") === probeId)
+      .select(col("v")).head(1)
+    if (probeRows.isEmpty) return empty
+    val probeV = probeRows.head.getSeq[Double](0).toArray
+    // nprobe nearest cells to the probe, ranked by the SAME rounded
+    // squared-L2 + smallest-cid tiebreak as the assignment kernel
+    val probeCells = seeds
+      .map { case (cid, c) =>
+        var ss = 0.0
+        var i = 0
+        while (i < c.length) { val d = probeV(i) - c(i); ss += d * d; i += 1 }
+        (r4d(ss), cid)
+      }
+      .sorted.take(nprobe).map(_._2)
+    val assigned = e
+      .withColumn("cell", nearestSeed(seeds).getField("cid"))
+      .filter(col("cell").isin(probeCells: _*))
+    val cb = pqCodebook(e)
+    // cell rides the encode aggregate (functionally dependent on
+    // vec_id) — no join-back, the pruned corpus is scanned exactly once
+    val codes = pqCodes(assigned.select(col("vec_id"), col("cell"),
+      col("v")), cb, carry = Seq("cell"))
+    pqAdcScore(codes, pqAdcTable(e, cb, probeId), probeId,
+        carry = Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(k)
   }
@@ -473,7 +559,8 @@ object Ann {
       annBatch(s, dir, Seq(0L, 1L, 2L), k = 3)),
     "q_embedding_centroids" -> centroids _,
     "q_kmeans" -> ((s: SparkSession, dir: String) => kmeans(s, dir)),
-    "q_ann_pq" -> ((s: SparkSession, dir: String) => pqAnn(s, dir))
+    "q_ann_pq" -> ((s: SparkSession, dir: String) => pqAnn(s, dir)),
+    "q_ann_ivf_pq" -> ((s: SparkSession, dir: String) => ivfPqAnn(s, dir))
   )
 
   /** q_kmeans oracle: the two Lloyd iterations + final assignment
@@ -635,6 +722,69 @@ object Ann {
         |FROM codes c JOIN dt ON dt.m = c.m AND dt.code = c.code
         |WHERE c.vec_id <> 0
         |GROUP BY c.vec_id
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+    // composed IVF-PQ: the pq oracle's subspace machinery restricted to
+    // the probe's 2 nearest of 32 seed cells (cellCte-style assignment;
+    // the ADC table is built from the full probe row, as on the Spark
+    // side). Probed cells rank by the same rounded sqdist + cid tiebreak
+    // as the assignment.
+    "q_ann_ivf_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, i, v[i]::DOUBLE AS x,
+        |    CAST(floor((i - 1) / 8) AS INTEGER) AS m
+        |  FROM e, UNNEST(generate_series(1, len(v))) t(i)
+        |),
+        |c0 AS (SELECT vec_id AS cid, i, x FROM d WHERE vec_id < 32),
+        |assign AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT d.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY round(sum((d.x - c.x) * (d.x - c.x)), 4), c.cid)
+        |        AS rn
+        |    FROM d JOIN c0 c USING (i) GROUP BY d.vec_id, c.cid
+        |  ) WHERE rn = 1
+        |),
+        |pcell AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid,
+        |      row_number() OVER (
+        |        ORDER BY round(sum((p.x - c.x) * (p.x - c.x)), 4), c.cid)
+        |        AS rn
+        |    FROM d p JOIN c0 c USING (i)
+        |    WHERE p.vec_id = 0
+        |    GROUP BY c.cid
+        |  ) WHERE rn <= 2
+        |),
+        |cb AS (SELECT CAST(vec_id AS INTEGER) AS code, i, x, m
+        |       FROM d WHERE vec_id < 16),
+        |sub AS (
+        |  SELECT d.vec_id, a.cell, cb.code, d.m,
+        |    round(sum((d.x - cb.x) * (d.x - cb.x)), 4) AS dist
+        |  FROM d
+        |  JOIN assign a ON a.vec_id = d.vec_id
+        |  JOIN pcell pc ON pc.cid = a.cell
+        |  JOIN cb ON cb.i = d.i
+        |  GROUP BY d.vec_id, a.cell, cb.code, d.m
+        |),
+        |codes AS (
+        |  SELECT vec_id, cell, m, code FROM (
+        |    SELECT vec_id, cell, m, code,
+        |      row_number() OVER (PARTITION BY vec_id, m
+        |        ORDER BY dist, code) AS rn
+        |    FROM sub) WHERE rn = 1
+        |),
+        |dt AS (
+        |  SELECT cb.code, d.m,
+        |    round(sum((d.x - cb.x) * (d.x - cb.x)), 4) AS d
+        |  FROM d JOIN cb ON cb.i = d.i
+        |  WHERE d.vec_id = 0
+        |  GROUP BY cb.code, d.m
+        |)
+        |SELECT c.vec_id, c.cell, round(sum(dt.d), 4) AS adc_dist
+        |FROM codes c JOIN dt ON dt.m = c.m AND dt.code = c.code
+        |WHERE c.vec_id <> 0
+        |GROUP BY c.vec_id, c.cell
         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
     "q_ann_bruteforce" ->
       s"""$CosineCte

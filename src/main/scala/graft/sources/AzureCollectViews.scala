@@ -449,6 +449,268 @@ object AzureCollectViews {
               .otherwise("Microsoft.Compute/read")).as("value"))
   }
 
+  // --- unconsumed SUPPLEMENTARY_TABLES (azure_collect.py:70) ---------
+  // The eight landing shapes no cis_azure_pack rule reads — inventory
+  // snapshots only. Landed latest-snapshot (D2) like the other purely
+  // dimensional views; VARIANT subtrees land as JSON strings (the
+  // engine-wide VARIANT stand-in). Closing these makes azure_collect
+  // connector-module parity exact rather than "all that packs consume".
+
+  /** azure_collect_managed_clusters (azure_collect.py managed_clusters;
+    * AKS clusters listed per subscription). */
+  def managedClusters(supplier: DataFrame): DataFrame = {
+    val k = col("s_suppkey")
+    supplier.select(
+      lit(D2).cast("timestamp").as("recorded_at"),
+      ten(k % 25).as("tenant_id"), sub(k % 25).as("subscription_id"),
+      lit(null).cast("string").as("error"),
+      concat_ws("", lit("/subscriptions/sub-"), k % 25,
+        lit("/providers/Microsoft.ContainerService/managedClusters/aks"), k)
+        .as("id"),
+      lit("""{"type":"SystemAssigned"}""").as("identity"),
+      when(k % 2 === 0, "eastus").otherwise("westus").as("location"),
+      concat_ws("", lit("aks"), k).as("name"),
+      format_string("""{"kubernetesVersion":"1.%d.0","enableRBAC":%s}""",
+        (k % 5 + 24).cast("int"), (k % 3 =!= 0).cast("string"))
+        .as("properties"),
+      lit("""{"env":"prod"}""").as("tags"),
+      lit("Microsoft.ContainerService/ManagedClusters").as("type"))
+  }
+
+  /** azure_collect_resource_groups (subscription resource groups; two
+    * per subscription). */
+  def resourceGroups(nation: DataFrame): DataFrame = {
+    val k = col("n_nationkey")
+    nation
+      .select(col("n_nationkey"), explode(array(lit(0), lit(1))).as("__i"))
+      .select(
+        lit(D2).cast("timestamp").as("recorded_at"),
+        ten(k).as("tenant_id"), sub(k).as("subscription_id"),
+        lit(null).cast("string").as("error"),
+        concat_ws("", lit("/subscriptions/sub-"), k,
+          lit("/resourceGroups/rg"), k * 2 + col("__i")).as("id"),
+        when(col("__i") === 0, "eastus").otherwise("westus").as("location"),
+        lit(null).cast("string").as("managed_by"),
+        concat_ws("", lit("rg"), k * 2 + col("__i")).as("name"),
+        lit("""{"provisioningState":"Succeeded"}""").as("properties"),
+        lit(null).cast("string").as("tags"),
+        lit("Microsoft.Resources/resourceGroups").as("type"))
+  }
+
+  private def appServiceShape(supplier: DataFrame, kindV: String,
+      prefix: String, typeV: String, props: Column): DataFrame = {
+    val k = col("s_suppkey")
+    supplier.select(
+      lit(D2).cast("timestamp").as("recorded_at"),
+      ten(k % 25).as("tenant_id"), sub(k % 25).as("subscription_id"),
+      lit(null).cast("string").as("error"),
+      concat_ws("", lit("/subscriptions/sub-"), k % 25,
+        lit(s"/providers/Microsoft.Web/$prefix/"), lit(kindV), k).as("id"),
+      lit(kindV).as("kind"),
+      when(k % 2 === 0, "eastus").otherwise("westus").as("location"),
+      concat_ws("", lit(kindV), k).as("name"),
+      props.as("properties"),
+      lit(null).cast("string").as("tags"),
+      lit(typeV).as("type"))
+  }
+
+  /** azure_collect_hosting_environments (App Service Environments). */
+  def hostingEnvironments(supplier: DataFrame): DataFrame =
+    appServiceShape(supplier, "ase", "hostingEnvironments",
+      "Microsoft.Web/hostingEnvironments",
+      format_string("""{"status":"Ready","internalLoadBalancingMode":"%s"}""",
+        when(col("s_suppkey") % 3 === 0, "None").otherwise("Web")))
+
+  /** azure_collect_webapps (App Service web apps; the https-only flag
+    * is the property a future CIS 9.x rule would read). */
+  def webapps(supplier: DataFrame): DataFrame =
+    appServiceShape(supplier, "app", "sites", "Microsoft.Web/sites",
+      format_string("""{"httpsOnly":%s,"state":"Running"}""",
+        (col("s_suppkey") % 4 =!= 0).cast("string")))
+
+  /** azure_collect_workflows (Logic Apps listed per resource group —
+    * the one supplementary shape keyed by (subscription, rg)). */
+  def workflows(supplier: DataFrame): DataFrame = {
+    val k = col("s_suppkey")
+    supplier.select(
+      lit(D2).cast("timestamp").as("recorded_at"),
+      ten(k % 25).as("tenant_id"), sub(k % 25).as("subscription_id"),
+      concat_ws("", lit("rg"), (k % 25) * 2).as("resource_group_name"),
+      lit(null).cast("string").as("error"),
+      concat_ws("", lit("/subscriptions/sub-"), k % 25,
+        lit("/resourceGroups/rg"), (k % 25) * 2,
+        lit("/providers/Microsoft.Logic/workflows/wf"), k).as("id"),
+      concat_ws("", lit("wf"), k).as("name"),
+      lit("Microsoft.Logic/workflows").as("type"),
+      format_string("""{"state":"%s"}""",
+        when(k % 5 === 0, "Disabled").otherwise("Enabled"))
+        .as("properties"))
+  }
+
+  /** azure_collect_groups (Graph groups; the full landing column list —
+    * Graph responses are sparse, so most optional columns land typed
+    * null, exactly what the reference's VARIANT-path extraction
+    * produces for absent keys). */
+  def groups(customer: DataFrame): DataFrame = {
+    val c = col("c_custkey")
+    val gid = c % 8
+    def nstr(n: String) = lit(null).cast("string").as(n)
+    def nbool(n: String) = lit(null).cast("boolean").as(n)
+    def nts(n: String) = lit(null).cast("timestamp").as(n)
+    customer.filter(c <= 8).select(
+      lit(D2).cast("timestamp").as("recorded_at"),
+      ten(gid).as("tenant_id"),
+      lit(null).cast("string").as("error"),
+      lit(false).as("allow_external_senders"),
+      nstr("assigned_licenses"),
+      nbool("auto_subscribe_new_members"),
+      nstr("classification"),
+      lit("2023-06-01 00:00:00").cast("timestamp").as("created"),
+      nstr("creation_options"), nts("deleted"),
+      concat_ws("", lit("group "), gid).as("description"),
+      concat_ws("", lit("grp-"), gid).as("display_name"),
+      when(gid % 2 === 0, "Unified").otherwise(lit(null)).as("group_types"),
+      lit(false).as("has_members_with_license_errors"),
+      concat_ws("", lit("g-"), gid).as("id"),
+      (gid === 0).as("is_assignable_to_role"),
+      nbool("is_subscribed_by_mail"),
+      nstr("license_processing_state"),
+      concat_ws("", lit("grp-"), gid, lit("@corp.example")).as("mail"),
+      (gid % 2 === 0).as("mail_enabled"),
+      concat_ws("", lit("grp-"), gid).as("mail_nickname"),
+      nts("on_premises_last_sync"), nstr("on_premises_domain_name"),
+      nstr("on_premises_net_bios_name"),
+      nstr("on_premises_sam_account_name"),
+      nstr("resource_behavior_options"),
+      nstr("resource_provisioning_options"),
+      nstr("on_premises_provisioning_errors"),
+      nstr("on_premises_security_identifier"),
+      lit(false).as("on_premises_sync_enabled"),
+      nstr("preferred_data_location"), nstr("proxy_addresses"),
+      nts("renewed"),
+      lit(true).as("security_enabled"),
+      concat_ws("", lit("S-1-12-"), gid).as("security_identifier"),
+      lit(null).cast("long").as("unseen_count"),
+      when(gid % 3 === 0, "Private").otherwise("Public").as("visibility"),
+      nts("expiration"), nstr("membership_rule"),
+      nstr("membership_rule_processing_state"),
+      nstr("preferred_language"), nstr("theme"),
+      lit(null).cast("string").as("raw"))
+  }
+
+  /** azure_collect_groups_members (Graph group members — one landing
+    * row per (group, member); customer c is a member of group c%8, so
+    * every group_id joins back to [[groups]]). */
+  def groupsMembers(customer: DataFrame): DataFrame = {
+    val c = col("c_custkey")
+    def nstr(n: String) = lit(null).cast("string").as(n)
+    customer.select(
+      lit(D2).cast("timestamp").as("recorded_at"),
+      ten(c % 8).as("tenant_id"),
+      concat_ws("", lit("g-"), c % 8).as("group_id"),
+      lit(null).cast("string").as("error"),
+      concat_ws("", lit("u-"), c).as("id"),
+      lit("#microsoft.graph.user").as("odata_type"),
+      nstr("business_phones"),
+      concat_ws("", lit("User "), c).as("display_name"),
+      concat_ws("", lit("User"), c).as("given_name"),
+      nstr("job_title"),
+      concat_ws("", lit("user"), c, lit("@corp.example")).as("mail"),
+      nstr("mobile_phone"), nstr("office_location"),
+      nstr("preferred_language"), nstr("surname"),
+      concat_ws("", lit("user"), c, lit("@corp.example"))
+        .as("user_principal_name"),
+      lit(D2).cast("timestamp").as("header_date"),
+      lit(null).cast("timestamp").as("deleted"),
+      lit("2023-06-01 00:00:00").cast("timestamp").as("created"),
+      nstr("classification"), nstr("creation_options"),
+      nstr("description"),
+      lit(null).cast("string").as("raw"))
+  }
+
+  /** azure_collect_managed_devices (Intune managed devices; the
+    * compliance/encryption columns get deterministic values, the long
+    * sparse tail lands typed null like the Graph shapes). */
+  def managedDevices(customer: DataFrame): DataFrame = {
+    val c = col("c_custkey")
+    def nstr(n: String) = lit(null).cast("string").as(n)
+    def nts(n: String) = lit(null).cast("timestamp").as(n)
+    customer.select(
+      lit(D2).cast("timestamp").as("recorded_at"),
+      ten(c % 3).as("tenant_id"),
+      lit(null).cast("string").as("error"),
+      concat_ws("", lit("md-"), c).as("id"),
+      concat_ws("", lit("u-"), c).as("user_id"),
+      concat_ws("", lit("device"), c).as("device_name"),
+      when(c % 5 === 0, "personal").otherwise("company")
+        .as("managed_device_owner_type"),
+      nstr("device_action_results"),
+      lit("2023-06-01 00:00:00").cast("timestamp").as("enrolled"),
+      lit(D2).cast("timestamp").as("last_sync"),
+      when(c % 3 === 0, "iOS").when(c % 3 === 1, "Windows")
+        .otherwise("Android").as("operating_system"),
+      when(c % 4 === 0, "noncompliant").otherwise("compliant")
+        .as("compliance_state"),
+      when(c % 11 === 0, "True").otherwise("False").as("jail_broken"),
+      lit("mdm").as("management_agent"),
+      concat_ws(".", c % 3 + 14, c % 7).as("os_version"),
+      lit(false).as("eas_activated"), nstr("eas_device_id"),
+      nts("eas_activation"),
+      lit(true).as("azure_a_d_registered"),
+      lit("userEnrollment").as("device_enrollment_type"),
+      nstr("activation_lock_bypass_code"),
+      concat_ws("", lit("user"), c, lit("@corp.example"))
+        .as("email_address"),
+      concat_ws("", lit("aad-"), c).as("azure_a_d_device_id"),
+      lit("registered").as("device_registration_state"),
+      nstr("device_category_display_name"),
+      (c % 2 === 0).as("is_supervised"),
+      nts("exchange_last_successful_sync"),
+      lit("none").as("exchange_access_state"),
+      lit("none").as("exchange_access_state_reason"),
+      nstr("remote_assistance_session_url"),
+      nstr("remote_assistance_session_error_details"),
+      (c % 6 =!= 0).as("is_encrypted"),
+      concat_ws("", lit("user"), c, lit("@corp.example"))
+        .as("user_principal_name"),
+      nstr("model"), nstr("manufacturer"), nstr("imei"),
+      nts("compliance_grace_period_expiration"),
+      concat_ws("", lit("SN"), c).as("serial_number"),
+      nstr("phone_number"), nstr("android_security_patch_level"),
+      concat_ws("", lit("User "), c).as("user_display_name"),
+      nstr("configuration_manager_client_enabled_features"),
+      nstr("wi_fi_mac_address"),
+      nstr("device_health_attestation_state"),
+      nstr("subscriber_carrier"), nstr("meid"),
+      (c * 1024L * 1024L).as("total_storage_space_in_bytes"),
+      (c * 512L * 1024L).as("free_storage_space_in_bytes"),
+      concat_ws("", lit("device"), c).as("managed_device_name"),
+      lit("unknown").as("partner_reported_threat_state"),
+      lit(null).cast("string").as("raw"))
+  }
+
+  /** azure_collect_activity_log_alerts (Monitor activity-log alert
+    * rules listed per subscription). */
+  def activityLogAlerts(nation: DataFrame): DataFrame = {
+    val k = col("n_nationkey")
+    nation.select(
+      lit(D2).cast("timestamp").as("recorded_at"),
+      sub(k).as("subscription_id"), ten(k).as("tenant_id"),
+      lit(null).cast("string").as("error"),
+      concat_ws("", lit("/subscriptions/sub-"), k,
+        lit("/providers/microsoft.insights/activityLogAlerts/ala"), k)
+        .as("id"),
+      lit("Global").as("location"),
+      concat_ws("", lit("ala"), k).as("name"),
+      format_string(
+        """{"enabled":%s,"condition":{"field":"operationName"}}""",
+        (k % 4 =!= 0).cast("string")).as("properties"),
+      lit(null).cast("string").as("tags"),
+      lit("Microsoft.Insights/ActivityLogAlerts").as("type"),
+      lit(null).cast("string").as("kind"),
+      lit(null).cast("string").as("identity"))
+  }
+
   /** The az_policy CTE's 13 monitoring-effect CASE columns, generated
     * from the same (key + rule index) formula the Spark view uses. */
   private val PolicyColsSql: String =
@@ -814,5 +1076,29 @@ object AzureCollectViews {
     def disks(s: SparkSession, dir: String): DataFrame =
       v(s, dir, "disks")(
         AzureCollectViews.disks(s, cus(s, dir), nat(s, dir)))
+    def managedClusters(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "managed_clusters")(
+        AzureCollectViews.managedClusters(sup(s, dir)))
+    def resourceGroups(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "resource_groups")(
+        AzureCollectViews.resourceGroups(nat(s, dir)))
+    def hostingEnvironments(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "hosting_environments")(
+        AzureCollectViews.hostingEnvironments(sup(s, dir)))
+    def webapps(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "webapps")(AzureCollectViews.webapps(sup(s, dir)))
+    def workflows(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "workflows")(AzureCollectViews.workflows(sup(s, dir)))
+    def groups(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "groups")(AzureCollectViews.groups(cus(s, dir)))
+    def groupsMembers(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "groups_members")(
+        AzureCollectViews.groupsMembers(cus(s, dir)))
+    def managedDevices(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "managed_devices")(
+        AzureCollectViews.managedDevices(cus(s, dir)))
+    def activityLogAlerts(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "activity_log_alerts")(
+        AzureCollectViews.activityLogAlerts(nat(s, dir)))
   }
 }
