@@ -425,6 +425,64 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** #77b per-document longest duplicated span `q_span_extent` — the
+    * Lee et al. 2022 exact-substring-dedup TARGET statistic that
+    * [[spanDedup]]'s set-census approximates: for each doc, the
+    * longest run of CONSECUTIVE word-4-gram windows whose grams also
+    * appear in another document (a run of L consecutive duplicated
+    * windows covers L+3 words of verbatim cross-doc text — the span
+    * you would cut). Positional plan (this is the one gram op where
+    * WHERE a gram occurs matters, so the distinct-set kernels don't
+    * apply):
+    *
+    *  - positional gram hashes via the fused WordGramHashes kernel
+    *    (codegen'd, one pass per row; text never leaves the scan) —
+    *    the (doc, pos, g) stream explodes from the materialized
+    *    per-doc array, which feeds both the census and the flag join
+    *    from ONE text scan;
+    *  - cross-doc shared set = two-level distinct ((doc, g) then g) —
+    *    never a count-distinct Expand;
+    *  - flag join is gram-keyed (candidate rows only, like every gram
+    *    op here); run detection is the gaps-and-islands window
+    *    (pos - row_number per doc) over DUP WINDOWS ONLY — the window
+    *    sorts the duplicated slice, not the corpus token stream.
+    *
+    * Output: (doc_id, n_windows, n_dup, max_dup_run, max_span_words),
+    * max_span_words = max_dup_run + 3 (0 when no window duplicates).
+    * Gram hashes are injective-invariant internals (xxhash64 here,
+    * raw gram text in the oracle). */
+  def spanExtent(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docG = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.hashes.wordGramHashes(col("text"), 4).as("gs"))
+      .filter(col("gs").isNotNull)
+      .transform(graft.Materialize.frame)
+    val grams = docG.select(col("doc_id"),
+      posexplode(col("gs")).as(Seq("pos", "g")))
+    val shared = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("g"), lit(1).as("__dup"))
+    val flagged = grams.join(shared, Seq("g"), "left")
+      .select(col("doc_id"), col("pos"), col("__dup"))
+      .transform(graft.Materialize.frame)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val maxRun = flagged.filter(col("__dup").isNotNull)
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id")).agg(max(col("len")).as("max_run"))
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), count(col("__dup")).as("n_dup"))
+      .join(maxRun, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        coalesce(col("max_run"), lit(0L)).as("max_dup_run"),
+        when(col("max_run").isNull, 0L).otherwise(col("max_run") + 3)
+          .as("max_span_words"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #91 prefix-filter containment join (PPJoin-family): all document
     * pairs whose word-4-gram CONTAINMENT |A∩B| / min(|A|,|B|) ≥ t —
     * the asymmetric near-dup signal MinHash-LSH (#28) structurally
@@ -601,6 +659,7 @@ object Dedup {
       containmentJoin(s, dir)),
     "q_source_overlap" -> sourceOverlap _,
     "q_span_dedup" -> spanDedup _,
+    "q_span_extent" -> spanExtent _,
     "q_corpus_curation" -> corpusCuration _,
     "q_decontaminate_fuzzy" -> fuzzyDecontaminate _,
     "q_dedup_exact" -> exactDedup _,
@@ -784,6 +843,40 @@ object Dedup {
         |SELECT doc_id, n_grams, n_dup,
         |  round(CAST(n_dup AS DOUBLE) / n_grams, 4) AS dup_ratio
         |FROM census ORDER BY doc_id""".stripMargin,
+
+    "q_span_extent" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_aggregate(w[i:i+3], 'string_agg', ' ') AS g
+        |  FROM words, UNNEST(range(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 4
+        |), shared AS (
+        |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM g)
+        |  GROUP BY g HAVING count(*) > 1
+        |), f AS (
+        |  SELECT doc_id, pos, g IN (SELECT g FROM shared) AS dup FROM g
+        |), runs AS (
+        |  SELECT doc_id,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS isl
+        |  FROM f WHERE dup
+        |), mr AS (
+        |  SELECT doc_id, max(len) AS max_run FROM (
+        |    SELECT doc_id, isl, count(*) AS len FROM runs GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |), census AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_dup
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT census.doc_id, n_windows, n_dup,
+        |  CAST(coalesce(max_run, 0) AS BIGINT) AS max_dup_run,
+        |  CAST(CASE WHEN max_run IS NULL THEN 0 ELSE max_run + 3 END
+        |    AS BIGINT) AS max_span_words
+        |FROM census LEFT JOIN mr USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH keyed AS (

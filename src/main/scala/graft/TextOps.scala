@@ -334,6 +334,108 @@ object TextOps {
       .orderBy(col("freq").desc, col("pair"))
       .limit(k)
 
+  /** #89b full BPE merge-training loop `q_bpe_train` (Sennrich et al.
+    * 2016 end-to-end): starting from character symbols, repeat
+    * `merges` times — count adjacent symbol pairs over the vocab
+    * weighted by word frequency, take the most frequent pair
+    * (ties: lexicographically smallest), merge it everywhere, recount.
+    * This proves the "iterations ride the vocab" claim of [[bpePairs]]
+    * end-to-end: the corpus is scanned ONCE for the word census
+    * (materialized), and every merge iteration is a narrow projection
+    * + pair census + TakeOrdered(1) over the |vocab| frame.
+    *
+    * Symbol strings use a DOUBLE-space separator with double-space
+    * edges ("␣␣h␣␣e␣␣y␣␣") so a merge is one LITERAL string replace:
+    * pattern "␣a␣␣b␣" → "␣ab␣". The single outer spaces make the
+    * pattern consume only the INNER separator, so (1) a symbol can
+    * never match a prefix/suffix of a longer symbol (both neighbors
+    * are space-anchored) and (2) consecutive matches share no
+    * characters — left-to-right non-overlapping replace IS greedy BPE
+    * merge application ("a a a" + (a,a) → [aa, a]), identically in
+    * Spark and DuckDB, with no per-row fold lambda. Only the chosen
+    * merge (one row per step) ever reaches the driver — the same
+    * bounded-model collect as the k-means centroids. Output: the
+    * learned merge table (step, sym_a, sym_b, merged, freq). */
+  def bpeTrain(s: SparkSession, dir: String, merges: Int = 8): DataFrame = {
+    import s.implicits._
+    var v = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .select(concat(lit(" "),
+        regexp_replace(col("word"), "(.)", " $1 "), lit(" ")).as("w"),
+        col("f"))
+      .transform(graft.Materialize.frame)
+    val learned =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var step = 1
+    var dry = false
+    while (step <= merges && !dry) {
+      val top = v
+        .select(col("f"),
+          expr("filter(split(w, '  '), x -> length(x) > 0)").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(s) - 1)," +
+            " i -> struct(element_at(s, i) AS a," +
+            " element_at(s, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("freq"))
+        .orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (a, b, fr) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((step, a, b, a + b, fr))
+        v = v.select(call_function("replace", col("w"),
+          lit(s" $a  $b "), lit(s" $a$b ")).as("w"), col("f"))
+        step += 1
+      }
+    }
+    learned.toSeq.toDF("step", "sym_a", "sym_b", "merged", "freq")
+      .select(col("step").cast("int").as("step"), col("sym_a"),
+        col("sym_b"), col("merged"), col("freq"))
+      .orderBy(col("step"))
+  }
+
+  /** q_bpe_train oracle: the `merges` iterations unrolled as CTE
+    * triples (census → top-1 merge → replace), the same double-space
+    * literal-replace representation. */
+  private def bpeTrainSql(merges: Int): String = {
+    def census(vn: String, cn: String): String =
+      s"""$cn AS (
+         |  SELECT s[i] AS a, s[i+1] AS b, CAST(sum(f) AS BIGINT) AS freq
+         |  FROM (SELECT f, list_filter(string_split(w, '  '),
+         |          x -> len(x) > 0) AS s FROM $vn) q,
+         |    UNNEST(range(1, len(s))) t(i)
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    val head =
+      """WITH wf AS (
+        |  SELECT word, count(*) AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |  ) WHERE len(word) >= 1 GROUP BY word
+        |), v0 AS (
+        |  SELECT ' ' || regexp_replace(word, '(.)', ' \1 ', 'g') || ' '
+        |    AS w, f FROM wf
+        |)""".stripMargin
+    val iters = (1 to merges).map { i =>
+      s"""${census(s"v${i - 1}", s"c$i")}, m$i AS (
+         |  SELECT a, b, freq FROM c$i ORDER BY freq DESC, a, b LIMIT 1
+         |), v$i AS (
+         |  SELECT replace(v.w, ' ' || m.a || '  ' || m.b || ' ',
+         |    ' ' || m.a || m.b || ' ') AS w, v.f
+         |  FROM v${i - 1} v, m$i m
+         |)""".stripMargin
+    }.mkString(", ")
+    val union = (1 to merges).map { i =>
+      s"SELECT $i AS step, a AS sym_a, b AS sym_b, a || b AS merged," +
+        s" freq FROM m$i"
+    }.mkString(" UNION ALL ")
+    s"$head, $iters $union ORDER BY step"
+  }
+
   /** #94 PMI collocation mining `q_pmi_pairs`: the adjacent-word-pair
     * pointwise-mutual-information census — the classic phrase detector
     * (word2phrase / Mikolov-style "new_york" merging) a tokenizer or
@@ -391,6 +493,7 @@ object TextOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pmi_pairs" -> ((s: SparkSession, dir: String) => pmiPairs(s, dir)),
     "q_bpe_pairs" -> ((s: SparkSession, dir: String) => bpePairs(s, dir)),
+    "q_bpe_train" -> ((s: SparkSession, dir: String) => bpeTrain(s, dir)),
     "q_pseudonymize" -> pseudonymize _,
     "q_lang_id" -> langId _,
     "q_quality_score" -> qualityScore _,
@@ -438,6 +541,7 @@ object TextOps {
         |)
         |SELECT pair, CAST(freq AS BIGINT) AS freq
         |FROM pairs ORDER BY freq DESC, pair LIMIT 50""".stripMargin,
+    "q_bpe_train" -> bpeTrainSql(8),
     "q_pii_scan" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN

@@ -352,6 +352,32 @@ object Md5Util {
       .fromPrimitiveArray(java.util.Arrays.copyOf(order, cnt))
   }
 
+  /** POSITIONAL width-word gram xxhash64 hashes — every gram window in
+    * document order, duplicates kept (the [[distinctWordGramXx]]
+    * sibling for span analysis, where WHERE a gram occurs matters).
+    * Null when the doc has fewer than `width` words. */
+  def wordGramXx(s: UTF8String, width: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val starts = wordStartOffsets(bytes)
+    val nWords = starts.length - 1
+    if (nWords < width) return null
+    val nGrams = nWords - width + 1
+    val out = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      val start = starts(g)
+      val len = starts(g + width) - 1 - start
+      out(g) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+          len, 42L)
+      g += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** xxhash64 (Spark seed 42) of EVERY space-separated word of `s`, in
     * order, duplicates kept — transform(split(s, ' '), w -> xxhash64(w))
     * without the interpreted lambda or the per-word string: each word is
@@ -672,6 +698,38 @@ case class DistinctWordGramHashes(child: Expression, width: Int,
       newChild: Expression): DistinctWordGramHashes = copy(child = newChild)
 }
 
+/** See Md5Util.wordGramXx: positional width-word gram xxhash64 longs,
+  * document order, duplicates kept. */
+case class WordGramHashes(child: Expression, width: Int)
+    extends UnaryExpression {
+  require(width > 0, "width must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "word_gram_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Md5Util.wordGramXx(v.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Md5Util.wordGramXx($c, $width);
+      ${ev.isNull} = (${ev.value} == null);""")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordGramHashes = copy(child = newChild)
+}
+
 /** See Md5Util.wordHashesXx: per-word xxhash64 longs, order kept. */
 case class WordHashes(child: Expression) extends UnaryExpression {
 
@@ -737,4 +795,8 @@ object hashes {
   /** per-word xxhash64 longs, duplicates and order kept (see WordHashes). */
   def wordHashes(c: Column): Column =
     graftexpr.column(WordHashes(graftexpr.expression(c)))
+
+  /** positional width-word gram xxhash64 longs (see WordGramHashes). */
+  def wordGramHashes(c: Column, width: Int): Column =
+    graftexpr.column(WordGramHashes(graftexpr.expression(c), width))
 }

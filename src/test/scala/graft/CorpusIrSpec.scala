@@ -138,6 +138,58 @@ class CorpusIrSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("bpeTrain matches a brute-force Sennrich merge loop") {
+    val wordFreq = docs.flatMap(_._2.split(" ", -1))
+      .filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+    var vocab: Map[Vector[String], Long] = wordFreq
+      .groupBy { case (w, _) => w.map(_.toString).toVector }
+      .map { case (syms, entries) => syms -> entries.values.sum }
+    val expected =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (step <- 1 to 8) {
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        pairs((syms(i), syms(i + 1))) =
+          pairs.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val ((a, b), fr) = pairs.toSeq
+        .sortBy { case ((x, y), c) => (-c, x, y) }.head
+      expected += ((step, a, b, a + b, fr))
+      vocab = vocab.toSeq.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }.groupBy(_._1).map { case (sy, es) => sy -> es.map(_._2).sum }
+    }
+    val got = TextOps.bpeTrain(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == expected.toSeq)
+  }
+
+  test("bpeTrain merge application is greedy left-to-right ('a a a' case)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_train").toString
+    // corpus = "aaa" x3: merge 1 must be (a,a) f=6 (pairs aa@0, aa@1,
+    // per word 2 obs x3 words); applying it greedily leaves [aa, a],
+    // so merge 2 is (aa, a) f=3 — an overlap-aware application that
+    // merged both pairs (or re-counted 'a a' after a blind replace)
+    // produces a different table.
+    Seq((1L, "aaa aaa aaa", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.bpeTrain(spark, dir, merges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(4))).toSeq
+    assert(got == Seq((1, "a", "a", 6L), (2, "aa", "a", 3L)))
+  }
+
   // --- PMI collocations ----------------------------------------------
 
   test("pmiPairs matches a brute-force collocation census") {

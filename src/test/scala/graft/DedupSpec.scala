@@ -19,6 +19,55 @@ class DedupSpec extends SparkSuite {
       100L -> 100L, 200L -> 100L))
   }
 
+  test("spanExtent matches a brute-force longest-duplicated-run scan") {
+    val docs = Tables.t(spark, Sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val grams = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(4).filter(_.length == 4)
+        .map(_.mkString(" ")).toVector
+    }.filter(_._2.nonEmpty)
+    val docSets = grams.map { case (id, gs) => id -> gs.toSet }
+    val shared = docSets.flatMap(_._2.map(g => g))
+      .groupBy(identity).collect {
+        case (g, _) if docSets.count(_._2.contains(g)) > 1 => g
+      }.toSet
+    val expected = grams.map { case (id, gs) =>
+      val dup = gs.map(shared.contains)
+      var run = 0; var best = 0; var nd = 0
+      dup.foreach { d =>
+        if (d) { run += 1; nd += 1; best = math.max(best, run) }
+        else run = 0
+      }
+      (id, gs.length.toLong, nd.toLong, best.toLong,
+        if (best == 0) 0L else best + 3L)
+    }.sortBy(_._1)
+    val got = Dedup.spanExtent(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected && expected.exists(_._4 > 0),
+      "span extents must match and the corpus must contain a real run")
+  }
+
+  test("spanExtent finds a planted verbatim cross-doc span") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_span_extent").toString
+    // doc 2 quotes a 6-word span of doc 1 → run of 3 windows, span 6
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique1 unique2", "en",
+        "a", 0L),
+      (2L, "other words alpha beta gamma delta epsilon zeta tail", "en",
+        "b", 0L),
+      (3L, "completely different content with no overlap at all", "en",
+        "c", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.spanExtent(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == (3L, 6L) && got(2L) == (3L, 6L) &&
+      got(3L) == (0L, 0L))
+  }
+
   test("connectedComponents merges components discovered via bridges") {
     // two cliques joined by one bridge edge
     val pairs = Seq(
