@@ -357,6 +357,12 @@ object Ann {
     collectCentroids(e.filter(col("vec_id") < k)
       .select(col("vec_id"), col("v")))
 
+  /** Public seed-centroid collect for callers composing the cell
+    * machinery outside this object (e.g. the streaming semantic gate
+    * freezes these per landing cycle). Bounded: K rows. */
+  def seedCentroidsOf(e: DataFrame, k: Int): Seq[(Long, Array[Double])] =
+    seedCentroids(e, k)
+
   /** Nearest-centroid struct (dist, cid) over the `v` column with the
     * centroids FOLDED INTO THE PLAN — the same driver-folding trick as
     * the LSH hyperplanes ([[planeCoef]]): the assignment becomes a

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.StringType
 
 import graft.functions.{CosineSimilarity, DistinctGramHashes, DistinctGrams,
   DistinctShingles, DistinctWordGramHashes, FastMd5, MinGramMd5,
-  MinhashSlices, SimHash32, VectorSum}
+  MinhashSlices, SimHash32, VectorSum, WordGramHashes}
 
 /** Session-extension registration for graft's native Catalyst
   * expressions, so the SQL-AUTHORED rule surface reaches the same fused
@@ -101,6 +101,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         DistinctWordGramHashes(args(0), 4, variant)
       }))
+    e.injectFunction((FunctionIdentifier("graft_word_gram_hashes"),
+      info("graft_word_gram_hashes",
+        "graft_word_gram_hashes(s) - POSITIONAL word-4-gram xxhash64 " +
+          "longs (document order, duplicates kept; the span-analysis " +
+          "sibling of the distinct variant)"),
+      (args: Seq[Expression]) =>
+        WordGramHashes(one(args, "graft_word_gram_hashes"), 4)))
     e.injectFunction((FunctionIdentifier("graft_vector_sum"),
       info("graft_vector_sum",
         "graft_vector_sum(v) - aggregate: elementwise sum of " +

@@ -98,6 +98,59 @@ object StreamingCorpus {
           / col("n_tok")))
       .filter(col("llr_mean") > threshold)
 
+  /** #83c streaming semantic-dedup gate — SemDeDup applied AT INGEST
+    * against the historical vector corpus (the online half of the
+    * batch `q_semdedup` census): each arriving embedding is assigned
+    * its Voronoi cell by the fused NearestCentroid kernel (the seed
+    * matrix is FROZEN per landing cycle and folded into the plan — a
+    * stateless codegen'd projection: no state store, valid under any
+    * trigger, the [[targetGate]] precedent), then dropped iff a
+    * HISTORICAL vector in the same cell has cosine ≥ `tau` — a
+    * stream-static LEFT ANTI join whose condition is the cell
+    * equi-key plus the cosine residual, exactly the batch operator's
+    * cell-keyed compare. At 100 TB `cellStore` is the landed vector
+    * table PARTITIONED BY cell, so a micro-batch probes only the
+    * partitions of the cells it touches; refresh cadence = restart
+    * the query with the next landing cycle's seeds + store, like the
+    * Bloom filter of [[novelAgainstHistory]]. Same-cell blocking
+    * carries the batch operator's documented blind spot — a near-dup
+    * pair straddling a cell boundary is not seen (spec-pinned).
+    *
+    * @param vecs      streaming frame with a `v` array&lt;double&gt; column
+    * @param seeds     frozen (cid, centroid) seed matrix — build with
+    *                  [[graft.Ann.seedCentroidsOf]] over history
+    * @param cellStore batch frame (s_cell, sv): history vectors keyed
+    *                  by their cell under the SAME seeds */
+  def semanticGate(vecs: DataFrame, seeds: Seq[(Long, Array[Double])],
+      cellStore: DataFrame, tau: Double = 0.35): DataFrame = {
+    require(!vecs.columns.contains("cell"),
+      "column cell is reserved by semanticGate")
+    vecs
+      .withColumn("cell",
+        graft.functions.vec.nearestCentroid(col("v"), seeds)
+          .getField("cid"))
+      .join(cellStore,
+        col("cell") === col("s_cell") &&
+          graft.Num.r4(
+            graft.functions.vec.cosine(col("v"), col("sv"))) >= tau,
+        "left_anti")
+  }
+
+  /** The (seeds, cellStore) pair [[semanticGate]] freezes per landing
+    * cycle, built from a landed history frame with a `v` column. */
+  def cellStoreOf(history: DataFrame, cells: Int = 32)
+      : (Seq[(Long, Array[Double])], DataFrame) = {
+    val seeds = graft.Ann.seedCentroidsOf(history, cells)
+    if (seeds.isEmpty)
+      return (seeds,
+        history.select(lit(0L).as("s_cell"), col("v").as("sv")).limit(0))
+    val store = history.select(
+      graft.functions.vec.nearestCentroid(col("v"), seeds)
+        .getField("cid").as("s_cell"),
+      col("v").as("sv"))
+    (seeds, store)
+  }
+
   /** Land the deduped signature stream into a parquet signature store:
     * append-only micro-batches (the landing contract — downstream LSH
     * reads the store on its own cadence; at-least-once on failure, the

@@ -105,6 +105,23 @@ class FuzzParitySpec extends SparkSuite {
     assert(short.count() == 0)
   }
 
+  test("fuzz: word_gram_hashes parity (positional, duplicates kept)") {
+    val d = docs.filter(size(split(col("text"), " ")) >= 4)
+    val naive = expr(
+      """transform(sequence(1, size(split(text, ' '))-3),
+        |  i -> xxhash64(concat_ws(' ',
+        |    element_at(split(text, ' '),i), element_at(split(text, ' '),i+1),
+        |    element_at(split(text, ' '),i+2), element_at(split(text, ' '),i+3))))""".stripMargin)
+    val cmp = d.select(naive.as("naive"),
+      graft.functions.hashes.wordGramHashes(col("text"), 4).as("fused"))
+      .filter(!(col("naive") <=> col("fused")))
+    assert(cmp.count() == 0, "word_gram_hashes diverges")
+    val short = docs.filter(size(split(col("text"), " ")) < 4)
+      .select(graft.functions.hashes.wordGramHashes(col("text"), 4).as("g"))
+      .filter(col("g").isNotNull)
+    assert(short.count() == 0)
+  }
+
   test("fuzz: word_hashes parity (order and duplicates kept)") {
     val cmp = docs.select(
       expr("transform(split(text, ' '), w -> xxhash64(w))").as("naive"),

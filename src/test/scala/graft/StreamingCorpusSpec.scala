@@ -142,4 +142,51 @@ class StreamingCorpusSpec extends SparkSuite {
     assert(streamed == expected)
     assert(expected.nonEmpty && streamed.size < sample.length)
   }
+
+  test("semanticGate drops same-cell historical near-dups at ingest") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // frozen history: seeds e1/e2 (vec_id 0/1), one stored vector in
+    // cell 0; cell 1's store is empty
+    val history = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 1.0, 0.0, 0.0)),
+      (2L, Array(1.0, 0.1, 0.0, 0.0)),   // cell 0
+      (3L, Array(0.71, 0.65, 0.0, 0.0))) // just inside cell 0
+      .toDF("vec_id", "v")
+    val (seeds, store) = StreamingCorpus.cellStoreOf(history, cells = 2)
+    assert(seeds.map(_._1) == Seq(0L, 1L))
+    val input = MemoryStream[StreamVec]
+    val q = StreamingCorpus
+      .semanticGate(input.toDF(), seeds, store, tau = 0.8)
+      .writeStream.format("memory").queryName("gated_vecs")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      // cell 0, cosine vs stored (1, .1, 0, 0) ≈ 0.99 → dropped
+      StreamVec(10L, Array(0.95, 0.2, 0.0, 0.0)),
+      // equidistant tie → cell 0 (smallest cid), orthogonal → admitted
+      StreamVec(11L, Array(0.0, 0.0, 1.0, 0.0)),
+      // the documented cell-boundary blind spot: the mirror image of
+      // stored vec 3 (cosine ≈ 0.996 ≥ τ) lands JUST inside cell 1,
+      // where nothing stored reaches τ (best is the seed at 0.74) —
+      // the straddling near-dup is admitted
+      StreamVec(12L, Array(0.65, 0.71, 0.0, 0.0)))
+    q.processAllAvailable()
+    val got = spark.table("gated_vecs").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    q.stop()
+    assert(got == Map(11L -> 0L, 12L -> 1L))
+    // batch parity: the stream admits exactly what the batch anti-join
+    // over the same frozen store admits
+    val arriving = Seq(
+      (10L, Array(0.95, 0.2, 0.0, 0.0)),
+      (11L, Array(0.0, 0.0, 1.0, 0.0)),
+      (12L, Array(0.65, 0.71, 0.0, 0.0))).toDF("vec_id", "v")
+    val batch = StreamingCorpus
+      .semanticGate(arriving, seeds, store, tau = 0.8)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(batch == got.keySet)
+  }
 }
+
+case class StreamVec(vec_id: Long, v: Array[Double])
