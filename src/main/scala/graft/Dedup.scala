@@ -440,46 +440,50 @@ object Dedup {
     *    the (doc, pos, g) stream explodes from the materialized
     *    per-doc array, which feeds both the census and the flag join
     *    from ONE text scan;
-    *  - cross-doc shared set = two-level distinct ((doc, g) then g) —
-    *    never a count-distinct Expand;
-    *  - flag join is gram-keyed (candidate rows only, like every gram
-    *    op here); run detection is the gaps-and-islands window
-    *    (pos - row_number per doc) over DUP WINDOWS ONLY — the window
-    *    sorts the duplicated slice, not the corpus token stream.
+    *  - cross-doc shared set: per-doc DISTINCT grams (row-local
+    *    array_distinct over the materialized array) → one
+    *    map-side-combined gram census → df > 1;
+    *  - the positional stream inner-joins the shared set on the gram
+    *    key, so only DUPLICATED (doc, pos) rows survive, and the run
+    *    census is ONE [[graft.functions.DupRunBits]] aggregate: a
+    *    per-doc position BITMAP (windows/8 bytes) with map-side OR
+    *    partials whose eval scans once for [n_dup, max_run]. Probe
+    *    A/B at 10× docs recorded both rejected alternatives: the
+    *    gaps-and-islands window sorted the duplicated token stream
+    *    (~11 s), and a per-doc collect_list of shared grams + row-
+    *    local kernel died in the ObjectHashAggregate's array buffers
+    *    (3-8 s, degrading run-over-run) — the primitive bitset
+    *    aggregate is the [[graft.functions.VectorSum]] lesson applied
+    *    to span analysis (~2 s, at DuckDB parity);
+    *  - n_windows is size(gs) — free from the materialized array.
     *
     * Output: (doc_id, n_windows, n_dup, max_dup_run, max_span_words),
     * max_span_words = max_dup_run + 3 (0 when no window duplicates).
     * Gram hashes are injective-invariant internals (xxhash64 here,
-    * raw gram text in the oracle). */
+    * raw gram text in the oracle — the oracle keeps the equivalent
+    * positional-window formulation). */
   def spanExtent(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docG = t(s, dir, "documents")
       .select(col("doc_id"),
         graft.functions.hashes.wordGramHashes(col("text"), 4).as("gs"))
       .filter(col("gs").isNotNull)
       .transform(graft.Materialize.frame)
-    val grams = docG.select(col("doc_id"),
-      posexplode(col("gs")).as(Seq("pos", "g")))
-    val shared = grams.select(col("doc_id"), col("g")).distinct()
+    val shared = docG
+      .select(col("doc_id"), explode(array_distinct(col("gs"))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1)
-      .select(col("g"), lit(1).as("__dup"))
-    val flagged = grams.join(shared, Seq("g"), "left")
-      .select(col("doc_id"), col("pos"), col("__dup"))
-      .transform(graft.Materialize.frame)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val maxRun = flagged.filter(col("__dup").isNotNull)
-      .withColumn("isl", col("pos") - row_number().over(w))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(count(lit(1)).as("len"))
-      .groupBy(col("doc_id")).agg(max(col("len")).as("max_run"))
-    flagged.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"), count(col("__dup")).as("n_dup"))
-      .join(maxRun, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_windows"), col("n_dup"),
-        coalesce(col("max_run"), lit(0L)).as("max_dup_run"),
-        when(col("max_run").isNull, 0L).otherwise(col("max_run") + 3)
-          .as("max_span_words"))
+      .select(col("g"))
+    val stats = docG
+      .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "g")))
+      .join(shared, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.vec.dupRunBits(col("pos").cast("long")).as("r"))
+    docG.join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_windows"),
+        coalesce(element_at(col("r"), 1), lit(0L)).as("n_dup"),
+        coalesce(element_at(col("r"), 2), lit(0L)).as("max_dup_run"),
+        when(coalesce(element_at(col("r"), 2), lit(0L)) === 0L, 0L)
+          .otherwise(element_at(col("r"), 2) + 3L).as("max_span_words"))
       .orderBy(col("doc_id"))
   }
 

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftexpr
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -799,4 +799,5 @@ object hashes {
   /** positional width-word gram xxhash64 longs (see WordGramHashes). */
   def wordGramHashes(c: Column, width: Int): Column =
     graftexpr.column(WordGramHashes(graftexpr.expression(c), width))
+
 }

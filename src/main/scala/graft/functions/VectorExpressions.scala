@@ -466,4 +466,117 @@ object vec {
   def vectorSum(v: Column): Column =
     graftexpr.column(
       VectorSum(graftexpr.expression(v)).toAggregateExpression())
+
+  /** [n_dup, max_run] duplicated-position census (see DupRunBits). */
+  def dupRunBits(pos: Column): Column =
+    graftexpr.column(
+      DupRunBits(graftexpr.expression(pos)).toAggregateExpression())
+}
+
+object DupRunBits {
+  /** Growable bitmap of duplicated positions (bit i = window i). */
+  final class Buf(var words: Array[Long])
+}
+
+/** Per-group duplicated-position bitset aggregate: input rows are the
+  * POSITIONS of duplicated windows within a document; the buffer is a
+  * bitmap (one bit per window position, grown on demand — bytes per
+  * doc ≈ windows/8), partials merge with bitwise OR, and eval scans
+  * the bitmap once for [n_dup, max_run] (count of duplicated windows,
+  * longest consecutive run). This replaces a per-doc collect_list (an
+  * ObjectHashAggregate whose array buffers measured 3-8 s at 10×) and
+  * the gaps-and-islands window sort with a map-side-combinable
+  * primitive buffer — the [[VectorSum]] pattern applied to span
+  * analysis. */
+case class DupRunBits(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[DupRunBits.Buf]
+    with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint positions, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "dup_run_bits"
+
+  override def createAggregationBuffer(): DupRunBits.Buf =
+    new DupRunBits.Buf(Array.emptyLongArray)
+
+  private def ensure(buf: DupRunBits.Buf, words: Int): Unit =
+    if (buf.words.length < words) {
+      var cap = math.max(buf.words.length, 1)
+      while (cap < words) cap <<= 1
+      buf.words = java.util.Arrays.copyOf(buf.words, cap)
+    }
+
+  override def update(buf: DupRunBits.Buf, input: InternalRow): DupRunBits.Buf = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val pos = v.asInstanceOf[Long]
+    require(pos >= 0 && pos < Int.MaxValue.toLong * 8,
+      s"$prettyName: position $pos out of range")
+    val w = (pos >> 6).toInt
+    ensure(buf, w + 1)
+    buf.words(w) |= 1L << (pos & 63)
+    buf
+  }
+
+  override def merge(a: DupRunBits.Buf, b: DupRunBits.Buf): DupRunBits.Buf = {
+    if (b.words.isEmpty) return a
+    if (a.words.isEmpty) return b
+    val (big, small) = if (a.words.length >= b.words.length) (a, b) else (b, a)
+    var i = 0
+    while (i < small.words.length) { big.words(i) |= small.words(i); i += 1 }
+    big
+  }
+
+  override def eval(buf: DupRunBits.Buf): Any = {
+    var nd = 0L
+    var best = 0L
+    var run = 0L
+    var w = 0
+    while (w < buf.words.length) {
+      val word = buf.words(w)
+      if (word == 0L && run == 0L) { w += 1 }
+      else {
+        var b = 0
+        while (b < 64) {
+          if ((word & (1L << b)) != 0L) {
+            run += 1; nd += 1; if (run > best) best = run
+          } else run = 0
+          b += 1
+        }
+        w += 1
+      }
+    }
+    new GenericArrayData(Array(nd, best))
+  }
+
+  override def serialize(buf: DupRunBits.Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.words.length * 8)
+    var i = 0
+    while (i < buf.words.length) { bb.putLong(buf.words(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): DupRunBits.Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    new DupRunBits.Buf(out)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): DupRunBits =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): DupRunBits =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): DupRunBits =
+    copy(child = newChild)
 }
