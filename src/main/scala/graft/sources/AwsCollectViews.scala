@@ -269,6 +269,372 @@ object AwsCollectViews {
       lit(true).as("all_supported"), (k % 6 === 0).as("include_global"))
   }
 
+  // --- remaining LANDING_TABLES endpoints (aws_collect.py:97-556) ----
+  // The API shapes no cis_aws_pack rule consumes — landed
+  // latest-snapshot (D2) with the full reference column lists, keyed
+  // to the SAME universes the consumed views use (users u<c%50>,
+  // groups g<0-9>, roles r<0-9>, managed policies p<0-6> +
+  // customer-managed cp<0-8>, buckets/trails ct-logs-<k>-<t>), so the
+  // inventory is a coherent join graph, not 19 islands. Closing these
+  // makes aws_collect endpoint parity exact.
+
+  private def d2: Column = lit(D2).cast("timestamp")
+  private def nstr(n: String): Column = lit(null).cast("string").as(n)
+  private def nts(n: String): Column = lit(null).cast("timestamp").as(n)
+
+  /** iam_generate_credential_report (aws_collect.py:97): the trigger
+    * call's landing — one COMPLETE row per account. */
+  def generateCredentialReport(nation: DataFrame): DataFrame = {
+    val k = col("n_nationkey")
+    nation.select(d2.as("recorded_at"), acct(k).as("account_id"),
+      nstr("error"), lit("COMPLETE").as("state"),
+      nstr("description"))
+  }
+
+  /** ec2_describe_instances (aws_collect.py:167): one reservation per
+    * customer; the instances subtree stays VARIANT JSON. */
+  def ec2Instances(customer: DataFrame): DataFrame = {
+    val c = col("c_custkey")
+    customer.select(d2.as("recorded_at"), acct(c % 25).as("account_id"),
+      when(c % 2 === 0, "us-east-1").otherwise("us-west-2").as("region"),
+      nstr("error"),
+      lit("""[{"GroupName":"default"}]""").as("groups"),
+      format_string(
+        """[{"InstanceId":"i-%d","State":{"Name":"%s"}}]""",
+        c, when(c % 7 === 0, "stopped").otherwise("running"))
+        .as("instances"),
+      acct(c % 25).as("owner_id"), nstr("requester_id"),
+      concat_ws("", lit("r-"), c).as("reservation_id"))
+  }
+
+  /** ec2_describe_route_tables (aws_collect.py:179). */
+  def ec2RouteTables(supplier: DataFrame): DataFrame = {
+    val k = col("s_suppkey")
+    supplier.select(d2.as("recorded_at"), acct(k % 25).as("account_id"),
+      when(k % 2 === 0, "us-east-1").otherwise("us-west-2").as("region"),
+      nstr("error"),
+      lit("""[{"Main":true}]""").as("associations"),
+      lit("[]").as("propagating_vgws"),
+      concat_ws("", lit("rtb-"), k).as("route_table_id"),
+      format_string(
+        """[{"DestinationCidrBlock":"10.%d.0.0/16","GatewayId":"local"}]""",
+        k % 256).as("routes"),
+      nstr("tags"),
+      concat_ws("", lit("vpc-"), k % 25).as("vpc_id"),
+      acct(k % 25).as("owner_id"))
+  }
+
+  /** kms_list_keys (aws_collect.py:228) + kms_get_key_rotation_status
+    * (:237) — rotation rows join list rows on key_arn. */
+  def kmsKeys(supplier: DataFrame): DataFrame = {
+    val k = col("s_suppkey")
+    supplier.select(d2.as("recorded_at"), acct(k % 25).as("account_id"),
+      when(k % 2 === 0, "us-east-1").otherwise("us-west-2").as("region"),
+      nstr("error"),
+      concat_ws("", lit("key-"), k).as("key_id"),
+      concat_ws("", lit("arn:aws:kms:us-east-1:"), acct(k % 25),
+        lit(":key/key-"), k).as("key_arn"))
+  }
+
+  def kmsKeyRotation(supplier: DataFrame): DataFrame = {
+    val k = col("s_suppkey")
+    supplier.select(d2.as("recorded_at"), acct(k % 25).as("account_id"),
+      concat_ws("", lit("arn:aws:kms:us-east-1:"), acct(k % 25),
+        lit(":key/key-"), k).as("key_arn"),
+      nstr("error"),
+      (k % 3 =!= 0).as("key_rotation_enabled"))
+  }
+
+  /** The per-user fan-out calls (aws_collect.py:259-314): login
+    * profile (console users only), MFA devices, access keys, group
+    * memberships, inline + attached policies — all keyed on the
+    * u<c%50> user universe of [[entitiesForPolicy]]. */
+  private def userRow(c: Column): Seq[Column] = Seq(
+    d2.as("recorded_at"), acct(c % 25).as("account_id"),
+    concat_ws("", lit("u"), c % 50).as("user_name"))
+
+  def loginProfiles(customer: DataFrame): DataFrame = {
+    val c = col("c_custkey")
+    customer.filter(c % 2 === 0).select(userRow(c) ++ Seq(
+      nstr("error"),
+      lit("2023-06-01 00:00:00").cast("timestamp").as("create_date"),
+      (c % 9 === 0).as("password_reset_required")): _*)
+  }
+
+  def mfaDevices(customer: DataFrame): DataFrame = {
+    val c = col("c_custkey")
+    customer.filter(c % 4 === 0).select(userRow(c) ++ Seq(
+      nstr("error"),
+      concat_ws("", lit("arn:aws:iam::"), acct(c % 25), lit(":mfa/u"),
+        c % 50).as("serial_number"),
+      lit("2023-06-02 00:00:00").cast("timestamp").as("enable_date")): _*)
+  }
+
+  def accessKeys(customer: DataFrame): DataFrame = {
+    val c = col("c_custkey")
+    customer.select(userRow(c) ++ Seq(
+      nstr("error"),
+      concat_ws("", lit("AKIA"), c).as("access_key_id"),
+      when(c % 5 === 0, "Inactive").otherwise("Active").as("status"),
+      lit("2023-06-03 00:00:00").cast("timestamp").as("create_date")): _*)
+  }
+
+  def groupsForUser(customer: DataFrame): DataFrame = {
+    val c = col("c_custkey")
+    customer.select(userRow(c) ++ Seq(
+      nstr("error"), lit("/").as("path"),
+      concat_ws("", lit("g"), c % 10).as("group_name"),
+      concat_ws("", lit("AGPA"), c % 10).as("group_id"),
+      concat_ws("", lit("arn:aws:iam::"), acct(c % 25), lit(":group/g"),
+        c % 10).as("arn"),
+      lit("2023-06-01 00:00:00").cast("timestamp").as("create_date")): _*)
+  }
+
+  def userPolicies(customer: DataFrame): DataFrame = {
+    val c = col("c_custkey")
+    customer.filter(c % 3 === 0).select(userRow(c) ++ Seq(
+      nstr("error"),
+      concat_ws("", lit("inline-u"), c % 50).as("policy_name")): _*)
+  }
+
+  def attachedUserPolicies(customer: DataFrame): DataFrame = {
+    val c = col("c_custkey")
+    customer.select(userRow(c) ++ Seq(
+      nstr("error"),
+      concat_ws("", lit("p"), c % 7).as("policy_name"),
+      concat_ws("", lit("arn:aws:iam::aws:policy/p"), c % 7)
+        .as("policy_arn")): _*)
+  }
+
+  /** iam_list_groups (aws_collect.py:316) + attached group policies
+    * (:327) — the g<0-9> group universe, per account. */
+  def iamGroups(nation: DataFrame): DataFrame = {
+    val k = col("n_nationkey")
+    nation
+      .select(col("n_nationkey"),
+        explode(expr("sequence(0, 9)")).as("__g"))
+      .select(d2.as("recorded_at"), acct(k).as("account_id"),
+        nstr("error"), lit("/").as("path"),
+        concat_ws("", lit("AGPA"), col("__g")).as("group_id"),
+        concat_ws("", lit("g"), col("__g")).as("group_name"),
+        concat_ws("", lit("arn:aws:iam::"), acct(k), lit(":group/g"),
+          col("__g")).as("arn"),
+        lit("2023-06-01 00:00:00").cast("timestamp").as("create_date"))
+  }
+
+  def attachedGroupPolicies(nation: DataFrame): DataFrame = {
+    val k = col("n_nationkey")
+    nation
+      .select(col("n_nationkey"),
+        explode(expr("sequence(0, 9)")).as("__g"))
+      .select(d2.as("recorded_at"), acct(k).as("account_id"),
+        concat_ws("", lit("g"), col("__g")).as("group_name"),
+        nstr("error"),
+        concat_ws("", lit("p"), (col("__g") + k) % 7).as("policy_name"),
+        concat_ws("", lit("arn:aws:iam::aws:policy/p"), (col("__g") + k) % 7)
+          .as("policy_arn"))
+  }
+
+  /** iam_list_roles (aws_collect.py:336) + per-role inline policies
+    * (:354) + their documents (:362) — the r<0-9> role universe. */
+  def iamRoles(nation: DataFrame): DataFrame = {
+    val k = col("n_nationkey")
+    nation
+      .select(col("n_nationkey"),
+        explode(expr("sequence(0, 9)")).as("__r"))
+      .select(d2.as("recorded_at"), acct(k).as("account_id"),
+        nstr("error"), lit("/").as("path"),
+        concat_ws("", lit("r"), col("__r")).as("role_name"),
+        concat_ws("", lit("AROA"), col("__r")).as("role_id"),
+        concat_ws("", lit("arn:aws:iam::"), acct(k), lit(":role/r"),
+          col("__r")).as("arn"),
+        lit("2023-06-01 00:00:00").cast("timestamp").as("create_date"),
+        lit("""{"Statement":[{"Effect":"Allow","Principal":{"Service":"ec2.amazonaws.com"},"Action":"sts:AssumeRole"}]}""")
+          .as("assume_role_policy_document"),
+        nstr("description"),
+        lit(3600L).as("max_session_duration"),
+        nstr("permissions_boundary_type"),
+        nstr("permissions_boundary_arn"), nstr("tags"),
+        nstr("role_last_used"))
+  }
+
+  def rolePolicies(nation: DataFrame): DataFrame = {
+    val k = col("n_nationkey")
+    nation
+      .select(col("n_nationkey"),
+        explode(expr("sequence(0, 9)")).as("__r"))
+      .filter(col("__r") % 2 === 0)
+      .select(d2.as("recorded_at"), acct(k).as("account_id"),
+        concat_ws("", lit("r"), col("__r")).as("role_name"),
+        nstr("error"),
+        concat_ws("", lit("inline-r"), col("__r")).as("policy_name"))
+  }
+
+  def rolePolicyDocuments(nation: DataFrame): DataFrame =
+    rolePolicies(nation)
+      .select(col("recorded_at"), col("account_id"), col("role_name"),
+        col("policy_name"),
+        lit(null).cast("string").as("error"),
+        format_string(
+          """{"Statement":[{"Effect":"Allow","Action":"s3:GetObject","Resource":"arn:aws:s3:::%s/*"}]}""",
+          concat(lit("b-"), col("role_name"))).as("policy_document"))
+
+  /** iam_list_policies (aws_collect.py:371): both policy families —
+    * the aws-managed p<0-6> and the customer-managed cp<0-8> of
+    * [[policyVersions]]. */
+  def iamPolicies(nation: DataFrame): DataFrame = {
+    val k = col("n_nationkey")
+    val managed = nation.filter(k < 7).select(
+      d2.as("recorded_at"), lit("aws").as("account_id"), nstr("error"),
+      concat_ws("", lit("p"), k).as("policy_name"),
+      concat_ws("", lit("ANPA"), k).as("policy_id"),
+      concat_ws("", lit("arn:aws:iam::aws:policy/p"), k).as("arn"),
+      lit("/").as("path"), lit("v1").as("default_version_id"),
+      (k + 1).cast("long").as("attachment_count"),
+      lit(0L).as("permissions_boundary_usage_count"),
+      lit(true).as("is_attachable"), nstr("description"),
+      lit("2023-01-01 00:00:00").cast("timestamp").as("create_date"),
+      lit("2023-06-01 00:00:00").cast("timestamp").as("update_date"))
+    val custom = nation
+      .select(col("n_nationkey"),
+        explode(expr("sequence(0, 8)")).as("__p"))
+      .select(d2.as("recorded_at"), acct(k).as("account_id"),
+        nstr("error"),
+        concat_ws("", lit("cp"), col("__p")).as("policy_name"),
+        concat_ws("", lit("ANPAC"), col("__p")).as("policy_id"),
+        concat_ws("", lit("arn:aws:iam::"), acct(k), lit(":policy/cp"),
+          col("__p")).as("arn"),
+        lit("/").as("path"), lit("v2").as("default_version_id"),
+        ((col("__p") + k) % 4).cast("long").as("attachment_count"),
+        lit(0L).as("permissions_boundary_usage_count"),
+        lit(true).as("is_attachable"), nstr("description"),
+        lit("2023-01-01 00:00:00").cast("timestamp").as("create_date"),
+        lit("2023-06-01 00:00:00").cast("timestamp").as("update_date"))
+    managed.unionByName(custom)
+  }
+
+  /** s3_list_buckets / get_bucket_acl / get_bucket_logging
+    * (aws_collect.py:423-461) over the ct-logs-<k>-<t> bucket
+    * universe of [[describeTrails]]/[[bucketPolicies]]. */
+  private def bucketRows(nation: DataFrame): DataFrame = {
+    val k = col("n_nationkey")
+    nation
+      .select(col("n_nationkey"), explode(array(lit(0), lit(1))).as("__t"))
+      .select(col("n_nationkey"), col("__t"),
+        acct(k).as("account_id"),
+        concat_ws("-", lit("ct-logs"), k, col("__t")).as("bucket"))
+  }
+
+  def s3Buckets(nation: DataFrame): DataFrame =
+    bucketRows(nation).select(
+      d2.as("recorded_at"), col("account_id"), nstr("error"),
+      col("bucket").as("bucket_name"),
+      lit("2023-02-01 00:00:00").cast("timestamp")
+        .as("bucket_creation_date"),
+      lit("ops").as("owner_display_name"),
+      md5(col("account_id")).as("owner_id"))
+
+  def bucketAcls(nation: DataFrame): DataFrame =
+    bucketRows(nation).select(
+      d2.as("recorded_at"), col("account_id"), nstr("error"),
+      col("bucket"),
+      when((col("n_nationkey") + col("__t")) % 6 === 0,
+        lit("""{"URI":"http://acs.amazonaws.com/groups/global/AllUsers"}"""))
+        .otherwise(format_string("""{"ID":"%s"}""", md5(col("account_id"))))
+        .as("grants_grantee"),
+      lit("READ").as("grants_permission"),
+      lit("ops").as("owner_display_name"),
+      md5(col("account_id")).as("owner_id"))
+
+  def bucketLogging(nation: DataFrame): DataFrame =
+    bucketRows(nation).select(
+      d2.as("recorded_at"), col("account_id"), nstr("error"),
+      col("bucket"),
+      when(col("__t") === 0, concat_ws("", lit("access-logs-"),
+        col("n_nationkey"))).as("target_bucket"),
+      lit(null).cast("string").as("target_grants"),
+      when(col("__t") === 0, lit("s3/")).as("target_prefix"))
+
+  /** cloudtrail_get_trail_status (aws_collect.py:485) +
+    * get_event_selectors (:510) over the trail-<k>-<t> universe. */
+  def trailStatus(nation: DataFrame): DataFrame = {
+    val k = col("n_nationkey")
+    nation
+      .select(col("n_nationkey"), explode(array(lit(0), lit(1))).as("__t"))
+      .select(d2.as("recorded_at"), acct(k).as("account_id"),
+        lit("us-east-1").as("region"),
+        concat_ws("", lit("arn:aws:cloudtrail:us-east-1:"), acct(k),
+          lit(":trail/trail-"), k, lit("-"), col("__t")).as("trail_arn"),
+        nstr("error"),
+        ((k + col("__t")) % 4 =!= 0).as("is_logging"),
+        nstr("latest_delivery_error"), nstr("latest_notification_error"),
+        lit("2024-01-30 00:00:00").cast("timestamp")
+          .as("latest_delivery_time"),
+        nts("latest_notification_time"),
+        lit("2023-02-01 00:00:00").cast("timestamp")
+          .as("start_logging_time"),
+        nts("stop_logging_time"),
+        nstr("latest_cloud_watch_logs_delivery_error"),
+        nts("latest_cloud_watch_logs_delivery_time"),
+        nts("latest_digest_delivery_time"),
+        nstr("latest_digest_delivery_error"),
+        nstr("latest_delivery_attempt_time"),
+        nstr("latest_notification_attempt_time"),
+        nstr("latest_notification_attempt_succeeded"),
+        nstr("latest_delivery_attempt_succeeded"),
+        nstr("time_logging_started"), nstr("time_logging_stopped"))
+  }
+
+  def eventSelectors(nation: DataFrame): DataFrame = {
+    val k = col("n_nationkey")
+    nation
+      .select(col("n_nationkey"), explode(array(lit(0), lit(1))).as("__t"))
+      .select(d2.as("recorded_at"), acct(k).as("account_id"),
+        nstr("error"),
+        concat_ws("", lit("arn:aws:cloudtrail:us-east-1:"), acct(k),
+          lit(":trail/trail-"), k, lit("-"), col("__t")).as("trail_arn"),
+        when((k + col("__t")) % 3 === 0, "All").otherwise("WriteOnly")
+          .as("read_write_type"),
+        ((k + col("__t")) % 5 =!= 0).as("include_management_events"),
+        lit("[]").as("data_resources"),
+        lit("[]").as("exclude_management_event_sources"))
+  }
+
+  /** inspector_list_findings (aws_collect.py:521) +
+    * describe_findings (:529). */
+  def inspectorFindingList(nation: DataFrame): DataFrame = {
+    val k = col("n_nationkey")
+    nation.select(d2.as("recorded_at"), acct(k).as("account_id"),
+      lit("us-east-1").as("region"), nstr("error"),
+      format_string("""["arn:aws:inspector:us-east-1:%s:finding/f-%d"]""",
+        acct(k), k).as("finding_arns"))
+  }
+
+  def inspectorFindings(nation: DataFrame): DataFrame = {
+    val k = col("n_nationkey")
+    nation.select(d2.as("recorded_at"), acct(k).as("account_id"),
+      nstr("error"),
+      concat_ws("", lit("arn:aws:inspector:us-east-1:"), acct(k),
+        lit(":finding/f-"), k).as("finding_arns"),
+      lit("{}").as("failed_items"),
+      concat_ws("", lit("arn:aws:inspector:us-east-1:"), acct(k),
+        lit(":finding/f-"), k).as("arn"),
+      lit(1L).as("schema_version"),
+      lit("Inspector").as("service"), nstr("service_attributes"),
+      lit("ec2-instance").as("asset_type"), nstr("asset_attributes"),
+      concat_ws("", lit("f-"), k).as("id"),
+      concat_ws("", lit("Finding "), k).as("title"),
+      nstr("description"), nstr("recommendation"),
+      when(k % 3 === 0, "High").when(k % 3 === 1, "Medium")
+        .otherwise("Low").as("severity"),
+      ((k % 10) + 0.5).as("numeric_severity"),
+      lit(10L).as("confidence"),
+      (k % 9 === 0).as("indicator_of_compromise"),
+      nstr("attributes"), nstr("user_attributes"),
+      lit("2024-01-15 00:00:00").cast("timestamp").as("created_at"),
+      lit("2024-01-20 00:00:00").cast("timestamp").as("updated_at"))
+  }
+
   /** ec2_describe_security_groups (aws_collect.py:193-206) landed one
     * row per ip_permission; two snapshots — the stale one is wide
     * open (tcp, all ports, 0.0.0.0/0). */
@@ -534,5 +900,68 @@ object AwsCollectViews {
     def securityGroups(s: SparkSession, dir: String): DataFrame =
       v(s, dir, "security_groups")(
         AwsCollectViews.securityGroups(s, t(s, dir, "supplier")))
+    private def cus(s: SparkSession, dir: String) = t(s, dir, "customer")
+    private def sup(s: SparkSession, dir: String) = t(s, dir, "supplier")
+    def generateCredentialReport(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "generate_credential_report")(
+        AwsCollectViews.generateCredentialReport(nat(s, dir)))
+    def ec2Instances(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "ec2_instances")(AwsCollectViews.ec2Instances(cus(s, dir)))
+    def ec2RouteTables(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "ec2_route_tables")(
+        AwsCollectViews.ec2RouteTables(sup(s, dir)))
+    def kmsKeys(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "kms_keys")(AwsCollectViews.kmsKeys(sup(s, dir)))
+    def kmsKeyRotation(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "kms_key_rotation")(
+        AwsCollectViews.kmsKeyRotation(sup(s, dir)))
+    def loginProfiles(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "login_profiles")(
+        AwsCollectViews.loginProfiles(cus(s, dir)))
+    def mfaDevices(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "mfa_devices")(AwsCollectViews.mfaDevices(cus(s, dir)))
+    def accessKeys(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "access_keys")(AwsCollectViews.accessKeys(cus(s, dir)))
+    def groupsForUser(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "groups_for_user")(
+        AwsCollectViews.groupsForUser(cus(s, dir)))
+    def userPolicies(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "user_policies")(
+        AwsCollectViews.userPolicies(cus(s, dir)))
+    def attachedUserPolicies(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "attached_user_policies")(
+        AwsCollectViews.attachedUserPolicies(cus(s, dir)))
+    def iamGroups(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "iam_groups")(AwsCollectViews.iamGroups(nat(s, dir)))
+    def attachedGroupPolicies(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "attached_group_policies")(
+        AwsCollectViews.attachedGroupPolicies(nat(s, dir)))
+    def iamRoles(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "iam_roles")(AwsCollectViews.iamRoles(nat(s, dir)))
+    def rolePolicies(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "role_policies")(AwsCollectViews.rolePolicies(nat(s, dir)))
+    def rolePolicyDocuments(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "role_policy_documents")(
+        AwsCollectViews.rolePolicyDocuments(nat(s, dir)))
+    def iamPolicies(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "iam_policies")(AwsCollectViews.iamPolicies(nat(s, dir)))
+    def s3Buckets(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "s3_buckets")(AwsCollectViews.s3Buckets(nat(s, dir)))
+    def bucketAcls(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "bucket_acls")(AwsCollectViews.bucketAcls(nat(s, dir)))
+    def bucketLogging(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "bucket_logging")(
+        AwsCollectViews.bucketLogging(nat(s, dir)))
+    def trailStatus(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "trail_status")(AwsCollectViews.trailStatus(nat(s, dir)))
+    def eventSelectors(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "event_selectors")(
+        AwsCollectViews.eventSelectors(nat(s, dir)))
+    def inspectorFindingList(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "inspector_finding_list")(
+        AwsCollectViews.inspectorFindingList(nat(s, dir)))
+    def inspectorFindings(s: SparkSession, dir: String): DataFrame =
+      v(s, dir, "inspector_findings")(
+        AwsCollectViews.inspectorFindings(nat(s, dir)))
   }
 }
