@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2 #35-38: text analysis for training-data pipelines —
@@ -356,16 +356,20 @@ object TextOps {
     * merge (one row per step) ever reaches the driver — the same
     * bounded-model collect as the k-means centroids. Output: the
     * learned merge table (step, sym_a, sym_b, merged, freq). */
-  def bpeTrain(s: SparkSession, dir: String, merges: Int = 8): DataFrame = {
-    import s.implicits._
-    var v = t(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) >= 1)
-      .groupBy(col("word")).agg(count(lit(1)).as("f"))
-      .select(concat(lit(" "),
-        regexp_replace(col("word"), "(.)", " $1 "), lit(" ")).as("w"),
-        col("f"))
-      .transform(graft.Materialize.frame)
+  /** The double-space symbol string of a word: "hey" → "␣␣h␣␣e␣␣y␣␣". */
+  private def symString(word: Column): Column =
+    concat(lit(" "), regexp_replace(word, "(.)", " $1 "), lit(" "))
+
+  /** One literal-replace merge application over a symbol string. */
+  private def applyMerge(w: Column, a: String, b: String): Column =
+    call_function("replace", w, lit(s" $a  $b "), lit(s" $a$b "))
+
+  /** The driver merge-learning loop over a (w, f) vocab frame: each
+    * step is a pair census + TakeOrdered(1); only the chosen merge row
+    * reaches the driver. Shared by [[bpeTrain]] and [[bpeEncode]]. */
+  private def bpeLearnLoop(vocab: DataFrame,
+      merges: Int): Seq[(Int, String, String, String, Long)] = {
+    var v = vocab
     val learned =
       scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var step = 1
@@ -388,15 +392,63 @@ object TextOps {
         val (a, b, fr) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((step, a, b, a + b, fr))
-        v = v.select(call_function("replace", col("w"),
-          lit(s" $a  $b "), lit(s" $a$b ")).as("w"), col("f"))
+        v = v.select(applyMerge(col("w"), a, b).as("w"), col("f"))
         step += 1
       }
     }
-    learned.toSeq.toDF("step", "sym_a", "sym_b", "merged", "freq")
+    learned.toSeq
+  }
+
+  def bpeTrain(s: SparkSession, dir: String, merges: Int = 8): DataFrame = {
+    import s.implicits._
+    val vocab = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .select(symString(col("word")).as("w"), col("f"))
+      .transform(graft.Materialize.frame)
+    bpeLearnLoop(vocab, merges)
+      .toDF("step", "sym_a", "sym_b", "merged", "freq")
       .select(col("step").cast("int").as("step"), col("sym_a"),
         col("sym_b"), col("merged"), col("freq"))
       .orderBy(col("step"))
+  }
+
+  /** #89c BPE encode census `q_bpe_encode` — the tokenizer applied:
+    * per-source token counts under the [[bpeTrain]]-learned merges
+    * (the "how many tokens is my corpus under this tokenizer" question
+    * every training-data budget starts from). ZERO additional corpus
+    * scans beyond the one census: the per-(source, word) count frame
+    * is materialized once, the global vocab for learning is its
+    * aggregate, and the final per-source token sum is
+    * Σ f(source, w) · n_tokens(w) computed on the SAME census rows —
+    * n_tokens(w) is the learned replace chain + a token count, a
+    * narrow vocab-domain projection. Output: (source, n_words,
+    * n_tokens, avg_tokens_per_word). */
+  def bpeEncode(s: SparkSession, dir: String, merges: Int = 8): DataFrame = {
+    val census = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("f"))
+      .select(col("source"), symString(col("word")).as("w"), col("f"))
+      .transform(graft.Materialize.frame)
+    val vocab = census.groupBy(col("w")).agg(sum(col("f")).as("f"))
+    val learned = bpeLearnLoop(vocab, merges)
+    val applied = learned.foldLeft(col("w")) { case (c, (_, a, b, _, _)) =>
+      applyMerge(c, a, b)
+    }
+    census
+      .select(col("source"), col("f"), applied.as("__enc"))
+      .select(col("source"), col("f"),
+        size(expr("filter(split(__enc, '  '), x -> length(x) > 0)"))
+          .cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_words"),
+        sum(col("f") * col("n_tok")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        Num.r4(col("n_tokens") / col("n_words"))
+          .as("avg_tokens_per_word"))
+      .orderBy(col("source"))
   }
 
   /** q_bpe_train oracle: the `merges` iterations unrolled as CTE
@@ -434,6 +486,57 @@ object TextOps {
         s" freq FROM m$i"
     }.mkString(" UNION ALL ")
     s"$head, $iters $union ORDER BY step"
+  }
+
+  /** q_bpe_encode oracle: per-(source, word) census, the learning
+    * chain unrolled over the GLOBAL vocab aggregate (same CTE triples
+    * as the train oracle), then the 8 merges applied to the
+    * per-source census rows and token counts summed. */
+  private def bpeEncodeSql(merges: Int): String = {
+    def census(vn: String, cn: String): String =
+      s"""$cn AS (
+         |  SELECT s[i] AS a, s[i+1] AS b, CAST(sum(f) AS BIGINT) AS freq
+         |  FROM (SELECT f, list_filter(string_split(w, '  '),
+         |          x -> len(x) > 0) AS s FROM $vn) q,
+         |    UNNEST(range(1, len(s))) t(i)
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    val head =
+      """WITH wf AS (
+        |  SELECT source, word, count(*) AS f FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS word
+        |    FROM documents
+        |  ) WHERE len(word) >= 1 GROUP BY source, word
+        |), v0 AS (
+        |  SELECT source,
+        |    ' ' || regexp_replace(word, '(.)', ' \1 ', 'g') || ' ' AS w,
+        |    f FROM wf
+        |), g0 AS (SELECT w, sum(f) AS f FROM v0 GROUP BY w)""".stripMargin
+    val iters = (1 to merges).map { i =>
+      s"""${census(s"g${i - 1}", s"c$i")}, m$i AS (
+         |  SELECT a, b, freq FROM c$i ORDER BY freq DESC, a, b LIMIT 1
+         |), g$i AS (
+         |  SELECT replace(g.w, ' ' || m.a || '  ' || m.b || ' ',
+         |    ' ' || m.a || m.b || ' ') AS w, g.f
+         |  FROM g${i - 1} g, m$i m
+         |)""".stripMargin
+    }.mkString(", ")
+    val appliedW = (1 to merges).foldLeft("v0.w") { (acc, i) =>
+      s"replace($acc, ' ' || m$i.a || '  ' || m$i.b || ' '," +
+        s" ' ' || m$i.a || m$i.b || ' ')"
+    }
+    val mJoins = (1 to merges).map(i => s"m$i").mkString(", ")
+    s"""$head, $iters, enc AS (
+       |  SELECT v0.source, v0.f,
+       |    len(list_filter(string_split($appliedW, '  '),
+       |      x -> len(x) > 0)) AS n_tok
+       |  FROM v0, $mJoins
+       |)
+       |SELECT source, CAST(sum(f) AS BIGINT) AS n_words,
+       |  CAST(sum(f * n_tok) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(f * n_tok) AS DOUBLE) / sum(f), 4)
+       |    AS avg_tokens_per_word
+       |FROM enc GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** #94 PMI collocation mining `q_pmi_pairs`: the adjacent-word-pair
@@ -494,6 +597,7 @@ object TextOps {
     "q_pmi_pairs" -> ((s: SparkSession, dir: String) => pmiPairs(s, dir)),
     "q_bpe_pairs" -> ((s: SparkSession, dir: String) => bpePairs(s, dir)),
     "q_bpe_train" -> ((s: SparkSession, dir: String) => bpeTrain(s, dir)),
+    "q_bpe_encode" -> ((s: SparkSession, dir: String) => bpeEncode(s, dir)),
     "q_pseudonymize" -> pseudonymize _,
     "q_lang_id" -> langId _,
     "q_quality_score" -> qualityScore _,
@@ -542,6 +646,7 @@ object TextOps {
         |SELECT pair, CAST(freq AS BIGINT) AS freq
         |FROM pairs ORDER BY freq DESC, pair LIMIT 50""".stripMargin,
     "q_bpe_train" -> bpeTrainSql(8),
+    "q_bpe_encode" -> bpeEncodeSql(8),
     "q_pii_scan" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN

@@ -172,6 +172,62 @@ class CorpusIrSpec extends SparkSuite {
     assert(got == expected.toSeq)
   }
 
+  test("bpeEncode matches a brute-force encode under the learned merges") {
+    val rows = Tables.t(spark, Sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // learn (same brute-force loop as the train spec)
+    val wordFreq = rows.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+    var vocab: Map[Vector[String], Long] = wordFreq
+      .groupBy { case (w, _) => w.map(_.toString).toVector }
+      .map { case (syms, es) => syms -> es.values.sum }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def apply1(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    for (_ <- 1 to 8) {
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        pairs((syms(i), syms(i + 1))) =
+          pairs.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val ((a, b), _) = pairs.toSeq
+        .sortBy { case ((x, y), c) => (-c, x, y) }.head
+      merges += ((a, b))
+      vocab = vocab.toSeq.map { case (sy, f) => (apply1(sy, a, b), f) }
+        .groupBy(_._1).map { case (sy, es) => sy -> es.map(_._2).sum }
+    }
+    def encLen(w: String): Long = {
+      var syms = w.map(_.toString).toVector
+      for ((a, b) <- merges) syms = apply1(syms, a, b)
+      syms.length.toLong
+    }
+    val expected = rows
+      .flatMap { case (src, t) =>
+        t.split(" ", -1).filter(_.nonEmpty).map(w => (src, w)) }
+      .groupBy(_._1).toSeq
+      .map { case (src, ws) =>
+        val nWords = ws.size.toLong
+        val nTok = ws.map(w => encLen(w._2)).sum
+        (src, nWords, nTok,
+          BigDecimal(nTok.toDouble / nWords)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy(_._1)
+    val got = TextOps.bpeEncode(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected)
+    // merges strictly compress: avg tokens/word below the char count
+    assert(got.forall(_._4 >= 1.0) && got.exists(_._4 > 1.0))
+  }
+
   test("bpeTrain merge application is greedy left-to-right ('a a a' case)") {
     import spark.implicits._
     val dir = java.nio.file.Files
