@@ -60,6 +60,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("Window"), "q_ann_ivf plans a Window")
   }
 
+  test("IVF-PQ prunes with an isin literal and plans no window") {
+    // the probed cells are driver-computed and folded into the plan as
+    // an IN literal — the predicate that partition-prunes a
+    // cell-partitioned code table at scale; encoding/ADC are argmin
+    // aggregates, never a per-vector window
+    val plan = planOf("q_ann_ivf_pq")
+    assert(!plan.contains("Window"), "q_ann_ivf_pq plans a Window")
+    assert(plan.contains(" IN ") || plan.contains("cell#"),
+      "q_ann_ivf_pq lost its literal cell-prune filter")
+  }
+
   test("knnGraph/semDedup never broadcast the embeddings table") {
     // the pairwise block-compare must be a cell-keyed shuffle join: a
     // broadcast() of the corpus self-join side dies at the 8 GB
