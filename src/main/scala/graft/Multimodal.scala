@@ -70,9 +70,48 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** #39b perceptual near-dup pairs over BINARY payloads
+    * `q_media_phash_dedup` — the image/video dedup shape: a 32-bit
+    * byte-domain dHash per payload (the fused
+    * [[graft.functions.PHash32]] kernel: 33 evenly-spaced byte
+    * samples, bit = sample&gt;next; a real perceptual hash swaps the
+    * byte stream for decoded pixels — the stubbed-decode convention —
+    * with the plan unchanged), then EXACTLY the SimHash pair
+    * machinery: 4×8-bit band bucketing → candidate pairs only →
+    * bit_count(xor) ≤ 3 hamming verify. The blob column dies at the
+    * scan — only (doc_id, 32-bit hash) rows ever shuffle, which is
+    * the difference between banding 8-byte signatures and re-shuffling
+    * 100 TB of media. Hot buckets capped like every bucket join. */
+  def mediaPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val ph = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .filter(length(col("payload")) >= 33)
+      .select(col("doc_id"),
+        graft.functions.hashes.pHash32(col("payload")).as("h"))
+      .transform(graft.Materialize.frame)
+    val keyed = Dedup.dropHotBuckets(
+      ph.select(col("doc_id"), col("h"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("key", expr(
+          "(h div cast(power(2, band * 8) as bigint)) % 256")),
+      Seq("band", "key"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> decodeMeta _,
-    "q_frame_sample" -> frameSample _
+    "q_frame_sample" -> frameSample _,
+    "q_media_phash_dedup" -> mediaPhashDedup _
   )
 
   /** The stub decode is pure byte arithmetic, so even the decode path
@@ -98,6 +137,41 @@ object Multimodal {
         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |  md5(substring(text, CAST(i*32+1 AS INTEGER), 32)) AS frame_md5
         |FROM f, UNNEST(range(0, nf, 4)) AS t(i)
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // same ascii-payload identity as frame_sample: byte j of the
+    // UTF-8 payload == char j+1 of the text, so ascii(substring())
+    // reproduces the kernel's unsigned byte compares exactly
+    "q_media_phash_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) >= 33
+        |), ph AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN
+        |      ascii(substring(text, CAST((j*n)//33 AS INTEGER)+1, 1)) >
+        |      ascii(substring(text, CAST(((j+1)*n)//33 AS INTEGER)+1, 1))
+        |    THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS h
+        |  FROM d, UNNEST(range(0, 32)) t(j)
+        |  GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, h, b,
+        |    (h // CAST(power(2, b*8) AS BIGINT)) % 256 AS key
+        |  FROM ph, UNNEST(range(0, 4)) t(b)
+        |), sized AS (
+        |  SELECT b, key FROM bands GROUP BY b, key
+        |  HAVING count(*) <= 100
+        |), keyed AS (
+        |  SELECT bands.* FROM bands JOIN sized USING (b, key)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.h AS ha, b.h AS hb
+        |  FROM keyed a JOIN keyed b
+        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

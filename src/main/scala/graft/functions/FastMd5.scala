@@ -378,6 +378,27 @@ object Md5Util {
       .fromPrimitiveArray(out)
   }
 
+  /** 32-bit byte-domain dHash of a binary payload: 33 evenly-spaced
+    * byte samples (offset_j = ⌊j·n/33⌋), bit j set iff sample j >
+    * sample j+1 (unsigned). Locality-sensitive to byte edits the way
+    * pixel dHash is to image edits — a real perceptual hash swaps the
+    * byte stream for the decoded luminance grid, plan unchanged.
+    * Null under 33 bytes (samples would repeat degenerately). */
+  def pHash32(bytes: Array[Byte]): java.lang.Long = {
+    val n = bytes.length
+    if (n < 33) return null
+    var out = 0L
+    var j = 0
+    var prev = bytes(0) & 0xff
+    while (j < 32) {
+      val next = bytes(((j + 1).toLong * n / 33).toInt) & 0xff
+      if (prev > next) out |= 1L << j
+      prev = next
+      j += 1
+    }
+    out
+  }
+
   /** xxhash64 (Spark seed 42) of EVERY space-separated word of `s`, in
     * order, duplicates kept — transform(split(s, ' '), w -> xxhash64(w))
     * without the interpreted lambda or the per-word string: each word is
@@ -591,6 +612,37 @@ case class DistinctGrams(child: Expression, width: Int)
   * Md5Util.simHash32 for the bit contract) — replaces a token explode
   * + 32 aggregate expressions + hash aggregate with a shuffle-free
   * projection. */
+/** See Md5Util.pHash32: byte-domain dHash of a binary payload. */
+case class PHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "phash32"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Md5Util.pHash32(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long ${ev.value}_boxed = graft.functions.Md5Util.pHash32($c);
+      ${ev.isNull} = (${ev.value}_boxed == null);
+      ${ev.value} = ${ev.isNull} ? -1L : ${ev.value}_boxed.longValue();""")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PHash32 = copy(child = newChild)
+}
+
 case class SimHash32(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -800,4 +852,7 @@ object hashes {
   def wordGramHashes(c: Column, width: Int): Column =
     graftexpr.column(WordGramHashes(graftexpr.expression(c), width))
 
+  /** 32-bit byte-domain dHash of a binary payload (see PHash32). */
+  def pHash32(c: Column): Column =
+    graftexpr.column(PHash32(graftexpr.expression(c)))
 }

@@ -90,4 +90,28 @@ class VariantSpec extends SparkSuite {
     assert(r.getAs[Long]("height") == 64L + (n * 31) % 512)
     assert(a.forall(_.getAs[Long]("n_frames") >= 1L))
   }
+
+  test("media phash pairs same-length near-identical payloads, not edits of length") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_phash").toString
+    val base = "the quick brown fox jumps over the lazy dog repeatedly" * 3
+    // doc 2 = doc 1 with ONE byte changed (same length): at most a few
+    // of the 33 samples shift → small hamming → paired. doc 3 is
+    // unrelated content of the same length; doc 4 is doc 1 truncated
+    // (different length → every sample offset moves → no pair
+    // guaranteed, and none expected here).
+    val edited = base.updated(20, 'X')
+    val unrelated = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7)).alphanumeric.take(base.length).mkString
+    Seq((1L, base, "en", "s", base.length.toLong),
+      (2L, edited, "en", "s", edited.length.toLong),
+      (3L, unrelated, "en", "s", unrelated.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.mediaPhashDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)),
+      s"expected exactly the planted near-identical pair, got $got")
+  }
 }
