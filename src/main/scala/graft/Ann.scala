@@ -552,6 +552,31 @@ object Ann {
       .orderBy(col("cell"))
   }
 
+  /** #34d measured recall of the composed IVF-PQ path vs the exact
+    * squared-L2 baseline — |ivfpq ∩ exact_top10| / |ivfpq|, the
+    * quality dial for the (nprobe, M, K) knobs. Approximation loses
+    * recall two ways (a true neighbor outside the probed cells; ADC
+    * quantization reordering the tail), and this is the query that
+    * measures both at once. One scalar row. */
+  def ivfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = withV(t(s, dir, "embeddings")).select(col("vec_id"), col("v"))
+    val probe = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("v").as("pv")))
+    val exact = e.filter(col("vec_id") =!= 0)
+      .crossJoin(probe)
+      .withColumn("d", Num.r4(graft.functions.vec.sqdist(col("v"), col("pv"))))
+      .orderBy(col("d"), col("vec_id"))
+      .limit(10).select(col("vec_id"))
+      .transform(graft.Materialize.frame)
+    val apx = ivfPqAnn(s, dir).select(col("vec_id"))
+      .transform(graft.Materialize.frame)
+    apx.join(exact, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+      .crossJoin(apx.agg(count(lit(1)).as("n_apx")))
+      .select(col("n_apx"), col("n_overlap"),
+        Num.r4(col("n_overlap") / col("n_apx")).as("recall"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_diverse_sample" -> ((s: SparkSession, dir: String) =>
       diverseSample(s, dir)),
@@ -566,7 +591,9 @@ object Ann {
     "q_embedding_centroids" -> centroids _,
     "q_kmeans" -> ((s: SparkSession, dir: String) => kmeans(s, dir)),
     "q_ann_pq" -> ((s: SparkSession, dir: String) => pqAnn(s, dir)),
-    "q_ann_ivf_pq" -> ((s: SparkSession, dir: String) => ivfPqAnn(s, dir))
+    "q_ann_ivf_pq" -> ((s: SparkSession, dir: String) => ivfPqAnn(s, dir)),
+    "q_ann_ivf_pq_recall" -> ((s: SparkSession, dir: String) =>
+      ivfPqRecall(s, dir))
   )
 
   /** q_kmeans oracle: the two Lloyd iterations + final assignment
@@ -648,6 +675,65 @@ object Ann {
        |  SELECT e.vec_id, e.v, a.cell
        |  FROM e JOIN assign a USING (vec_id) JOIN sized USING (cell)
        |)""".stripMargin
+
+  private val IvfPqSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, i, v[i]::DOUBLE AS x,
+        |    CAST(floor((i - 1) / 8) AS INTEGER) AS m
+        |  FROM e, UNNEST(generate_series(1, len(v))) t(i)
+        |),
+        |c0 AS (SELECT vec_id AS cid, i, x FROM d WHERE vec_id < 32),
+        |assign AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT d.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY round(sum((d.x - c.x) * (d.x - c.x)), 4), c.cid)
+        |        AS rn
+        |    FROM d JOIN c0 c USING (i) GROUP BY d.vec_id, c.cid
+        |  ) WHERE rn = 1
+        |),
+        |pcell AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid,
+        |      row_number() OVER (
+        |        ORDER BY round(sum((p.x - c.x) * (p.x - c.x)), 4), c.cid)
+        |        AS rn
+        |    FROM d p JOIN c0 c USING (i)
+        |    WHERE p.vec_id = 0
+        |    GROUP BY c.cid
+        |  ) WHERE rn <= 2
+        |),
+        |cb AS (SELECT CAST(vec_id AS INTEGER) AS code, i, x, m
+        |       FROM d WHERE vec_id < 16),
+        |sub AS (
+        |  SELECT d.vec_id, a.cell, cb.code, d.m,
+        |    round(sum((d.x - cb.x) * (d.x - cb.x)), 4) AS dist
+        |  FROM d
+        |  JOIN assign a ON a.vec_id = d.vec_id
+        |  JOIN pcell pc ON pc.cid = a.cell
+        |  JOIN cb ON cb.i = d.i
+        |  GROUP BY d.vec_id, a.cell, cb.code, d.m
+        |),
+        |codes AS (
+        |  SELECT vec_id, cell, m, code FROM (
+        |    SELECT vec_id, cell, m, code,
+        |      row_number() OVER (PARTITION BY vec_id, m
+        |        ORDER BY dist, code) AS rn
+        |    FROM sub) WHERE rn = 1
+        |),
+        |dt AS (
+        |  SELECT cb.code, d.m,
+        |    round(sum((d.x - cb.x) * (d.x - cb.x)), 4) AS d
+        |  FROM d JOIN cb ON cb.i = d.i
+        |  WHERE d.vec_id = 0
+        |  GROUP BY cb.code, d.m
+        |)
+        |SELECT c.vec_id, c.cell, round(sum(dt.d), 4) AS adc_dist
+        |FROM codes c JOIN dt ON dt.m = c.m AND dt.code = c.code
+        |WHERE c.vec_id <> 0
+        |GROUP BY c.vec_id, c.cell
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q_diverse_sample" ->
@@ -734,64 +820,33 @@ object Ann {
     // the ADC table is built from the full probe row, as on the Spark
     // side). Probed cells rank by the same rounded sqdist + cid tiebreak
     // as the assignment.
-    "q_ann_ivf_pq" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |d AS (
-        |  SELECT vec_id, i, v[i]::DOUBLE AS x,
-        |    CAST(floor((i - 1) / 8) AS INTEGER) AS m
-        |  FROM e, UNNEST(generate_series(1, len(v))) t(i)
-        |),
-        |c0 AS (SELECT vec_id AS cid, i, x FROM d WHERE vec_id < 32),
-        |assign AS (
-        |  SELECT vec_id, cid AS cell FROM (
-        |    SELECT d.vec_id, c.cid,
-        |      row_number() OVER (PARTITION BY d.vec_id
-        |        ORDER BY round(sum((d.x - c.x) * (d.x - c.x)), 4), c.cid)
-        |        AS rn
-        |    FROM d JOIN c0 c USING (i) GROUP BY d.vec_id, c.cid
-        |  ) WHERE rn = 1
-        |),
-        |pcell AS (
-        |  SELECT cid FROM (
-        |    SELECT c.cid,
-        |      row_number() OVER (
-        |        ORDER BY round(sum((p.x - c.x) * (p.x - c.x)), 4), c.cid)
-        |        AS rn
-        |    FROM d p JOIN c0 c USING (i)
-        |    WHERE p.vec_id = 0
-        |    GROUP BY c.cid
-        |  ) WHERE rn <= 2
-        |),
-        |cb AS (SELECT CAST(vec_id AS INTEGER) AS code, i, x, m
-        |       FROM d WHERE vec_id < 16),
-        |sub AS (
-        |  SELECT d.vec_id, a.cell, cb.code, d.m,
-        |    round(sum((d.x - cb.x) * (d.x - cb.x)), 4) AS dist
-        |  FROM d
-        |  JOIN assign a ON a.vec_id = d.vec_id
-        |  JOIN pcell pc ON pc.cid = a.cell
-        |  JOIN cb ON cb.i = d.i
-        |  GROUP BY d.vec_id, a.cell, cb.code, d.m
-        |),
-        |codes AS (
-        |  SELECT vec_id, cell, m, code FROM (
-        |    SELECT vec_id, cell, m, code,
-        |      row_number() OVER (PARTITION BY vec_id, m
-        |        ORDER BY dist, code) AS rn
-        |    FROM sub) WHERE rn = 1
-        |),
-        |dt AS (
-        |  SELECT cb.code, d.m,
-        |    round(sum((d.x - cb.x) * (d.x - cb.x)), 4) AS d
-        |  FROM d JOIN cb ON cb.i = d.i
-        |  WHERE d.vec_id = 0
-        |  GROUP BY cb.code, d.m
-        |)
-        |SELECT c.vec_id, c.cell, round(sum(dt.d), 4) AS adc_dist
-        |FROM codes c JOIN dt ON dt.m = c.m AND dt.code = c.code
-        |WHERE c.vec_id <> 0
-        |GROUP BY c.vec_id, c.cell
-        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf_pq" -> IvfPqSql,
+    "q_ann_ivf_pq_recall" ->
+      s"""WITH e2 AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), dd AS (
+         |  SELECT vec_id, i, v[i]::DOUBLE AS x
+         |  FROM e2, UNNEST(generate_series(1, len(v))) t(i)
+         |), exact AS (
+         |  SELECT vec_id FROM (
+         |    SELECT d.vec_id,
+         |      round(sum((d.x - p.x) * (d.x - p.x)), 4) AS dist
+         |    FROM dd d JOIN dd p ON p.i = d.i AND p.vec_id = 0
+         |    WHERE d.vec_id <> 0
+         |    GROUP BY d.vec_id
+         |  ) ORDER BY dist, vec_id LIMIT 10
+         |), apx AS (
+         |  SELECT vec_id FROM ($IvfPqSql) q
+         |)
+         |SELECT CAST(n_apx AS BIGINT) AS n_apx,
+         |  CAST(n_overlap AS BIGINT) AS n_overlap,
+         |  round(CAST(n_overlap AS DOUBLE) / n_apx, 4) AS recall
+         |FROM (SELECT
+         |  (SELECT count(*) FROM apx) AS n_apx,
+         |  (SELECT count(*) FROM apx
+         |   WHERE vec_id IN (SELECT vec_id FROM exact)) AS n_overlap)
+         |""".stripMargin,
+    
     "q_ann_bruteforce" ->
       s"""$CosineCte
          |SELECT vec_id, round(dot / (sqrt(qa) * sqrt(qb)), 4) AS cosine
