@@ -453,7 +453,13 @@ object TextOps {
 
   /** q_bpe_train oracle: the `merges` iterations unrolled as CTE
     * triples (census → top-1 merge → replace), the same double-space
-    * literal-replace representation. */
+    * literal-replace representation. Assumes the corpus supports all
+    * `merges` merges (every real corpus does; the generated testdata
+    * yields thousands of distinct pairs): on a DRY corpus the empty
+    * m_i makes every later v_j empty, so bpe_train still agrees with
+    * the Spark early-stop (the union emits only found merges), but
+    * bpe_encode's m1..m8 cross join would empty out — the Spark-side
+    * dry semantics are spec-pinned instead (CorpusIrSpec). */
   private def bpeTrainSql(merges: Int): String = {
     def census(vn: String, cn: String): String =
       s"""$cn AS (

@@ -246,6 +246,25 @@ class CorpusIrSpec extends SparkSuite {
     assert(got == Seq((1, "a", "a", 6L), (2, "aa", "a", 3L)))
   }
 
+  test("bpe loop stops early on a dry corpus; encode still applies what it learned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_dry").toString
+    // vocab = {"ab"}: merge 1 = (a,b); afterwards every word is one
+    // symbol — no pairs remain, the loop must stop at 1 merge (the
+    // 8-iteration request must not fail or fabricate merges)
+    Seq((1L, "ab ab", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val trained = TextOps.bpeTrain(spark, dir, merges = 8).collect()
+    assert(trained.map(r => (r.getInt(0), r.getString(3))).toSeq ==
+      Seq((1, "ab")))
+    val enc = TextOps.bpeEncode(spark, dir, merges = 8).collect()
+    assert(enc.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("s", 2L, 2L)),
+      "2 words, each encoded as the single merged token")
+  }
+
   // --- PMI collocations ----------------------------------------------
 
   test("pmiPairs matches a brute-force collocation census") {

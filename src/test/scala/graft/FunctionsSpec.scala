@@ -1,5 +1,51 @@
 package graft
 
+/** DupRunBits buffer laws, unit-level (the end-to-end pin is the
+  * span_extent brute-force spec): OR-merge across asymmetric partials
+  * and the serialize/deserialize round trip. */
+class DupRunBitsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def buf(positions: Long*): graft.functions.DupRunBits.Buf = {
+    val agg = graft.functions.DupRunBits(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val b = agg.createAggregationBuffer()
+    positions.foreach { p =>
+      agg.update(b, org.apache.spark.sql.catalyst.InternalRow(p))
+    }
+    b
+  }
+  private def eval(b: graft.functions.DupRunBits.Buf): (Long, Long) = {
+    val agg = graft.functions.DupRunBits(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val a = agg.eval(b)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (a.getLong(0), a.getLong(1))
+  }
+
+  test("runs crossing word boundaries merge across partials") {
+    val agg = graft.functions.DupRunBits(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    // positions 62,63 in one partial and 64,65 in another: the run
+    // spans the 64-bit word boundary and only exists after the merge
+    val merged = agg.merge(buf(62L, 63L), buf(64L, 65L, 200L))
+    assert(eval(merged) == (5L, 4L))
+    // merge with the empty buffer is identity either way
+    assert(eval(agg.merge(buf(), buf(3L, 4L))) == (2L, 2L))
+    assert(eval(agg.merge(buf(3L, 4L), buf())) == (2L, 2L))
+  }
+
+  test("serialize round-trips the bitmap") {
+    val agg = graft.functions.DupRunBits(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val b = buf(0L, 1L, 2L, 100L, 101L, 511L)
+    assert(eval(agg.deserialize(agg.serialize(b))) == eval(b))
+    assert(eval(b) == (6L, 3L))
+  }
+}
+
 import org.apache.spark.sql.functions._
 
 import graft.functions.vec
