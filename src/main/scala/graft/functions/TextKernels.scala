@@ -100,6 +100,37 @@ object TextKernelUtil {
     n
   }
 
+  /** BPE-ish token count — the number of matches of
+    * `[a-z]+|[0-9]+|[^a-z0-9 ]` — in one code-point pass with no regex
+    * engine and no materialized match array: a maximal lowercase run
+    * is one token, a maximal digit run is one token, every other
+    * non-space code point is its own token, spaces separate. Exactly
+    * Java regex semantics for this pattern (alternation is greedy
+    * left-to-right; char classes match code points), parity-pinned
+    * against size(regexp_extract_all(...)) by FuzzParitySpec. */
+  def bpeTokenCount(s: UTF8String): Long = {
+    val str = s.toString
+    var n = 0L
+    // 0 = none/space, 1 = in lowercase run, 2 = in digit run
+    var state = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp >= 'a' && cp <= 'z') {
+        if (state != 1) { n += 1; state = 1 }
+      } else if (cp >= '0' && cp <= '9') {
+        if (state != 2) { n += 1; state = 2 }
+      } else if (cp == ' ') {
+        state = 0
+      } else {
+        n += 1
+        state = 0
+      }
+      i += Character.charCount(cp)
+    }
+    n
+  }
+
   /** One-pass per-document term statistics for fixed-vocabulary scoring
     * (BM25 over query terms): total token count plus one occurrence
     * count per term of `tokens` — replaces split+size+explode+filter+
@@ -348,6 +379,32 @@ case class TokenInListCount(child: Expression, tokens: Seq[String])
       newChild: Expression): TokenInListCount = copy(child = newChild)
 }
 
+/** See TextKernelUtil.bpeTokenCount. */
+case class BpeTokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "bpe_token_count"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernelUtil.bpeTokenCount(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernelUtil.bpeTokenCount($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeTokenCount = copy(child = newChild)
+}
+
 /** See TextKernelUtil.digitCount. */
 case class DigitCount(child: Expression) extends UnaryExpression {
 
@@ -507,6 +564,9 @@ object text {
 
   def digitCount(c: Column): Column =
     graftexpr.column(DigitCount(graftexpr.expression(c)))
+
+  def bpeTokenCount(c: Column): Column =
+    graftexpr.column(BpeTokenCount(graftexpr.expression(c)))
 
   def trigramStats(c: Column): Column =
     graftexpr.column(TrigramStats(graftexpr.expression(c)))

@@ -122,6 +122,15 @@ class FuzzParitySpec extends SparkSuite {
     assert(short.count() == 0)
   }
 
+  test("fuzz: bpe_token_count parity vs regexp_extract_all") {
+    val cmp = docs.select(
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("long").as("naive"),
+      graft.functions.text.bpeTokenCount(col("text")).as("fused"))
+      .filter(!(col("naive") <=> col("fused")))
+    assert(cmp.count() == 0, "bpe_token_count diverges from the regex")
+  }
+
   test("fuzz: word_hashes parity (order and duplicates kept)") {
     val cmp = docs.select(
       expr("transform(split(text, ' '), w -> xxhash64(w))").as("naive"),
