@@ -7,7 +7,8 @@ import org.apache.spark.sql.types.StringType
 
 import graft.functions.{CosineSimilarity, DistinctGramHashes, DistinctGrams,
   DistinctShingles, DistinctWordGramHashes, FastMd5, MinGramMd5,
-  MinhashSlices, SimHash32, VectorSum, WordGramHashes}
+  MinhashSlices, SimHash32, VectorSum, WordGramHashes,
+  BpeTokenCount, PHash32, DupRunBits}
 
 /** Session-extension registration for graft's native Catalyst
   * expressions, so the SQL-AUTHORED rule surface reaches the same fused
@@ -114,5 +115,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "array<double> vectors (map-side partial buffers; the " +
           "de-exploded centroid shape)"),
       (args: Seq[Expression]) => VectorSum(one(args, "graft_vector_sum"))))
+    e.injectFunction((FunctionIdentifier("graft_bpe_token_count"),
+      info("graft_bpe_token_count",
+        "graft_bpe_token_count(s) - count of [a-z]+|[0-9]+|[^a-z0-9 ] " +
+          "tokens in one code-point pass (no regex engine)"),
+      (args: Seq[Expression]) =>
+        BpeTokenCount(one(args, "graft_bpe_token_count"))))
+    e.injectFunction((FunctionIdentifier("graft_phash32"),
+      info("graft_phash32",
+        "graft_phash32(b) - 32-bit byte-domain dHash of a binary " +
+          "payload (33 evenly-spaced samples, bit = sample > next)"),
+      (args: Seq[Expression]) => PHash32(one(args, "graft_phash32"))))
+    e.injectFunction((FunctionIdentifier("graft_dup_run_bits"),
+      info("graft_dup_run_bits",
+        "graft_dup_run_bits(pos) - aggregate: [n_dup, max_run] over " +
+          "duplicated-window positions via a per-group bitmap"),
+      (args: Seq[Expression]) =>
+        DupRunBits(one(args, "graft_dup_run_bits"))))
   }
 }

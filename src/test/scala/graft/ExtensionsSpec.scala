@@ -72,6 +72,26 @@ class ExtensionsSpec extends SparkSuite {
           |GROUP BY g ORDER BY g""".stripMargin).collect()
       assert(agg(0).getSeq[Double](1) == Seq(11.0, 22.0))
       assert(agg(1).getSeq[Double](1) == Seq(5.0, 7.0))
+
+      // round-13 kernels
+      val r13 = s.sql(
+        """SELECT
+          |  graft_bpe_token_count('abc 12x!') AS n_tok,
+          |  graft_word_gram_hashes('a b c d e') AS wg,
+          |  graft_phash32(encode(repeat('abcz', 20), 'UTF-8')) AS ph
+          |""".stripMargin).collect().head
+      assert(r13.getLong(0) == 4L) // [abc][12][x][!]
+      assert(r13.getSeq[Long](1).length == 2)
+      assert(r13.getLong(2) == s.range(1)
+        .select(graft.functions.hashes.pHash32(
+          encode(lit("abcz" * 20), "UTF-8"))).head.getLong(0))
+      val runs = s.sql(
+        """SELECT g, graft_dup_run_bits(p) AS r FROM VALUES
+          |  (1, 3L), (1, 4L), (1, 5L), (1, 9L), (2, 0L)
+          |  AS t(g, p)
+          |GROUP BY g ORDER BY g""".stripMargin).collect()
+      assert(runs(0).getSeq[Long](1) == Seq(4L, 3L))
+      assert(runs(1).getSeq[Long](1) == Seq(1L, 1L))
     }
   }
 
