@@ -166,4 +166,26 @@ object StreamingCorpus {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The vector-side landing cycle, composing [[semanticGate]] the way
+    * [[landSignatures]] composes [[dedupIngest]]: arriving embeddings
+    * are gated against the frozen (seeds, cellStore) pair and the
+    * survivors append — WITH their cell — to a parquet vector store
+    * PARTITIONED BY cell, so the store the next cycle freezes (and
+    * every batch cell-keyed operator reads) is already laid out for
+    * cell-partition pruning. AvailableNow cycles mirror the batch
+    * connectors' scheduled landings; refresh = rebuild the store pair
+    * from the grown store and restart, the Bloom-filter cadence. */
+  def landVectors(vecs: DataFrame, seeds: Seq[(Long, Array[Double])],
+      cellStore: DataFrame, storeDir: String, checkpointDir: String,
+      tau: Double = 0.35): StreamingQuery =
+    semanticGate(vecs, seeds, cellStore, tau)
+      .writeStream
+      .format("parquet")
+      .option("path", storeDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("cell")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -187,6 +187,34 @@ class StreamingCorpusSpec extends SparkSuite {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(batch == got.keySet)
   }
+
+  test("landVectors appends gated vectors cell-partitioned") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val history = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 1.0, 0.0, 0.0)),
+      (2L, Array(1.0, 0.1, 0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val (seeds, store) = StreamingCorpus.cellStoreOf(history, cells = 2)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_land_vec").toString
+    val input = MemoryStream[StreamVec]
+    input.addData(
+      StreamVec(10L, Array(0.95, 0.2, 0.0, 0.0)),  // dup of vec 2
+      StreamVec(11L, Array(0.0, 0.0, 1.0, 0.0)),   // novel, cell 0
+      StreamVec(12L, Array(0.1, 0.9, 0.0, 0.0)))   // dup of seed 1
+    val q = StreamingCorpus.landVectors(input.toDF(), seeds, store,
+      s"$base/store", s"$base/ck", tau = 0.8)
+    q.awaitTermination()
+    val landed = spark.read.parquet(s"$base/store")
+    assert(landed.collect().map(_.getAs[Long]("vec_id")).toSet ==
+      Set(11L))
+    // the store is physically partitioned by cell — the layout the
+    // next cycle's cell-keyed readers prune on
+    assert(new java.io.File(s"$base/store").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+  }
 }
 
 case class StreamVec(vec_id: Long, v: Array[Double])
