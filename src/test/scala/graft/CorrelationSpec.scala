@@ -40,6 +40,34 @@ class CorrelationSpec extends SparkSuite {
     }
   }
 
+  test("array-valued object/action correlate by whole-array equality " +
+      "(reference regression SP1513)") {
+    // The reference fixed array actions by serializing the list and
+    // comparing alert:ACTION::STRING for WHOLE-ARRAY equality
+    // (alert_processor.py:50-57 + tests/regression/
+    // SP1513_correlating_array_actions.py). graft's flat schema gets
+    // the same semantics for free: a rule emitting array fields
+    // serializes them into the string columns, and === compares the
+    // whole serialization. Mirror of the regression scenario: objects
+    // DIFFER (["obj1","obj2"] vs ["obj1"]) but actions are the same
+    // array — the pair must share a correlation id via the action leg.
+    val alerts = df(
+      alert("A", "Test Actor", """["obj1","obj2"]""",
+        """["act1","act2"]""", 0),
+      alert("B", "Test Actor", """["obj1"]""",
+        """["act1","act2"]""", 5),
+      // control: same actor, both legs differ → no correlation
+      alert("C", "Test Actor", """["obj9"]""", """["act9"]""", 10))
+    for (m <- Seq(
+      RuleEngine.correlate(alerts, 60),
+      RuleEngine.correlateAnchored(alerts, 60))
+        .map(_.select("alert_id", "correlation_id").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap)) {
+      assert(m("A") == m("B"), "identical action arrays must correlate")
+      assert(m("C") != m("A"), "disjoint arrays must not correlate")
+    }
+  }
+
   test("divergence: an interleaved unrelated alert splits the session " +
       "but not the reference's anchored chain") {
     // A(obj=X) .. B(obj=Y, unrelated) .. C(obj=X): the reference's

@@ -79,6 +79,38 @@ class RunnerSpec extends SparkSuite {
     assert(meta(4).inserted == 2) // live handled alerts
   }
 
+  test("alerts from DIFFERENT rules sharing (object, description) merge " +
+      "into one (reference tests/run_alerts.py: Test 1 groups with Test 3)") {
+    // the reference's own end-to-end test plants two rules whose
+    // alerts share OBJECT + DESCRIPTION and asserts they land as ONE
+    // merged alert; graft merges over the UNION of all rules' output,
+    // so the cross-rule group must collapse with counter 2
+    val buf = s"runner-x-${System.nanoTime()}"
+    def sharedRule(n: String) = AlertRule(
+      name = n, queryId = n, title = n,
+      predicate = col("event_type") === "login",
+      actor = lit("Common Test Actor"),
+      target = lit("""["obj1","obj2"]"""),
+      action = lit("test action"),
+      description = lit("shared description"),
+      severity = lit("low"),
+      eventTime = col("ts"), eventData = col("props"))
+    val result = Runner.runAlerts(
+      events = mkEvents,
+      rules = Seq(sharedRule("test1"), sharedRule("test3")),
+      idCol = col("event_id"),
+      suppressions = Nil,
+      sinks = Seq(new MemorySink(buf)),
+      cfg = RunConfig("2024-01-01 00:00:00", "2024-01-02 00:00:00",
+        alertTimeS = 0L, defaultHandler = "memory"),
+      log = RunLog.newRun())
+    MemorySink.drain(buf)
+    val store = result.store.collect()
+    assert(store.length == 1, "cross-rule same-(object,description) " +
+      "alerts must merge to one row")
+    assert(store.head.getAs[Long]("counter") == 2L)
+  }
+
   test("each rule's event scan executes once per run (observed metrics)") {
     // metadata counts ride the plan via observe(); an eager count-per-
     // stage runner would read every event row at least twice. The
