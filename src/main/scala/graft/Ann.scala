@@ -379,12 +379,17 @@ object Ann {
     * deterministic init (the K lowest vec_ids seed the centroids). Each
     * iteration is ONE linear job: assignment is a narrow
     * literal-centroid projection ([[nearestSeed]] — no crossJoin, no
-    * broadcast, no per-vector window), the update a single
-    * map-side-combined groupBy(cid, pos) producing K×D rows that are
-    * collected and folded into the next pass — exactly how MLlib's
-    * k-means distributes. The corpus is never collected and never
-    * shuffled; between iterations only K×D centroid rows move. Output:
-    * per-cluster census with mean squared distance (inertia/n). */
+    * broadcast, no per-vector window), the update a single per-cid
+    * [[graft.functions.VectorSum]] aggregate + count — a D-length
+    * buffer per group with map-side partials, the SAME shape as
+    * [[centroids]] — producing K rows that are collected and divided
+    * driver-side into the next pass; exactly how MLlib's k-means
+    * distributes. (The earlier posexplode(v)→groupBy(cid,pos) update
+    * multiplied every row D× BEFORE the exchange — the §5-banned shape
+    * and the round-13 1.39× loss at 100× embeddings.) The corpus is
+    * never collected and never shuffled; between iterations only K
+    * centroid rows move. Output: per-cluster census with mean squared
+    * distance (inertia/n). */
   def kmeans(s: SparkSession, dir: String, k: Int = 8,
       iters: Int = 2): DataFrame = {
     val e = withV(t(s, dir, "embeddings")).select(col("vec_id"), col("v"))
@@ -395,13 +400,17 @@ object Ann {
     }
     for (_ <- 1 to iters) {
       val kd = e
-        .select(nearestSeed(cents).getField("cid").as("cid"),
-          posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("cx"))
+        .select(nearestSeed(cents).getField("cid").as("cid"), col("v"))
+        .groupBy(col("cid"))
+        .agg(graft.functions.vec.vectorSum(col("v")).as("vs"),
+          // count(v), not count(*): VectorSum skips null arrays, so
+          // the divisor must count the same rows the numerator summed
+          count(col("v")).as("n"))
         .collect()
-      cents = kd.groupBy(_.getLong(0)).toSeq.map { case (cid, rs) =>
-        (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
-      }.sortBy(_._1)
+      cents = kd.iterator.map { r =>
+        val n = r.getLong(2).toDouble
+        (r.getLong(0), r.getSeq[Double](1).map(_ / n).toArray)
+      }.toSeq.sortBy(_._1)
     }
     val m = nearestSeed(cents)
     e.select(m.getField("cid").as("cluster"), m.getField("dist").as("dist"))

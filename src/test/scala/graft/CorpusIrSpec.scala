@@ -49,6 +49,40 @@ class CorpusIrSpec extends SparkSuite {
       "kmeans lost its fused argmin expression")
   }
 
+  test("kmeans Lloyd update aggregates vectors, not exploded dims") {
+    // the round-13 loss shape: posexplode(v) → groupBy(cid, pos)
+    // multiplied every row D× BEFORE the exchange. The update must be
+    // the VectorSum shape (a D-length buffer per group): capture every
+    // plan kmeans executes and assert none Generates (explodes) rows.
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      Ann.kmeans(spark, Sf).collect()
+      // listener delivery is async: seed + 2 update iterations + final
+      // census = 4 actions; bounded wait for all to arrive
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (plans.synchronized(plans.size) < 4 &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+    } finally spark.listenerManager.unregister(l)
+    assert(plans.synchronized(plans.size) >= 4,
+      "listener never saw kmeans's 4 actions")
+    val exploded = plans.filter(_.contains("Generate"))
+    assert(exploded.isEmpty,
+      s"kmeans executed ${exploded.size} plan(s) with a Generate " +
+        "(posexplode row expansion before the update exchange)")
+    assert(plans.exists(_.contains("vector_sum")),
+      "kmeans update lost its VectorSum aggregate")
+  }
+
   // --- BM25 ----------------------------------------------------------
 
   test("bm25 matches a brute-force scorer") {
