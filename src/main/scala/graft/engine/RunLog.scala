@@ -139,6 +139,13 @@ final class RunLog(val runId: String) {
     }
   }
 
+  /** Drop pending observations WITHOUT recording rows — for the
+    * degraded per-rule isolation path: when the fused plan's terminal
+    * action failed, its observed metrics can never be delivered (flush
+    * would record a noise "metrics never observed" row per stage);
+    * the degraded re-run records each stage's real row instead. */
+  def discardPending(): Unit = synchronized(pendingObs.clear())
+
   /** Resolve all observed stages into metadata rows. Must run after the
     * pipeline's terminal action (metric delivery is asynchronous —
     * bounded wait per stage). A stage whose subplan never executed is

@@ -1,5 +1,7 @@
 package graft.engine
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -24,6 +26,24 @@ final case class RunConfig(
   * declarative pipeline over DataFrames. Everything except the final
   * dispatch stays inside Catalyst; per-stage counts are the only
   * driver-side values.
+  *
+  * Failure isolation mirrors the reference's error contract
+  * (alert_queries_runner.py create_alerts wraps EACH rule in its own
+  * try/except — a broken rule records a metadata ERROR row and the run
+  * CONTINUES; the reference's own regression run_violations.py:28-46
+  * plants a `1/0` rule and asserts the healthy rule's rows still land
+  * with the broken rule's run record carrying the error). Here the
+  * fast path still fuses every rule into one scan-shared plan; rules
+  * whose frames fail to CONSTRUCT (analysis errors: missing column,
+  * bad type) are dropped per-rule with an ERROR row. If the fused
+  * terminal action fails at RUNTIME (a rule's projection throws
+  * mid-task: bad regex, malformed cast, divide-by-zero), the run
+  * degrades to per-rule isolation — each surviving rule is probed with
+  * its own action (failing rules record ERROR rows), and the pipeline
+  * re-runs on the healthy set with eager per-stage metadata. The
+  * degraded path scans each rule's events individually — the
+  * correctness-over-scan-sharing trade the reference's per-rule loop
+  * makes on EVERY run, paid here only when a rule is actually broken.
   */
 object Runner {
 
@@ -31,6 +51,19 @@ object Runner {
       alerts: DataFrame,
       store: DataFrame,
       handlerResults: Dataset[HandlerResult])
+
+  /** Literal-only rule: analysis-safe on any event frame; yields the
+    * alert schema with zero rows (the all-rules-broken fallback). */
+  private def emptyAlerts(
+      events: DataFrame, idCol: Column, cfg: RunConfig): DataFrame =
+    RuleEngine.runAlertRule(
+      events.limit(0),
+      AlertRule(name = "__no_live_rules", queryId = "", title = "",
+        predicate = lit(false), actor = lit(""), target = lit(""),
+        action = lit(""), description = lit(""), severity = lit(""),
+        eventTime = lit("1970-01-01 00:00:00").cast("timestamp"),
+        eventData = lit("{}")),
+      idCol, cfg.fromTs, cfg.toTsExclusive, cfg.alertTimeS)
 
   /** Run the full alert pipeline. Returned `alerts` are the live
     * (non-suppressed) alerts with correlation ids and the per-handler
@@ -45,43 +78,100 @@ object Runner {
       cfg: RunConfig,
       log: RunLog): AlertRunResult = {
 
+    def ruleFrame(r: AlertRule): DataFrame =
+      RuleEngine.runAlertRule(
+        events, r, idCol, cfg.fromTs, cfg.toTsExclusive, cfg.alertTimeS)
+
     // 1. each alert rule over the shared time window (ref:
-    //    alert_queries_runner.main loops rule views). Stage counts ride
-    //    the plan via observe() — the ONE terminal action below (step 5)
-    //    executes every rule's event scan exactly once; the eager
-    //    count-per-stage alternative would scan each rule's events twice
-    //    (once for metadata, once in the composed pipeline) — a real
-    //    cost at 100 TB.
-    val perRule = rules.map { r =>
-      log.observedInsert(r.name) {
-        RuleEngine.runAlertRule(
-          events, r, idCol, cfg.fromTs, cfg.toTsExclusive, cfg.alertTimeS)
-      }
+    //    alert_queries_runner.main loops rule views), ISOLATED
+    //    per-rule: an analysis-broken rule throws inside
+    //    observedInsert (Datasets analyze eagerly), which records its
+    //    ERROR metadata row; the rule drops out and the run continues.
+    //    Stage counts for healthy rules ride the plan via observe() —
+    //    the ONE terminal action below executes every rule's event
+    //    scan exactly once; the eager count-per-stage alternative
+    //    would scan each rule's events twice — a real cost at 100 TB.
+    val constructed: Seq[(AlertRule, DataFrame)] = rules.flatMap { r =>
+      try Some(r -> log.observedInsert(r.name)(ruleFrame(r)))
+      catch { case NonFatal(_) => None } // ERROR row already recorded
     }
-    val alerts = perRule.reduce(_.unionByName(_))
+    val alerts =
+      if (constructed.isEmpty) emptyAlerts(events, idCol, cfg)
+      else constructed.map(_._2).reduce(_.unionByName(_))
+
+    try pipeline(alerts, suppressions, sinks, cfg, log, observed = true)
+    catch {
+      case NonFatal(_) =>
+        // a rule's projection threw at RUNTIME inside the fused plan.
+        // The pending observations can never resolve — discard them —
+        // then probe each constructed rule with its own action: the
+        // broken rule records its ERROR row (ref: per-rule try/except),
+        // everyone else records real counts, and the pipeline re-runs
+        // on the survivors with eager per-stage metadata. Rules that
+        // already failed construction keep their pass-1 ERROR row (one
+        // metadata row per rule per run, like the reference).
+        log.discardPending()
+        // the probe must evaluate EVERY column, not just count rows —
+        // a bare count() lets column pruning skip the very projection
+        // that threw (the bomb would re-enter the pipeline and fail it
+        // again downstream). Materialize.frame stores full rows, so a
+        // broken projection throws here, inside this rule's own probe;
+        // healthy rules re-enter the pipeline pre-materialized.
+        val survivors = constructed.flatMap { case (r, _) =>
+          try Some(log.timedInsert(r.name)(
+            graft.Materialize.frame(ruleFrame(r))))
+          catch { case NonFatal(_) => None }
+        }
+        val healthy =
+          if (survivors.isEmpty) emptyAlerts(events, idCol, cfg)
+          else survivors.reduce(_.unionByName(_))
+        pipeline(healthy, suppressions, sinks, cfg, log, observed = false)
+    }
+  }
+
+  /** merge → suppress → correlate → dispatch over an assembled alert
+    * set, with per-stage metadata either observed (fast path: metrics
+    * ride the plan, one terminal action) or eager (degraded path: one
+    * action per stage, each stage individually isolable). */
+  private def pipeline(
+      alerts: DataFrame,
+      suppressions: Seq[SuppressionRule],
+      sinks: Seq[AlertSink],
+      cfg: RunConfig,
+      log: RunLog,
+      observed: Boolean): AlertRunResult = {
+
+    def insertStage(name: String)(stage: => DataFrame): DataFrame =
+      if (observed) log.observedInsert(name)(stage)
+      else log.timedInsert(name)(stage)
+    def suppressStage(name: String)(stage: => DataFrame): DataFrame =
+      if (observed) log.observedSuppress(name)(stage)
+      else log.timedSuppress(name)(stage)
 
     // 2. merge/dedup (ref: MERGE_ALERTS)
-    val merged = log.observedInsert("alert_merge") {
-      RuleEngine.mergeAlerts(alerts)
-    }
+    val merged = insertStage("alert_merge")(RuleEngine.mergeAlerts(alerts))
 
     // 3. suppression rules, first matching rule wins (ref:
-    //    alert_suppressions_runner runs each rule's UPDATE in turn)
+    //    alert_suppressions_runner runs each rule's UPDATE in its own
+    //    try/except — a broken suppression records an ERROR row and is
+    //    skipped, the alert set passes through unflagged by it)
     val suppressed = suppressions.foldLeft(
       merged.withColumn("suppressed", lit(false))
         .withColumn("suppression_rule", lit(null).cast("string"))) {
       case (acc, rule) =>
-        log.observedSuppress(rule.name) {
-          val ids = broadcast(rule.selectIds(acc)
-            .select(col("alert_id").as("__sup_id")).distinct())
-          acc.join(ids, acc("alert_id") === ids("__sup_id"), "left")
-            .withColumn("suppression_rule",
-              when(!col("suppressed") && col("__sup_id").isNotNull,
-                lit(rule.name)).otherwise(col("suppression_rule")))
-            .withColumn("suppressed",
-              col("suppressed") || col("__sup_id").isNotNull)
-            .drop("__sup_id")
-        }
+        try {
+          suppressStage(rule.name) {
+            val ids = broadcast(rule.selectIds(acc)
+              .select(col("alert_id").as("__sup_id")).distinct())
+            acc.join(ids, acc("alert_id") === ids("__sup_id"), "left")
+              .withColumn("suppression_rule",
+                when(!col("suppressed") && col("__sup_id").isNotNull,
+                  lit(rule.name)).otherwise(col("suppression_rule")))
+              .withColumn("suppressed",
+                col("suppressed") || col("__sup_id").isNotNull)
+              .drop("__sup_id")
+          }
+        } catch { case NonFatal(_) => acc } // ERROR row recorded; skip
     }.persist() // the run's results table: read by correlate + returned
 
     // 4. correlation over the live (non-suppressed) alerts (ref:
@@ -102,7 +192,15 @@ object Runner {
     // correlate → dispatch once, delivering every observed stage metric
     // as a side channel. suppressed is persisted above so the later
     // recordStatus/store consumers re-read the cache, not the scans.
-    results.count()
+    // On failure the caches are released before the caller degrades to
+    // the per-rule isolation path.
+    try results.count()
+    catch {
+      case NonFatal(e) =>
+        results.unpersist(blocking = false)
+        suppressed.unpersist(blocking = false)
+        throw e
+    }
     log.flush()
     val handled = log.timedInsert("alert_dispatch") {
       Dispatcher.recordStatus(live, results)
@@ -111,39 +209,87 @@ object Runner {
     AlertRunResult(handled, suppressed, results)
   }
 
+  /** Literal-only violation rule over an empty input: the violation
+    * schema with zero rows (the all-rules-broken fallback). */
+  private def emptyViolations(anyInput: DataFrame): DataFrame =
+    RuleEngine.runViolationRule(
+      anyInput.limit(0),
+      ViolationRule(name = "__no_live_rules", queryId = "", title = "",
+        predicate = lit(false), target = lit(""), owner = lit(""),
+        severity = lit(""), day = lit("1970-01-01").cast("date")))
+
   /** The violation runner loop (ref: violation_queries_runner.py +
     * violation_suppressions_runner.py): each rule's grouped input →
     * identity-hashed violations → suppression flags. Like runAlerts,
     * stage counts ride the plan via observe(); the returned results
     * table is materialized ONCE (that materialization is the terminal
     * action resolving every stage metric), so no rule input is scanned
-    * twice for metadata. */
+    * twice for metadata. Failure isolation mirrors run_violations.py's
+    * invalid-rule regression: a rule broken at analysis OR runtime
+    * yields an ERROR metadata row while every other rule's violations
+    * land. */
   def runViolations(
       ruleInputs: Seq[(ViolationRule, DataFrame)],
       suppressions: Seq[SuppressionRule],
       log: RunLog): DataFrame = {
-    val violations = ruleInputs.map { case (rule, grouped) =>
-      log.observedInsert(rule.name) {
-        RuleEngine.runViolationRule(grouped, rule)
+    require(ruleInputs.nonEmpty, "runViolations needs at least one rule")
+
+    val constructed = ruleInputs.flatMap { case (rule, grouped) =>
+      try Some((rule, grouped,
+        log.observedInsert(rule.name)(
+          RuleEngine.runViolationRule(grouped, rule))))
+      catch { case NonFatal(_) => None } // ERROR row already recorded
+    }
+
+    def downstream(violations: DataFrame, observed: Boolean): DataFrame = {
+      def suppressStage(name: String)(stage: => DataFrame): DataFrame =
+        if (observed) log.observedSuppress(name)(stage)
+        else log.timedSuppress(name)(stage)
+      val flagged = suppressions.foldLeft(
+        violations.withColumn("suppressed", lit(false))
+          .withColumn("suppression_rule", lit(null).cast("string"))) {
+        case (acc, rule) =>
+          try {
+            suppressStage(rule.name) {
+              val ids = broadcast(rule.selectIds(acc)
+                .select(col("id").as("__sup_id")).distinct())
+              acc.join(ids, acc("id") === ids("__sup_id"), "left")
+                .withColumn("suppression_rule",
+                  when(!col("suppressed") && col("__sup_id").isNotNull,
+                    lit(rule.name)).otherwise(col("suppression_rule")))
+                .withColumn("suppressed",
+                  col("suppressed") || col("__sup_id").isNotNull)
+                .drop("__sup_id")
+            }
+          } catch { case NonFatal(_) => acc }
       }
-    }.reduce(_.unionByName(_))
-    val flagged = suppressions.foldLeft(
-      violations.withColumn("suppressed", lit(false))
-        .withColumn("suppression_rule", lit(null).cast("string"))) {
-      case (acc, rule) =>
-        log.observedSuppress(rule.name) {
-          val ids = broadcast(rule.selectIds(acc)
-            .select(col("id").as("__sup_id")).distinct())
-          acc.join(ids, acc("id") === ids("__sup_id"), "left")
-            .withColumn("suppression_rule",
-              when(!col("suppressed") && col("__sup_id").isNotNull,
-                lit(rule.name)).otherwise(col("suppression_rule")))
-            .withColumn("suppressed",
-              col("suppressed") || col("__sup_id").isNotNull)
-            .drop("__sup_id")
+      // the terminal action resolving every observed stage metric
+      flagged.transform(graft.Materialize.frame)
+    }
+
+    val union =
+      if (constructed.isEmpty) emptyViolations(ruleInputs.head._2)
+      else constructed.map(_._3).reduce(_.unionByName(_))
+    try {
+      val out = downstream(union, observed = true)
+      log.flush()
+      out
+    } catch {
+      case NonFatal(_) =>
+        // runtime failure inside the fused plan: degrade to per-rule
+        // isolation (ref: violation_queries_runner per-rule try/except)
+        log.discardPending()
+        // full-row probe, not count(): see runAlerts — pruning would
+        // skip the broken projection and re-admit the bomb
+        val survivors = constructed.flatMap { case (rule, grouped, _) =>
+          try Some(log.timedInsert(rule.name)(graft.Materialize.frame(
+            RuleEngine.runViolationRule(grouped, rule))))
+          catch { case NonFatal(_) => None }
         }
-    }.transform(graft.Materialize.frame)
-    log.flush()
-    flagged
+        val healthy =
+          if (survivors.isEmpty) emptyViolations(ruleInputs.head._2)
+          else survivors.reduce(_.unionByName(_))
+        downstream(healthy, observed = false)
+    }
   }
 }

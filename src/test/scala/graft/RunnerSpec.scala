@@ -201,4 +201,162 @@ class RunnerSpec extends SparkSuite {
     assert(log.entries.map(_.query_name) == Seq("err_burst", "allow_u1"))
     assert(log.entries.head.inserted == 2)
   }
+
+  // --- per-rule failure isolation (ref: alert_queries_runner.py wraps
+  // each rule in its own try/except; run_violations.py:28-46 plants a
+  // 1/0 rule and asserts the healthy rule's rows still land while the
+  // broken rule's run record carries the ERROR) ----------------------
+
+  /** A rule whose PLAN analyzes fine but whose projection throws on
+    * the first matching row at execution time — the Spark analogue of
+    * the reference's `1/0 AS event_data` (non-ANSI division returns
+    * null here, so the bomb is an explicit data-dependent
+    * raise_error, un-foldable by the optimizer). */
+  private def runtimeBombRule(n: String) =
+    AlertRule(
+      name = n, queryId = n, title = n,
+      predicate = col("event_type") === "error",
+      actor = concat_ws("", lit("u"), col("user_id")),
+      target = concat_ws("", lit("u"), col("user_id")),
+      action = col("event_type"),
+      description = when(length(col("event_type")) >= 0,
+        raise_error(concat(lit("division by zero:"), col("event_type"))))
+        .otherwise(lit("unreachable")),
+      severity = lit("high"),
+      eventTime = col("ts"),
+      eventData = col("props"))
+
+  test("a rule that throws at RUNTIME yields an ERROR metadata row " +
+      "while every other rule's alerts land (run_violations.py contract)") {
+    val buf = s"runner-bomb-${System.nanoTime()}"
+    val log = RunLog.newRun()
+    val result = Runner.runAlerts(
+      events = mkEvents,
+      rules = Seq(
+        rule("healthy_errors", col("event_type") === "error"),
+        runtimeBombRule("invalid_rule"),
+        rule("healthy_logins", col("event_type") === "login")),
+      idCol = col("event_id"),
+      suppressions = Seq(SuppressionRule("squelch_u1",
+        alerts => alerts.filter(col("actor") === "u1").select("alert_id"))),
+      sinks = Seq(new MemorySink(buf)),
+      cfg = RunConfig("2024-01-01 00:00:00", "2024-01-02 00:00:00",
+        alertTimeS = 0L, defaultHandler = "memory"),
+      log = log)
+
+    // the healthy rules' full output lands: 4 error alerts merge to 2
+    // + 1 login = 3 store rows, none from the broken rule
+    val store = result.store.collect()
+    assert(store.length == 3)
+    assert(store.forall(_.getAs[String]("query_name") != "invalid_rule"))
+    // suppression still applied on the healthy set
+    assert(store.count(_.getAs[Boolean]("suppressed")) == 1)
+    // live alerts dispatched (u1 suppressed → u3 error + u2 login)
+    val alerts = result.alerts.collect()
+    assert(alerts.length == 2)
+    MemorySink.drain(buf)
+
+    // metadata: exactly one row per rule; the broken rule's row
+    // carries the error with zero counts, the healthy rows real counts
+    val byName = log.entries.groupBy(_.query_name)
+    assert(byName("invalid_rule").size == 1)
+    val bad = byName("invalid_rule").head
+    assert(bad.error.exists(_.contains("division by zero")))
+    assert(bad.inserted == 0)
+    assert(byName("healthy_errors").size == 1)
+    assert(byName("healthy_errors").head.error.isEmpty)
+    assert(byName("healthy_errors").head.inserted == 4)
+    assert(byName("healthy_logins").head.inserted == 1)
+    // no orphaned "metrics never observed" noise from the failed
+    // fused attempt
+    assert(log.entries.forall(r =>
+      !r.error.exists(_.contains("metrics never observed"))))
+  }
+
+  test("a rule broken at ANALYSIS (missing column) records its ERROR " +
+      "row and the fused fast path continues without it") {
+    val buf = s"runner-an-${System.nanoTime()}"
+    val log = RunLog.newRun()
+    val acc = spark.sparkContext.longAccumulator("event-reads-iso")
+    val tick = udf { () => acc.add(1); true }.asNondeterministic()
+    val counted = mkEvents.filter(tick())
+    val result = Runner.runAlerts(
+      events = counted,
+      rules = Seq(
+        rule("healthy_errors", col("event_type") === "error"),
+        rule("no_such_col", col("nonexistent_column") === "x")),
+      idCol = col("event_id"),
+      suppressions = Nil,
+      sinks = Seq(new MemorySink(buf)),
+      cfg = RunConfig("2024-01-01 00:00:00", "2024-01-02 00:00:00",
+        alertTimeS = 0L, defaultHandler = "memory"),
+      log = log)
+    MemorySink.drain(buf)
+    assert(result.store.collect().length == 2) // u1 + u3 merged errors
+    val bad = log.entries.filter(_.query_name == "no_such_col")
+    assert(bad.size == 1 && bad.head.error.nonEmpty)
+    // the healthy rule kept the scan-shared fast path: its 5-row scan
+    // ran ONCE (no degraded per-rule re-probe)
+    assert(acc.value == 5,
+      s"analysis failure must not trigger the degraded re-run: ${acc.value}")
+    assert(log.entries.filter(_.query_name == "healthy_errors")
+      .head.inserted == 4)
+  }
+
+  test("violation run: an invalid rule records ERROR, the healthy " +
+      "rule's violations land (mirrors reference run_violations.py)") {
+    import graft.engine.{Runner, ViolationRule}
+    val daily = mkEvents
+      .filter(col("event_type") === "error")
+      .groupBy(concat_ws("", lit("u"), col("user_id")).as("target_user"),
+        col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val healthy = ViolationRule(
+      name = "err_burst", queryId = "v1", title = "Burst",
+      predicate = col("n") >= 1,
+      target = col("target_user"),
+      owner = lit("secops"), severity = lit("medium"), day = col("day"))
+    val invalid = ViolationRule(
+      name = "invalid_violation", queryId = "v2", title = "Invalid",
+      predicate = col("n") >= 1,
+      target = when(col("n") >= 0,
+        raise_error(concat(lit("division by zero:"),
+          col("target_user")))).otherwise(lit("unreachable")),
+      owner = lit("secops"), severity = lit("low"), day = col("day"))
+    val log = RunLog.newRun()
+    val out = Runner.runViolations(
+      Seq(healthy -> daily, invalid -> daily),
+      Seq(SuppressionRule("allow_u1",
+        v => v.filter(col("object") === "u1").select("id"))),
+      log)
+    val rows = out.collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("query_name") == "err_burst"))
+    assert(rows.count(_.getAs[Boolean]("suppressed")) == 1)
+    val byName = log.entries.groupBy(_.query_name)
+    assert(byName("invalid_violation").size == 1)
+    assert(byName("invalid_violation").head.error
+      .exists(_.contains("division by zero")))
+    assert(byName("err_burst").head.inserted == 2)
+    assert(byName("allow_u1").head.suppressed == 1)
+  }
+
+  test("ALL rules broken still returns an empty, well-formed run") {
+    val buf = s"runner-all-bad-${System.nanoTime()}"
+    val log = RunLog.newRun()
+    val result = Runner.runAlerts(
+      events = mkEvents,
+      rules = Seq(runtimeBombRule("bomb1"),
+        rule("no_col", col("nope") === 1)),
+      idCol = col("event_id"),
+      suppressions = Nil,
+      sinks = Seq(new MemorySink(buf)),
+      cfg = RunConfig("2024-01-01 00:00:00", "2024-01-02 00:00:00",
+        alertTimeS = 0L, defaultHandler = "memory"),
+      log = log)
+    assert(result.store.collect().isEmpty)
+    assert(result.alerts.collect().isEmpty)
+    assert(MemorySink.drain(buf).isEmpty)
+    assert(log.entries.count(_.error.nonEmpty) == 2)
+  }
 }
