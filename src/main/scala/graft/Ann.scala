@@ -315,16 +315,7 @@ object Ann {
       .select(col("v")).head(1)
     if (probeRows.isEmpty) return empty
     val probeV = probeRows.head.getSeq[Double](0).toArray
-    // nprobe nearest cells to the probe, ranked by the SAME rounded
-    // squared-L2 + smallest-cid tiebreak as the assignment kernel
-    val probeCells = seeds
-      .map { case (cid, c) =>
-        var ss = 0.0
-        var i = 0
-        while (i < c.length) { val d = probeV(i) - c(i); ss += d * d; i += 1 }
-        (r4d(ss), cid)
-      }
-      .sorted.take(nprobe).map(_._2)
+    val probeCells = probeCellsOf(probeV, seeds, nprobe)
     val assigned = e
       .withColumn("cell", nearestSeed(seeds).getField("cid"))
       .filter(col("cell").isin(probeCells: _*))
@@ -337,6 +328,53 @@ object Ann {
         carry = Seq("cell"))
       .select(col("vec_id"), col("cell"), col("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** The probe's `nprobe` nearest cells, ranked ON THE DRIVER over the
+    * K×D seed matrix by the SAME rounded squared-L2 + smallest-cid
+    * tiebreak as the assignment kernel — K scalar distances, no job. */
+  private def probeCellsOf(probeV: Array[Double],
+      seeds: Seq[(Long, Array[Double])], nprobe: Int): Seq[Long] =
+    seeds
+      .map { case (cid, c) =>
+        var ss = 0.0
+        var i = 0
+        while (i < c.length) { val d = probeV(i) - c(i); ss += d * d; i += 1 }
+        (r4d(ss), cid)
+      }
+      .sorted.take(nprobe).map(_._2)
+
+  /** #34e IVF search over a LANDED cell-partitioned vector store — the
+    * production read path for [[ivfPqAnn]]'s index: the streaming side
+    * ([[graft.streaming.StreamingCorpus.landVectors]]) appends gated
+    * vectors to parquet `PARTITIONED BY (cell)`, and search on that
+    * layout prunes to the probe's `nprobe` cell DIRECTORIES — the
+    * `isin` literal is a partition filter at the scan (PruningSpec
+    * pins `partitionFilters` + the files-read metric on the executed
+    * plan), so a K-cell store reads nprobe/K of its files, no matter
+    * how large the store grows. Survivors are ranked by the same fused
+    * rounded-squared-L2 projection as the assignment kernel (probe
+    * folded as a 1-row centroid matrix); at 100 TB the stored rows
+    * would carry precomputed PQ codes and this ranking stage becomes
+    * the ADC join of [[pqAnn]] — the scan shape is identical. */
+  def ivfAnnStore(s: SparkSession, storeDir: String,
+      probeV: Array[Double], seeds: Seq[(Long, Array[Double])],
+      nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val probeCells = probeCellsOf(probeV, seeds, nprobe)
+    val store = s.read.parquet(storeDir)
+    // the partition column comes back with its inferred type; compare
+    // against literals of that type so the predicate stays a plain
+    // partition-pruning IN, not a cast the pruner must unwrap
+    val cellVals: Seq[Any] = store.schema("cell").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probeCells.map(_.toInt)
+      case _ => probeCells
+    }
+    store
+      .filter(col("cell").isin(cellVals: _*))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        nearestSeed(Seq((0L, probeV))).getField("dist").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
       .limit(k)
   }
 
@@ -399,7 +437,11 @@ object Ann {
         lit(0d).as("avg_ssq")).limit(0)
     }
     for (_ <- 1 to iters) {
-      val kd = e
+      // null vectors take no part in the update (NearestCentroid is
+      // null-intolerant → a null-cid group whose VectorSum is null
+      // would NPE the driver-side divide); dropping them preserves the
+      // old exploded update's silent-skip behavior
+      val kd = e.filter(col("v").isNotNull)
         .select(nearestSeed(cents).getField("cid").as("cid"), col("v"))
         .groupBy(col("cid"))
         .agg(graft.functions.vec.vectorSum(col("v")).as("vs"),

@@ -500,25 +500,28 @@ object Dedup {
     * list. Probing every doc's prefix against the full gram index is
     * therefore lossless, and the join fans out by df(g) of PREFIX
     * grams only — rare by construction, so candidate work is
-    * Σ_{prefix grams} df(g), never |docs|². The two engines use
-    * different tie-break orders (xxhash64 longs here, gram text in
-    * the oracle): any consistent total order satisfies the theorem
-    * (the pigeonhole bound holds for ANY ⌊(1-t)n⌋+1 grams of the
-    * smaller doc), so candidate SETS differ but the verified output
-    * is identical — PROVIDED dfCap does not bind at an equal-df
-    * prefix boundary. When it does, one engine's prefix can retain
-    * the only shared cap-eligible gram while the other's swaps it
-    * for an unshared equal-df tie, so cross-engine output parity is
-    * only guaranteed with the cap non-binding (the fuzz spec pins
-    * losslessness at dfCap=1000 for exactly this reason; the sf0.01
-    * oracle hash-matches at the default cap because no shared gram
-    * straddles a cap-boundary tie on that corpus — an empirical
-    * fact, not a theorem).
+    * Σ_{prefix grams} df(g), never |docs|².
     * `dfCap` (mirrored in the oracle) excludes grams seen in more
     * docs than the cap from candidate generation — a guard against
     * boilerplate-only prefixes; it can drop a pair only if every
     * shared rare gram is corpus-boilerplate, which at the default
-    * means the "contained" text is not distinctive content. */
+    * means the "contained" text is not distinctive content.
+    *
+    * Only cap-ELIGIBLE grams are ranked (df ≤ dfCap before the
+    * row_number, both engines), which makes the verified output a
+    * tie-order-free THEOREM even with the cap binding: the prefix of
+    * doc X is exactly its first min(L, |X'|) eligible grams, where
+    * X' = X's eligible grams and L = ⌊(1-t)·n⌋+1 over the FULL gram
+    * count n. For a true pair (containment ≥ t, A the smaller side):
+    * if |A'| ≥ L, ANY L grams of A contain one shared with B
+    * (|A\B| < L), and eligible grams are grams of A — found under
+    * every tie order; if |A'| < L the prefix is all of A', a SET, so
+    * the pair is found iff A' ∩ B ≠ ∅ — also order-free. (A via-B
+    * candidate implies a shared eligible gram of A, collapsing into
+    * the same condition.) The two engines' different tie-break
+    * orders (xxhash64 longs here, gram text in the oracle) can thus
+    * change candidate SETS but never the verified output; the fuzz
+    * specs pin this at a non-binding cap AND at a binding one. */
   def containmentJoin(s: SparkSession, dir: String, ct: Double = 0.5,
       dfCap: Int = 100): DataFrame =
     containmentJoinOf(spanDocGrams(s, dir), ct, dfCap)
@@ -538,9 +541,12 @@ object Dedup {
     val rankW = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("g"))
     val prefix = grams.join(dfreq, Seq("g"))
+      // cap-eligibility BEFORE ranking: boilerplate grams must not
+      // consume prefix slots, or the pigeonhole guarantee (and with it
+      // cross-engine tie-order independence) breaks under a binding cap
+      .filter(col("df") <= dfCap)
       .withColumn("rn", row_number().over(rankW))
-      .filter(col("rn") <= floor(lit(1.0 - ct) * col("ng")) + 1 &&
-        col("df") <= dfCap)
+      .filter(col("rn") <= floor(lit(1.0 - ct) * col("ng")) + 1)
       .select(col("doc_id").as("pid"), col("g"))
     val cand = prefix
       .join(grams.select(col("doc_id").as("fid"), col("g")), Seq("g"))
@@ -787,7 +793,9 @@ object Dedup {
     // Prefix tie-break differs by engine (gram text here, xxhash64 in
     // Spark) — any consistent total order is lossless under the prefix
     // theorem, so the verified outputs agree even though candidate
-    // sets differ. df <= 100 mirrors the Spark dfCap guard.
+    // sets differ. df <= 100 mirrors the Spark dfCap guard and, like
+    // the Spark side, applies BEFORE the ranking (eligible-only
+    // prefixes keep the parity a theorem even with the cap binding).
     "q_dedup_containment" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -806,9 +814,10 @@ object Dedup {
         |      ORDER BY df.df, gr.g) AS rn,
         |    gc.ng
         |  FROM g gr JOIN df USING (g) JOIN gc USING (doc_id)
+        |  WHERE df.df <= 100
         |), prefix AS (
         |  SELECT doc_id, g FROM ranked
-        |  WHERE rn <= CAST(floor(0.5 * ng) AS BIGINT) + 1 AND df <= 100
+        |  WHERE rn <= CAST(floor(0.5 * ng) AS BIGINT) + 1
         |), cand AS (
         |  SELECT DISTINCT least(p.doc_id, f.doc_id) AS doc_a,
         |    greatest(p.doc_id, f.doc_id) AS doc_b

@@ -368,11 +368,22 @@ object TextOps {
   private def applyMerge(w: Column, a: String, b: String): Column =
     call_function("replace", w, lit(s" $a  $b "), lit(s" $a$b "))
 
+  /** Re-materialize the learn loop's vocab every this-many merges:
+    * each merge layers one replace projection on the vocab lineage, so
+    * left unchecked step k re-analyzes/re-optimizes a k-deep chain —
+    * O(merges²) plan work across a production 32k-merge vocabulary
+    * (invisible at the shipped 8). Snapping the lineage periodically
+    * bounds every census plan to < this many stacked replaces, keeping
+    * per-iteration cost flat in the number of already-learned merges. */
+  private[graft] val BpeMaterializeEvery = 16
+
   /** The driver merge-learning loop over a (w, f) vocab frame: each
     * step is a pair census + TakeOrdered(1); only the chosen merge row
-    * reaches the driver. Shared by [[bpeTrain]] and [[bpeEncode]]. */
-  private def bpeLearnLoop(vocab: DataFrame,
-      merges: Int): Seq[(Int, String, String, String, Long)] = {
+    * reaches the driver. Shared by [[bpeTrain]] and [[bpeEncode]].
+    * Returns the learned merges AND the final (fully merged) vocab
+    * frame, whose lineage the lineage-bound spec inspects. */
+  private[graft] def bpeLearnLoop(vocab: DataFrame, merges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     var v = vocab
     val learned =
       scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
@@ -397,10 +408,11 @@ object TextOps {
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((step, a, b, a + b, fr))
         v = v.select(applyMerge(col("w"), a, b).as("w"), col("f"))
+        if (step % BpeMaterializeEvery == 0) v = graft.Materialize.frame(v)
         step += 1
       }
     }
-    learned.toSeq
+    (learned.toSeq, v)
   }
 
   def bpeTrain(s: SparkSession, dir: String, merges: Int = 8): DataFrame = {
@@ -411,7 +423,7 @@ object TextOps {
       .groupBy(col("word")).agg(count(lit(1)).as("f"))
       .select(symString(col("word")).as("w"), col("f"))
       .transform(graft.Materialize.frame)
-    bpeLearnLoop(vocab, merges)
+    bpeLearnLoop(vocab, merges)._1
       .toDF("step", "sym_a", "sym_b", "merged", "freq")
       .select(col("step").cast("int").as("step"), col("sym_a"),
         col("sym_b"), col("merged"), col("freq"))
@@ -437,7 +449,7 @@ object TextOps {
       .select(col("source"), symString(col("word")).as("w"), col("f"))
       .transform(graft.Materialize.frame)
     val vocab = census.groupBy(col("w")).agg(sum(col("f")).as("f"))
-    val learned = bpeLearnLoop(vocab, merges)
+    val learned = bpeLearnLoop(vocab, merges)._1
     val applied = learned.foldLeft(col("w")) { case (c, (_, a, b, _, _)) =>
       applyMerge(c, a, b)
     }

@@ -27,7 +27,8 @@ final case class RunMetadataRow(
   * runner). `toDF` exposes the log as a queryable DataFrame so the
   * reference's monitoring rules (rules over metadata tables) can run on
   * it like on any other source. */
-final class RunLog(val runId: String) {
+class RunLog(val runId: String) { // non-final: specs override flush to
+  // plant post-terminal-action failures (Runner's degradation scope)
   private val rows = mutable.ArrayBuffer.empty[RunMetadataRow]
 
   def record(

@@ -47,6 +47,17 @@ final case class RunConfig(
   */
 object Runner {
 
+  /** Marker for a failure of the fused TERMINAL action only. The
+    * degraded per-rule path must fire for exactly this case: a rule's
+    * projection throwing mid-task inside the shared plan. Failures in
+    * later stages (log flush, dispatch recordStatus) happen AFTER the
+    * observed metadata rows were flushed and the side-effecting
+    * dispatch already ran — degrading there would duplicate every
+    * rule's metadata row and re-send every alert, so those propagate
+    * unwrapped. */
+  private final class FusedPlanFailure(cause: Throwable)
+    extends Exception(cause)
+
   final case class AlertRunResult(
       alerts: DataFrame,
       store: DataFrame,
@@ -101,7 +112,7 @@ object Runner {
 
     try pipeline(alerts, suppressions, sinks, cfg, log, observed = true)
     catch {
-      case NonFatal(_) =>
+      case _: FusedPlanFailure =>
         // a rule's projection threw at RUNTIME inside the fused plan.
         // The pending observations can never resolve — discard them —
         // then probe each constructed rule with its own action: the
@@ -125,7 +136,12 @@ object Runner {
         val healthy =
           if (survivors.isEmpty) emptyAlerts(events, idCol, cfg)
           else survivors.reduce(_.unionByName(_))
-        pipeline(healthy, suppressions, sinks, cfg, log, observed = false)
+        try pipeline(healthy, suppressions, sinks, cfg, log,
+          observed = false)
+        catch { // a second terminal failure (e.g. a broken sink set)
+          // is final — surface the real cause, not the marker
+          case f: FusedPlanFailure => throw f.getCause
+        }
     }
   }
 
@@ -172,7 +188,7 @@ object Runner {
               .drop("__sup_id")
           }
         } catch { case NonFatal(_) => acc } // ERROR row recorded; skip
-    }.persist() // the run's results table: read by correlate + returned
+    } // the run's results table: read by correlate + returned
 
     // 4. correlation over the live (non-suppressed) alerts (ref:
     //    alert_processor processes unsuppressed alerts)
@@ -187,19 +203,23 @@ object Runner {
     //    partition and re-invoke send — external handlers must dedupe on
     //    (alert_id, handler), which every HandlerResult carries.
     val results = Dispatcher.dispatch(live, sinks, cfg.defaultHandler)
-      .persist()
-    // THE terminal action: executes rules → merge → suppress →
-    // correlate → dispatch once, delivering every observed stage metric
-    // as a side channel. suppressed is persisted above so the later
+    // THE fused-plan materialization: persist() eagerly optimizes the
+    // cached plan (a bomb projection over a folded-local input can
+    // throw right there, at plan time) and count() executes rules →
+    // merge → suppress → correlate → dispatch once, delivering every
+    // observed stage metric as a side channel. ANY failure in this
+    // region is the fused-plan failure the caller degrades on; the
+    // caches are released first. suppressed is persisted so the later
     // recordStatus/store consumers re-read the cache, not the scans.
-    // On failure the caches are released before the caller degrades to
-    // the per-rule isolation path.
-    try results.count()
-    catch {
+    try {
+      suppressed.persist()
+      results.persist()
+      results.count()
+    } catch {
       case NonFatal(e) =>
         results.unpersist(blocking = false)
         suppressed.unpersist(blocking = false)
-        throw e
+        throw new FusedPlanFailure(e)
     }
     log.flush()
     val handled = log.timedInsert("alert_dispatch") {
@@ -263,19 +283,20 @@ object Runner {
             }
           } catch { case NonFatal(_) => acc }
       }
-      // the terminal action resolving every observed stage metric
-      flagged.transform(graft.Materialize.frame)
+      // the terminal action resolving every observed stage metric; on
+      // the fused path its failure is marked so ONLY it (a rule's
+      // projection throwing mid-task) can trigger degradation
+      if (observed)
+        try flagged.transform(graft.Materialize.frame)
+        catch { case NonFatal(e) => throw new FusedPlanFailure(e) }
+      else flagged.transform(graft.Materialize.frame)
     }
 
     val union =
       if (constructed.isEmpty) emptyViolations(ruleInputs.head._2)
       else constructed.map(_._3).reduce(_.unionByName(_))
-    try {
-      val out = downstream(union, observed = true)
-      log.flush()
-      out
-    } catch {
-      case NonFatal(_) =>
+    val out = try downstream(union, observed = true) catch {
+      case _: FusedPlanFailure =>
         // runtime failure inside the fused plan: degrade to per-rule
         // isolation (ref: violation_queries_runner per-rule try/except)
         log.discardPending()
@@ -291,5 +312,11 @@ object Runner {
           else survivors.reduce(_.unionByName(_))
         downstream(healthy, observed = false)
     }
+    // flush OUTSIDE the degradation scope (a flush-time failure after a
+    // successful terminal action must propagate, not duplicate every
+    // rule's metadata via a re-run); no-op on the degraded path, whose
+    // pending observations were discarded and rows recorded eagerly
+    log.flush()
+    out
   }
 }

@@ -64,22 +64,29 @@ class CorpusIrSpec extends SparkSuite {
           qe: org.apache.spark.sql.execution.QueryExecution,
           e: Exception): Unit = ()
     }
+    // the listener bus is shared and async: late onSuccess events from
+    // a PREVIOUS test's action can arrive after registration, so keep
+    // only plans that are recognizably kmeans's own — every kmeans
+    // action past seeding (2 updates + census, and the regression's
+    // exploded update too) carries the fused nearest_centroid argmin
+    def mine = plans.synchronized(
+      plans.filter(_.contains("nearest_centroid")).toList)
     spark.listenerManager.register(l)
     try {
       Ann.kmeans(spark, Sf).collect()
-      // listener delivery is async: seed + 2 update iterations + final
-      // census = 4 actions; bounded wait for all to arrive
+      // listener delivery is async: 2 update iterations + final census
+      // = 3 argmin-bearing actions; bounded wait for all to arrive
       val deadline = System.nanoTime() + 10e9.toLong
-      while (plans.synchronized(plans.size) < 4 &&
+      while (mine.size < 3 &&
           System.nanoTime() < deadline) Thread.sleep(50)
     } finally spark.listenerManager.unregister(l)
-    assert(plans.synchronized(plans.size) >= 4,
-      "listener never saw kmeans's 4 actions")
-    val exploded = plans.filter(_.contains("Generate"))
+    assert(mine.size >= 3,
+      "listener never saw kmeans's 3 argmin actions")
+    val exploded = mine.filter(_.contains("Generate"))
     assert(exploded.isEmpty,
       s"kmeans executed ${exploded.size} plan(s) with a Generate " +
         "(posexplode row expansion before the update exchange)")
-    assert(plans.exists(_.contains("vector_sum")),
+    assert(mine.exists(_.contains("vector_sum")),
       "kmeans update lost its VectorSum aggregate")
   }
 
@@ -300,6 +307,36 @@ class CorpusIrSpec extends SparkSuite {
   }
 
   // --- PMI collocations ----------------------------------------------
+
+  test("bpe learn loop lineage stays bounded (periodic re-materialization)") {
+    import spark.implicits._
+    // a 40-merge run over a synthetic vocab wide enough to never run
+    // dry: distinct 3-char words over a (26, 26, 10) alphabet. Each
+    // merge layers one replace projection on the vocab; the loop must
+    // snap the lineage every BpeMaterializeEvery merges so a
+    // production-scale vocabulary (32k merges) pays flat per-iteration
+    // plan cost, not an O(merges²) re-optimize of the full chain.
+    def sym(word: String) = " " + word.flatMap(c => s" $c ") + " "
+    val words = (0 until 80).map { i =>
+      s"${('a' + i % 26).toChar}${('A' + (i / 3) % 26).toChar}" +
+        s"${('0' + i % 10).toChar}"
+    }.distinct
+    val vocab = words.zipWithIndex
+      .map { case (w, i) => (sym(w), (i + 7).toLong) }.toDF("w", "f")
+    val (learned, v) = TextOps.bpeLearnLoop(vocab, merges = 40)
+    assert(learned.size == 40, s"vocab ran dry at ${learned.size} merges")
+    assert(learned.forall { case (_, a, b, m, f) => m == a + b && f > 0 })
+    // the final vocab's lineage is anchored at the last materialization:
+    // at most BpeMaterializeEvery stacked projections above the
+    // checkpoint scan — never the full 40-merge chain
+    val projections = v.queryExecution.analyzed.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+    }.size
+    assert(projections <= TextOps.BpeMaterializeEvery,
+      s"lineage grew past the materialization bound: $projections " +
+        "stacked projections")
+    assert(projections >= 1, "expected the post-checkpoint merge chain")
+  }
 
   test("pmiPairs matches a brute-force collocation census") {
     val texts = docs.map(_._2)

@@ -184,6 +184,74 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("fuzz: verified output is tie-order independent under a BINDING " +
+      "df cap (eligible-only prefix ranking)") {
+    // boilerplate spliced into EVERY doc gives grams with df = n_docs,
+    // far above the cap — the cap binds hard. With eligibility applied
+    // BEFORE ranking, the verified output is a theorem over tie orders:
+    // a true pair's smaller side A either keeps >= L eligible grams
+    // (any L grams of A contain a shared one) or its whole eligible set
+    // A' is the prefix (found iff A' ∩ B nonempty — a set condition).
+    // The reference here replays the exact semantics under TWO opposite
+    // tie orders and demands identical verified output, then checks the
+    // engine agrees with it.
+    val ct = 0.5
+    val cap = 3
+    val rnd = new scala.util.Random(13)
+    for (round <- 1 to 5) {
+      val boiler = Seq("bp0", "bp1", "bp2", "bp3", "bp4", "bp5")
+      val docs: Seq[(Long, Seq[String])] = (0 until 14).map { i =>
+        (i.toLong,
+          boiler ++ Seq.fill(5 + rnd.nextInt(9))("w" + rnd.nextInt(8)))
+      }
+      val spliced = docs.map { case (id, ws) =>
+        if (id % 4 == 3) (id, docs((id - 1).toInt)._2 ++ ws) else (id, ws)
+      }
+      val gramSets: Map[Long, Set[String]] = spliced.map { case (id, ws) =>
+        id -> ws.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+      }.toMap
+      val gramIds = gramSets.values.flatten.toSeq.distinct.sorted.zipWithIndex
+        .map { case (g, i) => g -> (i + 1).toLong }.toMap
+      val sets: Map[Long, Set[Long]] =
+        gramSets.map { case (id, gs) => id -> gs.map(gramIds) }
+      val dfm: Map[Long, Int] =
+        sets.values.flatten.groupBy(identity).map { case (g, v) => g -> v.size }
+      // the cap must actually bind: boilerplate grams exceed it
+      assert(dfm.values.max > cap, s"round $round: cap never binds")
+
+      def verified(tieAsc: Boolean): Set[(Long, Long, Double)] = {
+        val prefix: Map[Long, Set[Long]] = sets.map { case (id, gs) =>
+          val l = math.floor((1.0 - ct) * gs.size).toLong + 1
+          val eligible = gs.toSeq.filter(g => dfm(g) <= cap)
+            .sortBy(g => (dfm(g), if (tieAsc) g else -g))
+          id -> eligible.take(l.toInt).toSet
+        }
+        (for {
+          (a, sa) <- sets; (b, sb) <- sets if a < b
+          if prefix(a).exists(sb) || prefix(b).exists(sa)
+          inter = sa.intersect(sb).size
+          c = inter.toDouble / math.min(sa.size, sb.size)
+          if c >= ct
+        } yield (a, b, BigDecimal(c)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      }
+      val asc = verified(tieAsc = true)
+      val desc = verified(tieAsc = false)
+      assert(asc == desc,
+        s"round $round: tie order changed the verified output under a " +
+          s"binding cap — asc ${asc.diff(desc)} desc ${desc.diff(asc)}")
+      assert(asc.nonEmpty, s"round $round degenerate")
+      val df = sets.toSeq.map { case (id, gs) => (id, gs.toSeq) }
+        .toDF("doc_id", "gs")
+      val got = Dedup.containmentJoinOf(df, ct = ct, dfCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == asc, s"round $round: engine disagrees with the " +
+        s"reference semantics — got-only ${got.diff(asc)}, " +
+        s"ref-only ${asc.diff(got)}")
+    }
+  }
+
   test("lsh candidate pairs never include a doc paired with itself") {
     val cand = Dedup.lshCandidates(Dedup.minhashSignatures(spark, Sf))
       .filter(col("doc_a") >= col("doc_b"))

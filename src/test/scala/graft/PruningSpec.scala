@@ -56,6 +56,73 @@ class PruningSpec extends SparkSuite {
     assert(scan.dataFilters.mkString(",").contains("ts"))
   }
 
+  test("ivf search over the LANDED cell-partitioned vector store prunes " +
+      "to the probed cell directories") {
+    // the production ANN read path: landVectors appends gated vectors
+    // to parquet PARTITIONED BY cell; ivfAnnStore's driver-folded cell
+    // `isin` literal must reach that layout as an ACTUAL partition
+    // filter — nprobe/K of the store's files read, however large the
+    // store grows
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingCorpus
+    val e = Tables.t(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val vecs = e.collect()
+      .map(r => StreamVec(r.getLong(0), r.getSeq[Double](1).toArray))
+    val history = e.filter(col("vec_id") < 8)
+    val (seeds, cellStore) = StreamingCorpus.cellStoreOf(history, cells = 8)
+    assert(seeds.size == 8)
+    val base = Files.createTempDirectory("graft_ivf_store").toString
+    val input = MemoryStream[StreamVec]
+    input.addData(vecs.toIndexedSeq: _*)
+    // τ > 1 admits every arrival: the landing layout is what's under test
+    StreamingCorpus.landVectors(input.toDF(), seeds, cellStore,
+      s"$base/store", s"$base/ck", tau = 1.1).awaitTermination()
+
+    val probeV = vecs.find(_.vec_id == 0L).get.v
+    val res = Ann.ivfAnnStore(spark, s"$base/store", probeV, seeds,
+      nprobe = 2, k = 10)
+    val got = res.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // driver reference with the kernel's exact arithmetic (4dp half-up
+    // squared L2, smallest-cid tiebreak)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def sq(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val probedCells = seeds.map { case (cid, c) => (r4(sq(probeV, c)), cid) }
+      .sorted.take(2).map(_._2).toSet
+    val expected = vecs.map { sv =>
+      val cell = seeds.map { case (cid, c) => (r4(sq(sv.v, c)), cid) }.min._2
+      (sv.vec_id, cell, r4(sq(sv.v, probeV)))
+    }.filter(t => probedCells(t._2)).sortBy(t => (t._3, t._1)).take(10).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.nonEmpty && got.forall(t => probedCells(t._2)))
+
+    // the plan pin: the cell literal survived as a PARTITION filter and
+    // only the nprobe probed cell directories' files were read
+    val scan = scanOf(res)
+    assert(scan.partitionFilters.mkString(",").contains("cell"),
+      s"cell isin never reached partitionFilters: ${scan.partitionFilters}")
+    val filesRead = scan.metrics("numFiles").value
+    def filesUnder(cell: Long) = {
+      val d = new java.io.File(s"$base/store/cell=$cell")
+      if (d.exists()) d.listFiles().count(_.getName.endsWith(".parquet"))
+      else 0
+    }
+    val probedFiles = probedCells.toSeq.map(filesUnder).sum
+    val totalFiles = spark.read.parquet(s"$base/store").inputFiles.length
+    assert(filesRead.toInt == probedFiles,
+      s"read $filesRead files, probed dirs hold $probedFiles")
+    assert(filesRead < totalFiles,
+      s"no pruning: $filesRead of $totalFiles files read")
+  }
+
   test("corpus selection ops column-prune the text payload at the scan") {
     // the text column is the 100 TB of a documents table; operators
     // that only SELECT docs (not read them) must never deserialize it

@@ -341,6 +341,64 @@ class RunnerSpec extends SparkSuite {
     assert(byName("allow_u1").head.suppressed == 1)
   }
 
+  test("a failure AFTER the fused terminal action (metadata flush) " +
+      "propagates — no degraded re-run, no duplicate dispatch") {
+    // the degraded per-rule path must fire ONLY when the fused terminal
+    // action itself fails. A later-stage failure (here: flush) arrives
+    // after the side-effecting dispatch already ran — a re-run would
+    // re-send every alert and give every rule a second metadata row.
+    val buf = s"runner-flush-${System.nanoTime()}"
+    val log = new RunLog("flush-bomb") {
+      override def flush(timeoutMs: Long): Unit =
+        throw new RuntimeException("flush exploded")
+    }
+    val ex = intercept[RuntimeException] {
+      Runner.runAlerts(
+        events = mkEvents,
+        rules = Seq(
+          rule("errors", col("event_type") === "error"),
+          rule("logins", col("event_type") === "login")),
+        idCol = col("event_id"),
+        suppressions = Nil,
+        sinks = Seq(new MemorySink(buf)),
+        cfg = RunConfig("2024-01-01 00:00:00", "2024-01-02 00:00:00",
+          alertTimeS = 0L, defaultHandler = "memory"),
+        log = log)
+    }
+    assert(ex.getMessage == "flush exploded")
+    // dispatch ran exactly once: 5 raw alerts merge to 3 live sends
+    assert(MemorySink.drain(buf).length == 3,
+      "flush failure must not re-run the pipeline (duplicate dispatch)")
+    // and no degraded per-rule timedInsert rows were recorded
+    assert(log.entries.isEmpty,
+      s"flush failure must not degrade to per-rule probes: ${log.entries}")
+  }
+
+  test("violations: a flush failure after a successful terminal action " +
+      "propagates — no per-rule re-probe rows") {
+    import graft.engine.{Runner, ViolationRule}
+    val daily = mkEvents
+      .filter(col("event_type") === "error")
+      .groupBy(concat_ws("", lit("u"), col("user_id")).as("target_user"),
+        col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val vrule = ViolationRule(
+      name = "err_burst", queryId = "v1", title = "Burst",
+      predicate = col("n") >= 1,
+      target = col("target_user"),
+      owner = lit("secops"), severity = lit("medium"), day = col("day"))
+    val log = new RunLog("flush-bomb-v") {
+      override def flush(timeoutMs: Long): Unit =
+        throw new RuntimeException("flush exploded")
+    }
+    val ex = intercept[RuntimeException] {
+      Runner.runViolations(Seq(vrule -> daily), Nil, log)
+    }
+    assert(ex.getMessage == "flush exploded")
+    assert(log.entries.isEmpty,
+      s"flush failure must not degrade to per-rule probes: ${log.entries}")
+  }
+
   test("ALL rules broken still returns an empty, well-formed run") {
     val buf = s"runner-all-bad-${System.nanoTime()}"
     val log = RunLog.newRun()

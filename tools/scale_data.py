@@ -24,6 +24,12 @@ src, dst = sys.argv[1], sys.argv[2]
 reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 tables = (set(sys.argv[4].split(","))
           if len(sys.argv) > 4 else {"documents", "embeddings", "events"})
+# core TPC-H facts (lineitem/orders/customer) can be scaled too —
+# replica r shifts every key in the customer→orders→lineitem chain by
+# r*10^7, so referential integrity (and thus join fan-out per key) is
+# preserved while the fact volume grows; dimension tables
+# (part/supplier/nation/region) stay unscaled, which is how a real
+# warehouse grows — facts accrete, dims stay broadcast-small.
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 
@@ -101,6 +107,39 @@ COPY (
   FROM read_parquet('{src}/events.parquet'), range({reps}) t(r)
   ORDER BY event_id
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+""")
+
+if "customer" in tables:
+    con.execute(f"""
+COPY (
+  SELECT c_custkey + r * 10000000 AS c_custkey,
+         c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM read_parquet('{src}/customer.parquet'), range({reps}) t(r)
+  ORDER BY c_custkey
+) TO '{dst}/customer.parquet' (FORMAT PARQUET)
+""")
+
+if "orders" in tables:
+    con.execute(f"""
+COPY (
+  SELECT o_orderkey + r * 10000000 AS o_orderkey,
+         o_custkey + r * 10000000 AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM read_parquet('{src}/orders.parquet'), range({reps}) t(r)
+  ORDER BY o_orderkey
+) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+""")
+
+if "lineitem" in tables:
+    con.execute(f"""
+COPY (
+  SELECT l_orderkey + r * 10000000 AS l_orderkey,
+         l_partkey, l_suppkey, l_linenumber, l_quantity,
+         l_extendedprice, l_discount, l_tax, l_returnflag,
+         l_linestatus, l_shipdate
+  FROM read_parquet('{src}/lineitem.parquet'), range({reps}) t(r)
+  ORDER BY l_orderkey
+) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
 """)
 
 for t in sorted(tables):
