@@ -55,17 +55,22 @@ object CoreSql {
       .orderBy(col("c_mktsegment"), col("o_orderpriority"))
   }
 
-  /** #18 semi/anti joins (EXISTS / NOT EXISTS surface). */
+  /** #18 semi/anti joins (EXISTS / NOT EXISTS surface). ONE pass over
+    * each table: orders dedups to its distinct custkeys (map-side
+    * partial dedup rides the custkey exchange), customer LEFT-joins
+    * that unique key set — no fan-out possible — and a single
+    * aggregate counts both the matched (EXISTS) and unmatched
+    * (NOT EXISTS) sides. The naive two-join shape scans and probes
+    * orders twice for two scalar outputs; this halves the work at any
+    * scale and both counts come off one exchange. */
   def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
-    val cust = t(s, dir, "customer")
-    val ord = t(s, dir, "orders").select(col("o_custkey"))
-    val without = cust
-      .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
-      .agg(count(lit(1)).as("customers_without_orders"))
-    val withO = cust
-      .join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
-      .agg(count(lit(1)).as("customers_with_orders"))
-    without.crossJoin(withO)
+    val cust = t(s, dir, "customer").select(col("c_custkey"))
+    val ordK = t(s, dir, "orders").select(col("o_custkey")).distinct()
+    cust
+      .join(ordK, cust("c_custkey") === ordK("o_custkey"), "left")
+      .agg(
+        count_if(col("o_custkey").isNull).as("customers_without_orders"),
+        count_if(col("o_custkey").isNotNull).as("customers_with_orders"))
   }
 
   /** #19 top-k per group via ranking window (deterministic tiebreak). */
