@@ -26,6 +26,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("semi/anti join scans orders once (single-pass count_if shape)") {
+    // the EXISTS + NOT EXISTS pair must come off ONE distinct + left
+    // join + one aggregate — the old two-join shape scanned and probed
+    // orders twice for two scalar outputs
+    val plan = planOf("q_semi_anti_join")
+    val ordersScans = "orders\\.parquet".r.findAllIn(plan).size
+    assert(ordersScans == 1,
+      s"orders scanned $ordersScans times:\n$plan")
+    val customerScans = "customer\\.parquet".r.findAllIn(plan).size
+    assert(customerScans == 1,
+      s"customer scanned $customerScans times:\n$plan")
+    assert(plan.contains("count_if") || plan.contains("count(if"),
+      "both counts must ride one aggregate")
+  }
+
   test("alert rule predicates reach the parquet scan") {
     val plan = planOf("q_alert_rule")
     assert(plan.contains("PushedFilters: [IsNotNull(event_type)") ||
