@@ -378,6 +378,74 @@ object Ann {
       .limit(k)
   }
 
+  /** The PQ codebook as a driver-side model — PqK rows of (code, D
+    * doubles), the same bounded collect as [[seedCentroidsOf]]. Lets
+    * streaming landings and stored-index searches fold the codebook
+    * into the plan instead of re-joining it. */
+  def pqCodebookOf(e: DataFrame): Seq[(Long, Array[Double])] =
+    collectCentroids(e.filter(col("vec_id") < PqK)
+      .select(col("vec_id"), col("v")))
+
+  /** PQ encode as a NARROW PROJECTION: `codes[m]` = the argmin codeword
+    * of subspace m, each argmin a fused [[graft.functions
+    * .NearestCentroid]] over the driver-folded per-subspace codebook
+    * (rounded 4dp distances, smallest-code tiebreak — the EXACT
+    * arithmetic of [[pqCodes]]' aggregate encode, without its
+    * crossJoin×aggregate shape). Stream-safe: no aggregation, so the
+    * landing path can stamp codes on append-mode micro-batches. */
+  def pqCodeArray(cbs: Seq[(Long, Array[Double])]): Column =
+    array((0 until PqM).map { m =>
+      graft.functions.vec.nearestCentroid(
+        slice(col("v"), m * PqSubDim + 1, PqSubDim),
+        cbs.map { case (c, cv) =>
+          (c, cv.slice(m * PqSubDim, (m + 1) * PqSubDim)) })
+        .getField("cid")
+    }: _*)
+
+  /** #34f IVF-PQ search over a LANDED cell-partitioned store whose rows
+    * carry PRECOMPUTED PQ codes (the [[graft.streaming.StreamingCorpus
+    * .landVectorsPq]] layout) — the full production read path the
+    * [[ivfPqAnn]] doc promises: the cell `isin` literal prunes to
+    * nprobe partition DIRECTORIES, and scoring is M array-literal
+    * lookups against each stored code — the scan reads (vec_id, codes,
+    * cell) only, never the float vectors. The ADC table is computed ON
+    * THE DRIVER from the probe vector and the folded codebook (M×PqK
+    * scalar distances) and folded into the projection as array
+    * literals: no join, no shuffle — top-k is the only exchange. */
+  def ivfPqAnnStore(s: SparkSession, storeDir: String,
+      probeV: Array[Double], seeds: Seq[(Long, Array[Double])],
+      cbs: Seq[(Long, Array[Double])], nprobe: Int = 2, k: Int = 10)
+      : DataFrame = {
+    val probeCells = probeCellsOf(probeV, seeds, nprobe)
+    // driver-side ADC table: adc(m)(code) = rounded subspace distance
+    // probe↔codeword, same r4 arithmetic as pqAdcTable's kernel
+    val adc: IndexedSeq[Array[Double]] = (0 until PqM).map { m =>
+      val ps = probeV.slice(m * PqSubDim, (m + 1) * PqSubDim)
+      val byCode = cbs.map { case (c, cv) =>
+        val cs = cv.slice(m * PqSubDim, (m + 1) * PqSubDim)
+        var ss = 0.0
+        var i = 0
+        while (i < ps.length) { val d = ps(i) - cs(i); ss += d * d; i += 1 }
+        (c, r4d(ss))
+      }.toMap
+      (0 until PqK).map(c => byCode(c.toLong)).toArray
+    }
+    val store = s.read.parquet(storeDir)
+    val cellVals: Seq[Any] = store.schema("cell").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probeCells.map(_.toInt)
+      case _ => probeCells
+    }
+    val dist = Num.r4((0 until PqM).map { m =>
+      element_at(typedLit(adc(m)), col("codes")(m).cast("int") + 1)
+    }.reduce(_ + _))
+    store
+      .filter(col("cell").isin(cellVals: _*))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        dist.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Collect the centroid frame — K rows of (cid, K×D doubles), the
     * only thing that ever leaves the executors — to the driver. This is
     * how distributed Lloyd actually iterates (MLlib collects centroids

@@ -188,4 +188,28 @@ object StreamingCorpus {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** [[landVectors]] with PRECOMPUTED PQ codes stamped on every landed
+    * row: the frozen per-cycle model grows from (seeds, cellStore) to
+    * (seeds, cellStore, codebook), and the code array is a narrow
+    * fused projection ([[graft.Ann.pqCodeArray]] — per-subspace
+    * NearestCentroid argmins over the driver-folded codebook), so the
+    * append-mode micro-batch stays aggregation-free. The landed layout
+    * (vec_id, v, codes) PARTITIONED BY cell is the full production
+    * IVF-PQ index: [[graft.Ann.ivfPqAnnStore]] searches it reading
+    * codes only, under cell partition pruning. */
+  def landVectorsPq(vecs: DataFrame, seeds: Seq[(Long, Array[Double])],
+      cellStore: DataFrame, codebook: Seq[(Long, Array[Double])],
+      storeDir: String, checkpointDir: String,
+      tau: Double = 0.35): StreamingQuery =
+    semanticGate(vecs, seeds, cellStore, tau)
+      .withColumn("codes", graft.Ann.pqCodeArray(codebook))
+      .writeStream
+      .format("parquet")
+      .option("path", storeDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("cell")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -123,6 +123,74 @@ class PruningSpec extends SparkSuite {
       s"no pruning: $filesRead of $totalFiles files read")
   }
 
+  test("ivf-pq search over the code-carrying landed store prunes cells " +
+      "AND never reads the float vectors") {
+    // the full production IVF-PQ index: landVectorsPq stamps
+    // precomputed PQ codes on every landed row (narrow driver-folded
+    // argmin projection — no aggregation in the micro-batch), and
+    // ivfPqAnnStore searches the layout with (1) the cell isin literal
+    // as a partition filter and (2) ADC scoring as array-literal
+    // lookups against the stored codes — the scan must column-prune
+    // the 256-byte float payload away entirely
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingCorpus
+    val e = Tables.t(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val vecs = e.collect()
+      .map(r => StreamVec(r.getLong(0), r.getSeq[Double](1).toArray))
+    val history = e.filter(col("vec_id") < 8)
+    val (seeds, cellStore) = StreamingCorpus.cellStoreOf(history, cells = 8)
+    val cbs = Ann.pqCodebookOf(e)
+    assert(cbs.size == 16)
+    val base = Files.createTempDirectory("graft_ivfpq_store").toString
+    val input = MemoryStream[StreamVec]
+    input.addData(vecs.toIndexedSeq: _*)
+    StreamingCorpus.landVectorsPq(input.toDF(), seeds, cellStore, cbs,
+      s"$base/store", s"$base/ck", tau = 1.1).awaitTermination()
+
+    val probeV = vecs.find(_.vec_id == 0L).get.v
+    val res = Ann.ivfPqAnnStore(spark, s"$base/store", probeV, seeds, cbs,
+      nprobe = 2, k = 10)
+    val got = res.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // driver reference with the kernels' exact arithmetic: 4dp half-up
+    // subspace distances, smallest-code/cid tiebreaks
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def sq(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def sub(a: Array[Double], m: Int) = a.slice(m * 8, (m + 1) * 8)
+    val probedCells = seeds.map { case (cid, c) => (r4(sq(probeV, c)), cid) }
+      .sorted.take(2).map(_._2).toSet
+    val adcOf: Array[Double] => Double = v => r4((0 until 8).map { m =>
+      val code = cbs.map { case (c, cv) =>
+        (r4(sq(sub(v, m), sub(cv, m))), c) }.min._2
+      r4(sq(sub(probeV, m), sub(cbs.find(_._1 == code).get._2, m)))
+    }.sum)
+    val expected = vecs.map { sv =>
+      val cell = seeds.map { case (cid, c) => (r4(sq(sv.v, c)), cid) }.min._2
+      (sv.vec_id, cell, adcOf(sv.v))
+    }.filter(t => probedCells(t._2)).sortBy(t => (t._3, t._1)).take(10).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+
+    val scan = scanOf(res)
+    assert(scan.partitionFilters.mkString(",").contains("cell"),
+      s"cell isin never reached partitionFilters: ${scan.partitionFilters}")
+    // the float payload is column-pruned at the scan: codes only
+    assert(!scan.schema.fieldNames.contains("v"),
+      s"stored-index search reads the float vectors: " +
+        scan.schema.fieldNames.mkString(","))
+    val filesRead = scan.metrics("numFiles").value
+    val totalFiles = spark.read.parquet(s"$base/store").inputFiles.length
+    assert(filesRead < totalFiles,
+      s"no pruning: $filesRead of $totalFiles files read")
+  }
+
   test("corpus selection ops column-prune the text payload at the scan") {
     // the text column is the 100 TB of a documents table; operators
     // that only SELECT docs (not read them) must never deserialize it
