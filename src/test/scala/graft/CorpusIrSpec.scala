@@ -30,6 +30,29 @@ class CorpusIrSpec extends SparkSuite {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("kmeans survives a null embedding (dropped from the update, " +
+      "like the old exploded shape silently did)") {
+    // NearestCentroid is null-intolerant: without the pre-assignment
+    // filter, a null vector forms a null-cid group whose VectorSum is
+    // null and the driver-side centroid divide NPEs
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kmeans_null").toString
+    val rows = (0L until 12L).map { i =>
+      val v: Option[Seq[Float]] =
+        if (i == 7L) None
+        else Some(Seq.tabulate(64)(d => ((i % 3) * 10 + d % 5).toFloat))
+      (i, v, s"l${i % 3}")
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Ann.kmeans(spark, dir, k = 3, iters = 2).collect()
+    assert(out.nonEmpty)
+    // the 11 non-null vectors all land in a cluster; the null row is
+    // censused under the null cluster (assignment of null v is null)
+    assert(out.map(_.getLong(1)).sum == 12L)
+  }
+
   test("kmeans total inertia does not increase with a second iteration") {
     def inertia(iters: Int): Double =
       Ann.kmeans(spark, Sf, iters = iters).collect()
