@@ -221,12 +221,21 @@ object Runner {
         suppressed.unpersist(blocking = false)
         throw new FusedPlanFailure(e)
     }
-    log.flush()
-    val handled = log.timedInsert("alert_dispatch") {
-      Dispatcher.recordStatus(live, results)
+    // post-terminal failures (flush, recordStatus) propagate WITHOUT
+    // degradation — but must not strand the pass-1 caches, which on
+    // success stay persisted for the returned frames' consumers
+    try {
+      log.flush()
+      val handled = log.timedInsert("alert_dispatch") {
+        Dispatcher.recordStatus(live, results)
+      }
+      AlertRunResult(handled, suppressed, results)
+    } catch {
+      case NonFatal(e) =>
+        results.unpersist(blocking = false)
+        suppressed.unpersist(blocking = false)
+        throw e
     }
-
-    AlertRunResult(handled, suppressed, results)
   }
 
   /** Literal-only violation rule over an empty input: the violation

@@ -352,6 +352,8 @@ class RunnerSpec extends SparkSuite {
       override def flush(timeoutMs: Long): Unit =
         throw new RuntimeException("flush exploded")
     }
+    val persistedBefore =
+      spark.sparkContext.getPersistentRDDs.keySet
     val ex = intercept[RuntimeException] {
       Runner.runAlerts(
         events = mkEvents,
@@ -372,6 +374,11 @@ class RunnerSpec extends SparkSuite {
     // and no degraded per-rule timedInsert rows were recorded
     assert(log.entries.isEmpty,
       s"flush failure must not degrade to per-rule probes: ${log.entries}")
+    // the pass-1 suppressed/results caches were released, not stranded
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet
+      .diff(persistedBefore)
+    assert(leaked.isEmpty,
+      s"post-terminal failure stranded ${leaked.size} cached RDD(s)")
   }
 
   test("violations: a flush failure after a successful terminal action " +
