@@ -233,7 +233,7 @@ object Ann {
   /** Demo codebook: the subvectors of the K lowest vec_ids, broadcast
     * (production trains per-subspace Lloyd with [[kmeans]]'s machinery;
     * everything downstream is unchanged). */
-  private def pqCodebook(e: DataFrame): DataFrame =
+  private[graft] def pqCodebook(e: DataFrame): DataFrame =
     broadcast(e.filter(col("vec_id") < PqK)
       .select(col("vec_id").cast("int").as("code"), col("v").as("cv")))
 
@@ -241,7 +241,7 @@ object Ann {
     * per subspace as min(struct(dist, code)) — map-side combined, ties
     * to the smallest code. Returns (vec_id, m, code) — the stored code
     * table at scale. */
-  private def pqCodes(sub: DataFrame, cb: DataFrame,
+  private[graft] def pqCodes(sub: DataFrame, cb: DataFrame,
       carry: Seq[String] = Nil): DataFrame = {
     val subCols = (0 until PqM).map(m => pqSubDist(m).as(s"d$m"))
     val keep = carry.map(col)

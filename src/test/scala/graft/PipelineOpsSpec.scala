@@ -124,6 +124,31 @@ class PipelineOpsSpec extends SparkSuite {
     assert(joined < 8 * 5e-5 + 1e-9, s"codebook ADC err $joined")
   }
 
+  test("projection encode (pqCodeArray) equals the aggregate encode " +
+      "(pqCodes) on every vector") {
+    // two implementations of the same per-subspace argmin: the batch
+    // crossJoin×min(struct) aggregate and the driver-folded
+    // NearestCentroid projection the streaming landing stamps
+    // (landVectorsPq). They must agree code-for-code, or the stored
+    // index would disagree with the query-time encode it stands in for.
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+    val agg = Ann.pqCodes(e, Ann.pqCodebook(e))
+      .groupBy("vec_id")
+      .agg(map_from_arrays(collect_list(col("m")),
+        collect_list(col("code"))).as("mc"))
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, 7), m -> mc[m])").as("agg_codes"))
+    val proj = e.select(col("vec_id"),
+      Ann.pqCodeArray(Ann.pqCodebookOf(e)).as("proj_codes"))
+    val diff = agg.join(proj, "vec_id")
+      .filter(expr("exists(zip_with(agg_codes, proj_codes, " +
+        "(a, b) -> a <> b), x -> x)"))
+      .count()
+    assert(diff == 0, s"$diff vectors encode differently")
+    assert(agg.count() == e.count())
+  }
+
   test("pq-ann top-10 is deterministic and overlaps exact L2 top-10") {
     val a = Ann.pqAnn(spark, Sf).collect().map(_.getLong(0)).toSeq
     val b = Ann.pqAnn(spark, Sf).collect().map(_.getLong(0)).toSeq
