@@ -20,6 +20,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // split large single files across the cores: the default 128 MB
+      // yields ~14 scan partitions for a 1.7 GB fact file — under half
+      // of local[32] — and the scan-bound aggregates pay for it
+      // (measured: q_agg_pushdown at 100x lineitem 0.82 -> 0.67 s at
+      // 64m, flat for shuffle-bound queries and for sf0.1's small
+      // files). The same sizing rule §5 prescribes for the cluster.
+      .config("spark.sql.files.maxPartitionBytes", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
