@@ -416,6 +416,11 @@ object Ann {
       probeV: Array[Double], seeds: Seq[(Long, Array[Double])],
       cbs: Seq[(Long, Array[Double])], nprobe: Int = 2, k: Int = 10)
       : DataFrame = {
+    // the ADC literal table is dense over code 0..PqK-1 (element_at by
+    // stored code) — fail loudly here rather than with a bare map miss
+    // if the frozen codebook is undersized
+    require(cbs.map(_._1).sorted == (0L until PqK.toLong),
+      s"codebook must cover codes 0..${PqK - 1}, got ${cbs.map(_._1)}")
     val probeCells = probeCellsOf(probeV, seeds, nprobe)
     // driver-side ADC table: adc(m)(code) = rounded subspace distance
     // probe↔codeword, same r4 arithmetic as pqAdcTable's kernel
