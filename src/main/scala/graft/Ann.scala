@@ -360,7 +360,8 @@ object Ann {
     * the ADC join of [[pqAnn]] — the scan shape is identical. */
   def ivfAnnStore(s: SparkSession, storeDir: String,
       probeV: Array[Double], seeds: Seq[(Long, Array[Double])],
-      nprobe: Int = 2, k: Int = 10): DataFrame = {
+      nprobe: Int = 2, k: Int = 10,
+      excludeId: Option[Long] = None): DataFrame = {
     val probeCells = probeCellsOf(probeV, seeds, nprobe)
     val store = s.read.parquet(storeDir)
     // the partition column comes back with its inferred type; compare
@@ -372,11 +373,20 @@ object Ann {
     }
     store
       .filter(col("cell").isin(cellVals: _*))
+      .transform(excludeProbe(excludeId))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         nearestSeed(Seq((0L, probeV))).getField("dist").as("dist"))
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
   }
+
+  /** When the probe vector itself is a stored row, the query-time paths
+    * ([[bruteForce]], [[ivfPqAnn]], ...) filter it out — the stored-path
+    * equivalent, so stored and query-time searches are result-identical
+    * for the same probe (pass `Some(probeId)` when the probe is landed;
+    * `None` for out-of-corpus probes). */
+  private def excludeProbe(excludeId: Option[Long])(df: DataFrame): DataFrame =
+    excludeId.fold(df)(id => df.filter(col("vec_id") =!= id))
 
   /** The PQ codebook as a driver-side model — PqK rows of (code, D
     * doubles), the same bounded collect as [[seedCentroidsOf]]. Lets
@@ -414,12 +424,14 @@ object Ann {
     * literals: no join, no shuffle — top-k is the only exchange. */
   def ivfPqAnnStore(s: SparkSession, storeDir: String,
       probeV: Array[Double], seeds: Seq[(Long, Array[Double])],
-      cbs: Seq[(Long, Array[Double])], nprobe: Int = 2, k: Int = 10)
-      : DataFrame = {
+      cbs: Seq[(Long, Array[Double])], nprobe: Int = 2, k: Int = 10,
+      excludeId: Option[Long] = None): DataFrame = {
     // the ADC literal table is dense over code 0..PqK-1 (element_at by
     // stored code) — fail loudly here rather than with a bare map miss
-    // if the frozen codebook is undersized
-    require(cbs.map(_._1).sorted == (0L until PqK.toLong),
+    // if the frozen codebook is undersized. sameElements, not ==: the
+    // check is value-wise, independent of the collection kinds the two
+    // sides happen to be after any refactor.
+    require(cbs.map(_._1).sorted.sameElements(0L until PqK.toLong),
       s"codebook must cover codes 0..${PqK - 1}, got ${cbs.map(_._1)}")
     val probeCells = probeCellsOf(probeV, seeds, nprobe)
     // driver-side ADC table: adc(m)(code) = rounded subspace distance
@@ -445,10 +457,72 @@ object Ann {
     }.reduce(_ + _))
     store
       .filter(col("cell").isin(cellVals: _*))
+      .transform(excludeProbe(excludeId))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         dist.as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Build — or validate and reuse — the landed IVF-PQ index for an
+    * embeddings frame at `storeDir`: (vec_id, codes) PARTITIONED BY
+    * cell, the [[graft.streaming.StreamingCorpus.landVectorsPq]] layout
+    * built batch-side. A `_graft_source` marker records `sourceTag`
+    * (the caller's identity for the input data — path + size + mtime);
+    * a store whose marker doesn't match is REBUILT, never silently
+    * reused — a leftover store from different data or an older frozen
+    * model cannot poison a search or an A/B measurement. */
+  def ensurePqStore(e: DataFrame, seeds: Seq[(Long, Array[Double])],
+      cbs: Seq[(Long, Array[Double])], storeDir: String,
+      sourceTag: String): Unit = {
+    val marker = new java.io.File(storeDir, "_graft_source")
+    val current =
+      if (marker.exists())
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      else ""
+    if (current == sourceTag) return
+    e.withColumn("cell",
+        graft.functions.vec.nearestCentroid(col("v"), seeds).getField("cid"))
+      .withColumn("codes", pqCodeArray(cbs))
+      .write.mode("overwrite").partitionBy("cell").parquet(storeDir)
+    java.nio.file.Files.write(marker.toPath, sourceTag.getBytes("UTF-8"))
+  }
+
+  /** The identity tag [[ensurePqStore]] keys a store on: the source
+    * parquet's path, byte size and mtime — regenerated testdata or a
+    * different sf dir always misses and rebuilds. */
+  def sourceTagOf(path: String): String = {
+    val f = new java.io.File(path)
+    s"$path:${f.length}:${f.lastModified}:pq-v1"
+  }
+
+  /** #34g `q_ann_ivf_store` — the stored-index search under the
+    * DRIVER'S oracle gate: lands the full IVF-PQ index fixture for
+    * `dir`'s embeddings once per source generation (marker-keyed,
+    * [[ensurePqStore]]), then answers the q_ann_ivf_pq probe via
+    * [[ivfPqAnnStore]] — cell partition pruning, codes-only scan, probe
+    * row excluded. Same frozen model (32 seed cells, 16-codeword
+    * codebook) and same ADC arithmetic as [[ivfPqAnn]], so it is
+    * result-identical and the SAME DuckDB oracle verifies the stored
+    * path end to end (previously spec-only parity). */
+  def ivfPqStoreSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = withV(t(s, dir, "embeddings")).select(col("vec_id"), col("v"))
+    def empty = e.select(col("vec_id"), lit(0L).as("cell"),
+      lit(0d).as("adc_dist")).limit(0)
+    val seeds = seedCentroids(e, 32)
+    if (seeds.isEmpty) return empty
+    val probeRows = e.filter(col("vec_id") === 0L).select(col("v")).head(1)
+    if (probeRows.isEmpty) return empty
+    val probeV = probeRows.head.getSeq[Double](0).toArray
+    val cbs = pqCodebookOf(e)
+    val tag = sourceTagOf(s"$dir/embeddings.parquet")
+    val storeDir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_ivf_store_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    ).getPath
+    ensurePqStore(e, seeds, cbs, storeDir, tag)
+    ivfPqAnnStore(s, storeDir, probeV, seeds, cbs, excludeId = Some(0L))
   }
 
   /** Collect the centroid frame — K rows of (cid, K×D doubles), the
@@ -716,6 +790,8 @@ object Ann {
     "q_kmeans" -> ((s: SparkSession, dir: String) => kmeans(s, dir)),
     "q_ann_pq" -> ((s: SparkSession, dir: String) => pqAnn(s, dir)),
     "q_ann_ivf_pq" -> ((s: SparkSession, dir: String) => ivfPqAnn(s, dir)),
+    "q_ann_ivf_store" -> ((s: SparkSession, dir: String) =>
+      ivfPqStoreSearch(s, dir)),
     "q_ann_ivf_pq_recall" -> ((s: SparkSession, dir: String) =>
       ivfPqRecall(s, dir))
   )
@@ -945,6 +1021,10 @@ object Ann {
     // side). Probed cells rank by the same rounded sqdist + cid tiebreak
     // as the assignment.
     "q_ann_ivf_pq" -> IvfPqSql,
+    // the stored-index path is result-identical to the query-time path
+    // (same frozen seeds/codebook, same ADC arithmetic, probe excluded)
+    // — so the same oracle gates the landed layout end to end
+    "q_ann_ivf_store" -> IvfPqSql,
     "q_ann_ivf_pq_recall" ->
       s"""WITH e2 AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -29,39 +29,86 @@ object Engine {
     eventTime = col("ts"),
     eventData = col("props"))
 
-  private def alerts(s: SparkSession, dir: String): DataFrame =
+  // the merge-store demo splits January: the store is the merged first
+  // half, the incoming batch the second half (same rule, later alert
+  // time — matched keys must keep the STORE's time, the reference MERGE)
+  private val Mid = "2024-01-16 00:00:00"
+  private val StoreTimeS = 1705363200L // 2024-01-16T00:00:00Z
+
+  private def alertsIn(s: SparkSession, dir: String,
+      from: String, to: String, atS: Long): DataFrame =
     RuleEngine.runAlertRule(
-      t(s, dir, "events"), highValueError, col("event_id"),
-      From, To, AlertTimeS)
+      t(s, dir, "events"), highValueError, col("event_id"), from, to, atS)
+
+  private def alerts(s: SparkSession, dir: String): DataFrame =
+    alertsIn(s, dir, From, To, AlertTimeS)
+
+  /** The alerts oracle body for an arbitrary window/alert-time (the
+    * merge-store oracle needs two instances). */
+  private def alertsCteBody(from: String, to: String, atS: Long): String =
+    s"""  SELECT md5('high_value_error:' || event_id) AS alert_id,
+       |    'high_value_error' AS query_name, 'gq001' AS query_id,
+       |    'prod' AS environment, 'events' AS sources,
+       |    'user:' || user_id AS actor,
+       |    'user:' || user_id AS object,
+       |    event_type AS action,
+       |    'High value error event' AS title,
+       |    epoch_ns(ts) // 1000000000 AS event_time_s,
+       |    CAST($atS AS BIGINT) AS alert_time_s,
+       |    'user:' || user_id || ' error band ' ||
+       |      CAST(floor(value / 100.0) AS BIGINT) AS description,
+       |    'graft' AS detector,
+       |    props AS event_data,
+       |    CASE WHEN value > 200.0 THEN 'high' ELSE 'medium' END AS severity,
+       |    CAST(1 AS BIGINT) AS counter
+       |  FROM events
+       |  WHERE event_type = 'error' AND value > 50.0
+       |    AND ts >= TIMESTAMP '$from' AND ts < TIMESTAMP '$to'""".stripMargin
 
   /** Shared oracle CTE mirroring `alerts`. */
   private val AlertsCte =
-    """WITH alerts AS (
-      |  SELECT md5('high_value_error:' || event_id) AS alert_id,
-      |    'high_value_error' AS query_name, 'gq001' AS query_id,
-      |    'prod' AS environment, 'events' AS sources,
-      |    'user:' || user_id AS actor,
-      |    'user:' || user_id AS object,
-      |    event_type AS action,
-      |    'High value error event' AS title,
-      |    epoch_ns(ts) // 1000000000 AS event_time_s,
-      |    CAST(1706745600 AS BIGINT) AS alert_time_s,
-      |    'user:' || user_id || ' error band ' ||
-      |      CAST(floor(value / 100.0) AS BIGINT) AS description,
-      |    'graft' AS detector,
-      |    props AS event_data,
-      |    CASE WHEN value > 200.0 THEN 'high' ELSE 'medium' END AS severity,
-      |    CAST(1 AS BIGINT) AS counter
-      |  FROM events
-      |  WHERE event_type = 'error' AND value > 50.0
-      |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
-      |)""".stripMargin
+    s"""WITH alerts AS (
+       |${alertsCteBody(From, To, AlertTimeS)}
+       |)""".stripMargin
+
+  /** The in-batch merge, as a SQL SELECT body over a named alerts CTE. */
+  private def mergeSqlOver(src: String): String =
+    s"""SELECT object, description,
+       |  min(alert_id) AS alert_id,
+       |  min_by(query_name, alert_id) AS query_name,
+       |  min_by(query_id, alert_id) AS query_id,
+       |  min_by(environment, alert_id) AS environment,
+       |  min_by(sources, alert_id) AS sources,
+       |  min_by(actor, alert_id) AS actor,
+       |  min_by(action, alert_id) AS action,
+       |  min_by(title, alert_id) AS title,
+       |  min_by(detector, alert_id) AS detector,
+       |  min_by(event_data, alert_id) AS event_data,
+       |  min_by(severity, alert_id) AS severity,
+       |  CAST(sum(counter) AS BIGINT) AS counter,
+       |  min(alert_time_s) AS alert_time_s,
+       |  min(event_time_s) AS event_time_s
+       |FROM $src GROUP BY object, description""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_alert_rule" -> ((s, dir) => alerts(s, dir).orderBy(col("alert_id"))),
 
     "q_alert_merge" -> ((s, dir) =>
       RuleEngine.mergeAlerts(alerts(s, dir))
+        .orderBy(col("object"), col("description"))),
+
+    // #2b the incremental-upsert hot loop (ref MERGE_ALERTS): first-half
+    // January merged alerts are the store, second-half alerts the
+    // incoming batch — matched keys accumulate counter and keep the
+    // store's alert/event times, new keys insert. The store is never
+    // shuffled (batch broadcast; MergeStorePlanSpec).
+    "q_alert_merge_store" -> ((s, dir) =>
+      RuleEngine.mergeIntoStore(
+        RuleEngine.mergeAlerts(alertsIn(s, dir, From, Mid, StoreTimeS)),
+        alertsIn(s, dir, Mid, To, AlertTimeS))
+        .select(col("object"), col("description"), col("alert_id"),
+          col("counter"), col("alert_time_s"), col("event_time_s"),
+          col("severity"))
         .orderBy(col("object"), col("description"))),
 
     "q_alert_suppress" -> ((s, dir) => {
@@ -162,22 +209,30 @@ object Engine {
 
     "q_alert_merge" ->
       s"""$AlertsCte
-         |SELECT object, description,
-         |  min(alert_id) AS alert_id,
-         |  min_by(query_name, alert_id) AS query_name,
-         |  min_by(query_id, alert_id) AS query_id,
-         |  min_by(environment, alert_id) AS environment,
-         |  min_by(sources, alert_id) AS sources,
-         |  min_by(actor, alert_id) AS actor,
-         |  min_by(action, alert_id) AS action,
-         |  min_by(title, alert_id) AS title,
-         |  min_by(detector, alert_id) AS detector,
-         |  min_by(event_data, alert_id) AS event_data,
-         |  min_by(severity, alert_id) AS severity,
-         |  CAST(sum(counter) AS BIGINT) AS counter,
-         |  min(alert_time_s) AS alert_time_s,
-         |  min(event_time_s) AS event_time_s
-         |FROM alerts GROUP BY object, description
+         |${mergeSqlOver("alerts")}
+         |ORDER BY object, description""".stripMargin,
+
+    "q_alert_merge_store" ->
+      s"""WITH a1 AS (
+         |${alertsCteBody(From, Mid, StoreTimeS)}
+         |), a2 AS (
+         |${alertsCteBody(Mid, To, AlertTimeS)}
+         |), m1 AS (
+         |${mergeSqlOver("a1")}
+         |), m2 AS (
+         |${mergeSqlOver("a2")}
+         |)
+         |SELECT coalesce(s.object, n.object) AS object,
+         |  coalesce(s.description, n.description) AS description,
+         |  coalesce(s.alert_id, n.alert_id) AS alert_id,
+         |  CAST(coalesce(s.counter, 0) + coalesce(n.counter, 0) AS BIGINT)
+         |    AS counter,
+         |  coalesce(s.alert_time_s, n.alert_time_s) AS alert_time_s,
+         |  coalesce(s.event_time_s, n.event_time_s) AS event_time_s,
+         |  coalesce(s.severity, n.severity) AS severity
+         |FROM m1 s FULL OUTER JOIN m2 n
+         |  ON s.object IS NOT DISTINCT FROM n.object
+         | AND s.description IS NOT DISTINCT FROM n.description
          |ORDER BY object, description""".stripMargin,
 
     "q_alert_suppress" ->

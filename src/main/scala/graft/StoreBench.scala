@@ -30,13 +30,11 @@ object StoreBench {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val seeds = Ann.seedCentroidsOf(e, 32)
     val cbs = Ann.pqCodebookOf(e)
-    if (!new java.io.File(storeDir).exists()) {
-      e.withColumn("cell",
-          graft.functions.vec.nearestCentroid(col("v"), seeds)
-            .getField("cid"))
-        .withColumn("codes", Ann.pqCodeArray(cbs))
-        .write.partitionBy("cell").parquet(storeDir)
-    }
+    // marker-keyed build: a leftover store from a different sf dir (or
+    // regenerated data under the same path) is rebuilt, never silently
+    // reused — the A/B must measure the same rows on both sides
+    Ann.ensurePqStore(e, seeds, cbs, storeDir,
+      Ann.sourceTagOf(s"$dir/embeddings.parquet"))
     val probeV = e.filter(col("vec_id") === 0L)
       .select(col("v")).head.getSeq[Double](0).toArray
 
@@ -54,8 +52,12 @@ object StoreBench {
     }
     run("warmup", Ann.ivfPqAnn(spark, dir))
     val a = run("ivf_pq_query_time_encode", Ann.ivfPqAnn(spark, dir))
+    // excludeId makes the stored side return EXACTLY ivfPqAnn's rows
+    // (the query-time path filters the probe out) — the A/B compares
+    // identical outputs, not k-vs-k+self
     val b = run("ivf_pq_stored_codes",
-      Ann.ivfPqAnnStore(spark, storeDir, probeV, seeds, cbs))
+      Ann.ivfPqAnnStore(spark, storeDir, probeV, seeds, cbs,
+        excludeId = Some(0L)))
     // scalastyle:off println
     println(f"""{"encode_s": $a%.3f, "stored_s": $b%.3f, """ +
       f""""stored_speedup": ${a / b}%.2f, "sf": "$dir"}""")

@@ -107,27 +107,47 @@ object RuleEngine {
     * += new, store row otherwise untouched / WHEN NOT MATCHED → insert).
     * Mirrors the reference exactly: a matched store row keeps its own
     * alert_time/event_time (and body), only the counter accumulates.
-    * The join is null-safe (<=>) on the merge key, because mergeAlerts
+    * Joins are null-safe (<=>) on the merge key, because mergeAlerts
     * groups null descriptions together — a plain equi-join would never
-    * match them and duplicate store rows would accumulate. Scale: one
-    * full-outer join shuffling on the same (object, description) key the
-    * in-batch merge aggregated on — co-partitioned with it in one stage. */
+    * match them and duplicate store rows would accumulate.
+    *
+    * Scale shape — this is the production hot loop (a batch of new
+    * alerts against a store that only grows), so the STORE must never
+    * shuffle: the merged batch is broadcast onto one full-width store
+    * scan (left join: matched rows accumulate the counter, unmatched
+    * pass through), the matched key set is recovered from a key-only
+    * store scan semi-joined against the same broadcast (bounded by
+    * |batch| — store keys are unique by this function's own contract),
+    * and inserts are the batch anti-joined against THAT broadcast
+    * little set. Three broadcast-hash joins, zero exchanges over store
+    * rows (MergeStorePlanSpec pins it) — the old full-outer shape
+    * sort-merge-shuffled the entire store to add a day's batch. */
   def mergeIntoStore(store: DataFrame, newAlerts: DataFrame): DataFrame = {
     val n = mergeAlerts(newAlerts)
     val carry = Seq("alert_id", "query_name", "query_id", "environment",
       "sources", "actor", "action", "title", "detector", "event_data",
       "severity", "alert_time_s", "event_time_s")
-    store.as("s").join(n.as("n"),
-        col("s.object") <=> col("n.object") &&
-          col("s.description") <=> col("n.description"), "full_outer")
+    val nB = broadcast(n)
+    val matchKey =
+      col("s.object") <=> col("n.object") &&
+        col("s.description") <=> col("n.description")
+    // pass 1 (full-width store scan): matched → counter accumulates,
+    // store row body kept; unmatched store rows pass through unchanged
+    val updated = store.as("s").join(nB.as("n"), matchKey, "left")
       .select(
-        Seq(coalesce(col("s.object"), col("n.object")).as("object"),
-          coalesce(col("s.description"), col("n.description"))
-            .as("description")) ++
-          carry.map(c =>
-            coalesce(col(s"s.$c"), col(s"n.$c")).as(c)) :+
+        Seq(col("s.object").as("object"),
+          col("s.description").as("description")) ++
+          carry.map(c => coalesce(col(s"s.$c"), col(s"n.$c")).as(c)) :+
           (coalesce(col("s.counter"), lit(0L)) +
             coalesce(col("n.counter"), lit(0L))).as("counter"): _*)
+    // pass 2 (key-only store scan, column-pruned): which batch keys hit
+    // the store — ≤ |batch| rows, broadcast back under the anti join
+    val matched = store.as("s")
+      .select(col("s.object"), col("s.description"))
+      .join(nB.as("n"), matchKey, "left_semi")
+    val inserts = n.as("n").join(broadcast(matched).as("s"),
+      matchKey, "left_anti")
+    updated.unionByName(inserts.select(updated.columns.map(col): _*))
   }
 
   /** Suppression: mark alerts matched by a suppression-rule output

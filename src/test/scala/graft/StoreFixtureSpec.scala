@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 #34g: the oracled stored-index search and the store
+  * fixture's identity discipline. */
+class StoreFixtureSpec extends SparkSuite {
+
+  private def vecs = Tables.t(spark, Sf, "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("q_ann_ivf_store is result-identical to q_ann_ivf_pq " +
+      "(same frozen model, probe excluded)") {
+    val stored = Ann.ivfPqStoreSearch(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val queryTime = Ann.ivfPqAnn(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(stored.nonEmpty)
+    assert(stored == queryTime,
+      s"stored $stored\nquery-time $queryTime")
+  }
+
+  test("ensurePqStore reuses a matching store and rebuilds on a " +
+      "source-tag change") {
+    val e = vecs
+    val seeds = Ann.seedCentroidsOf(e, 8)
+    val cbs = Ann.pqCodebookOf(e)
+    val dir = Files.createTempDirectory("graft_fixture").toString
+    Ann.ensurePqStore(e, seeds, cbs, dir, "tagA")
+    val files = spark.read.parquet(dir).inputFiles.sorted
+    assert(files.nonEmpty)
+    val stamps = files.map(f =>
+      f -> new java.io.File(new java.net.URI(f)).lastModified).toMap
+
+    // same tag → untouched (no rewrite, not even an overwrite-in-place)
+    Ann.ensurePqStore(e, seeds, cbs, dir, "tagA")
+    val filesAfter = spark.read.parquet(dir).inputFiles.sorted
+    assert(filesAfter.sameElements(files))
+    assert(filesAfter.forall(f =>
+      new java.io.File(new java.net.URI(f)).lastModified == stamps(f)))
+
+    // changed tag (regenerated source / different sf dir) → rebuilt
+    Ann.ensurePqStore(e.filter(col("vec_id") < 16), seeds, cbs, dir, "tagB")
+    assert(spark.read.parquet(dir).count() == 16)
+  }
+
+  test("ivfPqAnnStore fails loudly on an undersized codebook") {
+    val e = vecs
+    val seeds = Ann.seedCentroidsOf(e, 8)
+    val cbs = Ann.pqCodebookOf(e)
+    val undersized = cbs.take(cbs.size - 2)
+    val ex = intercept[IllegalArgumentException] {
+      Ann.ivfPqAnnStore(spark, "/nonexistent", Array.fill(64)(0.0),
+        seeds, undersized)
+    }
+    assert(ex.getMessage.contains("codebook must cover codes"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+}

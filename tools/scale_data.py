@@ -33,6 +33,23 @@ tables = (set(sys.argv[4].split(","))
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 
+# The replica shift r*10^7 preserves uniqueness/referential-integrity
+# ONLY while every source key is below 10^7 (TPC-H o_orderkey reaches
+# 6M*sf, so sf above ~1.6 would silently collide replicas and change
+# join fan-out). Assert it instead of trusting it.
+SHIFT = 10_000_000
+_KEYS = {"documents": ["doc_id"], "embeddings": ["vec_id"],
+         "events": ["event_id", "user_id"], "customer": ["c_custkey"],
+         "orders": ["o_orderkey", "o_custkey"], "lineitem": ["l_orderkey"]}
+for _t in sorted(tables):
+    for _k in _KEYS.get(_t, []):
+        mx, = con.execute(
+            f"SELECT max({_k}) FROM read_parquet('{src}/{_t}.parquet')"
+        ).fetchone()
+        assert mx is None or mx < SHIFT, (
+            f"{_t}.{_k} max {mx} >= shift {SHIFT}: replica keys would "
+            f"collide — raise the shift before scaling this source")
+
 if "documents" in tables:
     con.execute(f"""
 COPY (
