@@ -80,11 +80,20 @@ object StreamingAlerts {
     * dropDuplicatesWithinWatermark evicts an id's state once the
     * watermark passes its event time — plain dropDuplicates(id) would
     * keep every id forever when the event-time column is not part of
-    * the key. */
-  def dedupStream(alerts: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    alerts
-      .withWatermark("event_time", watermark)
-      .dropDuplicatesWithinWatermark("alert_id")
+    * the key.
+    * Composes with [[ruleStream]] (which already watermarks its
+    * event_time): the watermark is declared here only when the input
+    * doesn't carry one — redefining a watermark is an analysis error
+    * under multiple-stateful-operator support. */
+  def dedupStream(alerts: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val hasWatermark = alerts.queryExecution.logical.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+    }.isDefined
+    val based =
+      if (hasWatermark) alerts
+      else alerts.withWatermark("event_time", watermark)
+    based.dropDuplicatesWithinWatermark("alert_id")
+  }
 
   /** Continuous handler dispatch: route each micro-batch of streaming
     * alerts through the batch Dispatcher (foreachBatch is the sanctioned
