@@ -122,13 +122,19 @@ object Dedup {
     // MATERIALIZED once with an eager localCheckpoint: three consumers
     // read it (banding + both pair-side joins), and at 100 TB this is
     // exactly the signature table you'd persist.
+    // Shingle sets are stored SORTED (one sort_array per document at
+    // signature-build time) so the pair verify is the allocation-free
+    // SortedLongIntersectCount merge — size(array_intersect) built a
+    // hash set + the intersection array per candidate pair for a count
+    // (candidates outnumber docs ~6x on a near-dup-heavy corpus;
+    // measured 1.9 -> 1.2 s on the 10x verify stage).
     val arr = graft.functions.hashes.minhashSlices(col("text"))
     val docSh = t(s, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id") +:
         ((0 until NumHashes).map(i => element_at(arr, i + 1).as(s"mh$i")) :+
-          graft.functions.hashes.distinctWordGramHashes(col("text"), 3,
-            "xxhash64").as("shs")): _*)
+          sort_array(graft.functions.hashes.distinctWordGramHashes(
+            col("text"), 3, "xxhash64")).as("shs")): _*)
       .withColumn("nsh", size(col("shs")).cast("long"))
       .transform(graft.Materialize.frame)
     val cand = lshCandidates(docSh)
@@ -138,7 +144,8 @@ object Dedup {
       .join(docSh.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
         col("nsh").as("nb")), Seq("doc_b"))
       .withColumn("inter",
-        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        graft.functions.hashes.sortedLongIntersectCount(
+          col("sa"), col("sb")))
       .withColumn("jaccard",
         Num.r4(col("inter") / (col("na") + col("nb") - col("inter"))))
       .filter(col("jaccard") >= 0.5)
@@ -245,7 +252,8 @@ object Dedup {
       .join(candidateDocs(cand), Seq("doc_id"), "left_semi")
       .filter(length(col("text")) >= 4)
       .select(col("doc_id"),
-        graft.functions.hashes.distinctGramHashes(col("text"), 4).as("gs"))
+        sort_array(graft.functions.hashes.distinctGramHashes(col("text"), 4))
+          .as("gs"))
       .withColumn("ng", size(col("gs")).cast("long"))
       .transform(graft.Materialize.frame)
     cand
@@ -254,7 +262,8 @@ object Dedup {
       .join(docG.select(col("doc_id").as("doc_b"), col("gs").as("gb"),
         col("ng").as("nb")), Seq("doc_b"))
       .withColumn("inter",
-        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+        graft.functions.hashes.sortedLongIntersectCount(
+          col("ga"), col("gb")))
       .withColumn("jaccard",
         Num.r4(col("inter") / (col("na") + col("nb") - col("inter"))))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -532,7 +541,11 @@ object Dedup {
   def containmentJoinOf(docGrams: DataFrame, ct: Double = 0.5,
       dfCap: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // gs stored sorted: the verify intersect below becomes the
+    // allocation-free sorted-merge kernel; df counts, (df, g) prefix
+    // ranking and the exploded gram index are order-insensitive
     val docG = docGrams
+      .withColumn("gs", sort_array(col("gs")))
       .withColumn("ng", size(col("gs")).cast("long"))
       .transform(graft.Materialize.frame)
     val grams = docG.select(col("doc_id"), col("ng"),
@@ -560,7 +573,8 @@ object Dedup {
       .join(docG.select(col("doc_id").as("doc_b"), col("gs").as("gb"),
         col("ng").as("nb")), Seq("doc_b"))
       .withColumn("inter",
-        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+        graft.functions.hashes.sortedLongIntersectCount(
+          col("ga"), col("gb")))
       .filter(col("inter") / least(col("na"), col("nb")) >= ct)
       .select(col("doc_a"), col("doc_b"),
         Num.r4(col("inter") / least(col("na"), col("nb")))

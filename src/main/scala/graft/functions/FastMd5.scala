@@ -425,6 +425,26 @@ object Md5Util {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(out)
   }
+
+  /** Two-pointer merge count over ascending duplicate-free long arrays
+    * (see SortedLongIntersectCount). */
+  def sortedLongIntersectCount(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
 }
 
 /** Drop-in replacement for the built-in md5() over string input with
@@ -750,6 +770,49 @@ case class DistinctWordGramHashes(child: Expression, width: Int,
       newChild: Expression): DistinctWordGramHashes = copy(child = newChild)
 }
 
+/** Intersection CARDINALITY of two ascending-sorted long-set arrays —
+  * the candidate-verify kernel. `size(array_intersect(sa, sb))` builds
+  * a hash set AND materializes the intersection array per candidate
+  * pair when only the count reaches the output (jaccard/containment);
+  * over pre-sorted set arrays a two-pointer merge does neither —
+  * no per-pair allocation at all. Sorting costs one `sort_array` per
+  * DOCUMENT at signature-build time; the win is per candidate PAIR
+  * (candidates outnumber documents severalfold under near-dup-heavy
+  * corpora). Both inputs MUST be duplicate-free and ascending — the
+  * signature kernels' set outputs wrapped in sort_array qualify. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "sorted_long_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Md5Util.sortedLongIntersectCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Md5Util.sortedLongIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** See Md5Util.wordGramXx: positional width-word gram xxhash64 longs,
   * document order, duplicates kept. */
 case class WordGramHashes(child: Expression, width: Int)
@@ -843,6 +906,12 @@ object hashes {
       variant: String): Column =
     graftexpr.column(
       DistinctWordGramHashes(graftexpr.expression(c), width, variant))
+
+  /** intersection cardinality of two sorted long-set arrays (see
+    * SortedLongIntersectCount). */
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    graftexpr.column(SortedLongIntersectCount(
+      graftexpr.expression(a), graftexpr.expression(b)))
 
   /** per-word xxhash64 longs, duplicates and order kept (see WordHashes). */
   def wordHashes(c: Column): Column =

@@ -403,6 +403,37 @@ class FunctionsSpec extends SparkSuite {
     assert(cmp.count() == 0) // bit-for-bit, incl. empty/repeated tokens
   }
 
+  test("sorted_long_intersect_count matches size(array_intersect) on " +
+      "sorted set arrays") {
+    // the candidate-verify kernel vs the built-in it replaced, over
+    // real per-doc gram sets (self-paired with shifted neighbors) plus
+    // edge shapes: empty arrays, disjoint, identical, single overlap
+    val docs = Tables.t(spark, Sf, "documents")
+      .filter(size(split(col("text"), " ")) >= 3).limit(200)
+      .select(col("doc_id"), sort_array(
+        graft.functions.hashes.distinctWordGramHashes(col("text"), 3,
+          "xxhash64")).as("gs"))
+    val pairs = docs.as("a").join(docs.as("b"),
+      col("a.doc_id") + 1 === col("b.doc_id") ||
+        col("a.doc_id") === col("b.doc_id"))
+    val diverge = pairs.select(
+      size(array_intersect(col("a.gs"), col("b.gs"))).cast("long")
+        .as("builtin"),
+      graft.functions.hashes.sortedLongIntersectCount(
+        col("a.gs"), col("b.gs")).as("fused"))
+      .filter(col("builtin") =!= col("fused"))
+    assert(diverge.count() == 0)
+    val edge = Seq(
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(1L, 3L, 5L), Array(2L, 4L, 6L)),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
+      (Array(-5L, 0L, 7L), Array(7L, 9L, 11L))).toDF("x", "y")
+    val got = edge.select(graft.functions.hashes
+      .sortedLongIntersectCount(col("x"), col("y"))).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 0L, 3L, 1L))
+  }
+
   test("min_gram_md5 counts code points, not UTF-16 units") {
     // a supplementary char (surrogate pair in UTF-16) must gram like
     // Spark's substring — by code point

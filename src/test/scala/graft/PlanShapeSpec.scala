@@ -153,8 +153,8 @@ class PlanShapeSpec extends SparkSuite {
       s"containment fell back to a nested loop:\n$plan")
     assert(!plan.contains("SinglePartition"),
       s"containment funnels through one partition:\n$plan")
-    assert(plan.contains("array_intersect"),
-      "containment verify lost the candidate-only array intersection")
+    assert(plan.contains("sorted_long_intersect_count"),
+      "containment verify lost the candidate-only intersection kernel")
   }
 
   test("anchored-correlation candidate join is keyed by (actor, bucket)") {
