@@ -29,11 +29,38 @@ object Engine {
     eventTime = col("ts"),
     eventData = col("props"))
 
-  // the merge-store demo splits January: the store is the merged first
-  // half, the incoming batch the second half (same rule, later alert
-  // time — matched keys must keep the STORE's time, the reference MERGE)
+  // the merge-store demo mirrors the production MERGE shape: the store
+  // is the merged first half of January LANDED as a parquet table
+  // (marker-keyed fixture, the q_ann_ivf_store precedent — a real
+  // deployment's store is stored, not re-derived per run), the incoming
+  // batch is the next TWO DAYS of alerts (a batch is small relative to
+  // a store that has been accumulating; same rule, later alert time —
+  // matched keys must keep the STORE's time, the reference MERGE)
   private val Mid = "2024-01-16 00:00:00"
+  private val BatchTo = "2024-01-18 00:00:00"
   private val StoreTimeS = 1705363200L // 2024-01-16T00:00:00Z
+
+  /** Build — or reuse via source marker — the landed alert-store
+    * fixture for `dir`: mergeAlerts over the first-half window, written
+    * once to parquet under the JVM tmpdir. */
+  private def alertStoreFixture(s: SparkSession, dir: String): String = {
+    val tag = Ann.sourceTagOf(s"$dir/events.parquet") + ":alertstore-v1"
+    val storeDir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_alert_store_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString).getPath
+    val marker = new java.io.File(storeDir, "_graft_source")
+    val current =
+      if (marker.exists())
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      else ""
+    if (current != tag) {
+      RuleEngine.mergeAlerts(alertsIn(s, dir, From, Mid, StoreTimeS))
+        .write.mode("overwrite").parquet(storeDir)
+      java.nio.file.Files.write(marker.toPath, tag.getBytes("UTF-8"))
+    }
+    storeDir
+  }
 
   private def alertsIn(s: SparkSession, dir: String,
       from: String, to: String, atS: Long): DataFrame =
@@ -97,15 +124,15 @@ object Engine {
       RuleEngine.mergeAlerts(alerts(s, dir))
         .orderBy(col("object"), col("description"))),
 
-    // #2b the incremental-upsert hot loop (ref MERGE_ALERTS): first-half
-    // January merged alerts are the store, second-half alerts the
-    // incoming batch — matched keys accumulate counter and keep the
-    // store's alert/event times, new keys insert. The store is never
-    // shuffled (batch broadcast; MergeStorePlanSpec).
+    // #2b the incremental-upsert hot loop (ref MERGE_ALERTS): a 2-day
+    // batch of new alerts MERGEd into the landed first-half store —
+    // matched keys accumulate counter and keep the store's alert/event
+    // times, new keys insert. The store is read from its parquet
+    // fixture and never shuffled (batch broadcast; MergeStorePlanSpec).
     "q_alert_merge_store" -> ((s, dir) =>
       RuleEngine.mergeIntoStore(
-        RuleEngine.mergeAlerts(alertsIn(s, dir, From, Mid, StoreTimeS)),
-        alertsIn(s, dir, Mid, To, AlertTimeS))
+        s.read.parquet(alertStoreFixture(s, dir)),
+        alertsIn(s, dir, Mid, BatchTo, AlertTimeS))
         .select(col("object"), col("description"), col("alert_id"),
           col("counter"), col("alert_time_s"), col("event_time_s"),
           col("severity"))
@@ -216,7 +243,7 @@ object Engine {
       s"""WITH a1 AS (
          |${alertsCteBody(From, Mid, StoreTimeS)}
          |), a2 AS (
-         |${alertsCteBody(Mid, To, AlertTimeS)}
+         |${alertsCteBody(Mid, BatchTo, AlertTimeS)}
          |), m1 AS (
          |${mergeSqlOver("a1")}
          |), m2 AS (

@@ -123,7 +123,11 @@ object RuleEngine {
     * rows (MergeStorePlanSpec pins it) — the old full-outer shape
     * sort-merge-shuffled the entire store to add a day's batch. */
   def mergeIntoStore(store: DataFrame, newAlerts: DataFrame): DataFrame = {
-    val n = mergeAlerts(newAlerts)
+    // the merged batch feeds three consumers (both broadcasts + the
+    // anti-join probe side); materialize it once — it is small by this
+    // function's contract, and recomputing the rule scan + merge per
+    // consumer tripled the events-table work at 100x
+    val n = graft.Materialize.frame(mergeAlerts(newAlerts))
     val carry = Seq("alert_id", "query_name", "query_id", "environment",
       "sources", "actor", "action", "title", "detector", "event_data",
       "severity", "alert_time_s", "event_time_s")
