@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed fact-table layout — the §5 landing shape for a table that
+  * exists to be joined on its key (lineitem⋈orders, alert-store⋈batch,
+  * any fact⋈fact equi-join in the reference's query packs, e.g. the
+  * per-orderkey revenue join of q_join_broadcast).
+  *
+  * A shuffle join hashes BOTH sides across the cluster every time the
+  * join runs. Landing the table pre-hashed — `bucketBy(n, key)` with
+  * in-bucket `sortBy` — moves that work to write time, once: Catalyst
+  * sees the bucketed distribution on both scans and plans the sort-merge
+  * join with NO Exchange on either side (and, when each bucket lands
+  * as one file and
+  * `spark.sql.legacy.bucketedTableScan.outputOrdering` is on, no Sort
+  * either — Spark 3+ stopped reporting write-time in-bucket order by
+  * default because multi-file buckets interleave at read; with the
+  * one-file-per-bucket landing below the order IS real and the flag
+  * restores the sort-free merge, both shapes spec-pinned).
+  * At 100 TB the exchange's network + disk materialization dominates
+  * the join; with this layout it never happens, and each of the n
+  * buckets joins co-located on its executor. Bucket count is a layout
+  * constant chosen once per table family (both sides MUST agree for
+  * the exchange to be elidable; pick ~table-size / 128 MB at the
+  * target scale, a power of two so a later split/merge re-bucket can
+  * reuse half the hash space).
+  *
+  * Point lookups win too: a `key = literal` filter scans 1/n of the
+  * files (bucket pruning — `SelectedBucketsCount` in the scan), the
+  * stored-alert-store read path of the reference's MERGE loop. One
+  * Spark caveat, spec-pinned: a bare filter feeds no
+  * distribution-requiring operator, so the auto-bucketed-scan
+  * heuristic (`spark.sql.sources.bucketing.autoBucketedScan.enabled`,
+  * default true) drops the bucketed scan — and with it the 1-of-n
+  * prune; sessions serving point reads over stored bucketed tables
+  * should run with it off (joins/aggregations keep their bucketed
+  * scans either way, because they DO require the distribution).
+  *
+  * Measured (core-100× adjudication, BASELINE.md): on the 60M-row
+  * lineitem⋈orders join both `Exchange hashpartitioning(l_orderkey…)`
+  * nodes vanish from the executed plan; locally that saves ~0.3 s of a
+  * 2.5 s join because one machine still does all the compute — on a
+  * cluster the exchange IS the dominant cost and it is gone.
+  *
+  * Reference: SnowAlert stores alerts/violations/baselines as
+  * warehouse tables keyed by the columns its MERGE/correlate queries
+  * join on (alert_queries_runner.py MERGE_ALERTS ON alert_id;
+  * correlation's actor join) — the warehouse clusters on those keys
+  * server-side; this is the Spark-native equivalent, declared at
+  * landing time.
+  */
+object Layout {
+
+  /** Land `df` as bucketed parquet table `name`: hash-bucketed and
+    * in-bucket sorted by `key` into `buckets` buckets, optionally
+    * hive-partitioned by `partitionCols` first (the date axis of a log
+    * table — partition pruning composes with bucket pruning). `path`
+    * makes it an external table at that location; otherwise it lands
+    * in the session warehouse. Overwrites.
+    *
+    * The writer emits one file per (task, bucket); to land exactly one
+    * file per bucket — the shape where the scan also reports in-bucket
+    * ORDER and the downstream sort-merge join plans without sorts —
+    * pre-shuffle with `df.repartition(buckets, col(key))` so each
+    * bucket's rows arrive in one task. That repartition is the same
+    * hash the bucketing uses: one shuffle at write time buys every
+    * future join. */
+  def landBucketed(
+      df: DataFrame,
+      name: String,
+      key: String,
+      buckets: Int,
+      partitionCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    var w = df.write.format("parquet").mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    path.foreach(p => w = w.option("path", p))
+    w.saveAsTable(name)
+  }
+
+  /** The co-located equi-join of two tables landed with the SAME
+    * bucket count on their join keys. This is a plain join — the value
+    * is the PLAN it produces (no Exchange on either side; LayoutSpec
+    * pins it on the executed plan), which only holds when both sides
+    * came through [[landBucketed]] with equal `buckets`. */
+  def coLocatedJoin(
+      s: SparkSession,
+      left: String,
+      right: String,
+      leftKey: String,
+      rightKey: String): DataFrame =
+    s.table(left).join(
+      s.table(right),
+      s.table(left)(leftKey) === s.table(right)(rightKey))
+}
