@@ -164,10 +164,14 @@ object CoreSql {
     // kv stream before the shuffle; grouping by (key, value) first
     // makes both outputs plain counts over the grouped frame
     // (count(value) skips the null-value group, exactly like the
-    // countDistinct it replaces)
-    graft.sources.Connectors.flattenJsonMap(
-      t(s, dir, "events").select(col("event_id"), col("props")),
-      "props", org.apache.spark.sql.types.StringType)
+    // countDistinct it replaces). The flatten itself is the
+    // byte-scanning JsonKvPairs kernel — from_json's per-row Jackson
+    // map parse was ~70% of this query at 10× events (same flatten
+    // semantics, fuzz-pinned in FuzzParitySpec).
+    t(s, dir, "events")
+      .select(explode(graft.functions.json.kvPairs(col("props")))
+        .as("kv"))
+      .select(col("kv.key").as("key"), col("kv.value").as("value"))
       .groupBy(col("key"), col("value"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("key"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftexpr
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-field JSON long extraction without a general-purpose parser.
@@ -318,6 +318,259 @@ object JsonKernelUtil {
         bytes(i) == '\n' || bytes(i) == '\r')) i += 1
     i
   }
+
+  // ---- kv-pairs flatten (JsonKvPairs) ------------------------------
+
+  /** All top-level (key, value-as-string) pairs of a JSON object, in
+    * document order, duplicates kept — `explode(from_json(doc,
+    * Map[String,String]))` semantics (fuzz-pinned in FuzzParitySpec)
+    * at byte-scan cost, for the VARIANT-flatten hot path:
+    *
+    *   - string values are escape-DECODED (Jackson getText)
+    *   - in-range integer tokens render via the parsed long (`-0` →
+    *     `0`, Jackson writeNumber(getLongValue)); overflowing integer
+    *     tokens keep their raw (canonical) digits (BigInteger path)
+    *   - float tokens normalize through double
+    *     (`1.50`→`1.5`, `1e2`→`100.0` — Jackson getDoubleValue)
+    *   - `true`/`false` literal; `null` → null VALUE (the pair is
+    *     still emitted, as the map entry exists)
+    *   - nested objects/arrays re-serialize COMPACT with the same
+    *     scalar rules applied recursively and strings re-escaped
+    *     (Jackson copyCurrentStructure)
+    *   - malformed document / non-object root → null (PERMISSIVE
+    *     from_json's null map; explode then emits nothing)
+    *   - trailing bytes after the root object are ignored
+    *
+    * Returns a GenericArrayData of (UTF8String, UTF8String|null) rows,
+    * or null. */
+  def kvPairs(doc: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = doc.getBytes
+    val n = bytes.length
+    val state = st.get()
+    var i = skipWs(bytes, 0)
+    if (i >= n || bytes(i) != '{') return null
+    i += 1
+    val buf = new java.util.ArrayList[AnyRef](8)
+    var first = true
+    while (true) {
+      i = skipWs(bytes, i)
+      if (i >= n) return null
+      if (bytes(i) == '}')
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          buf.toArray)
+      if (!first) {
+        if (bytes(i) != ',') return null
+        i = skipWs(bytes, i + 1)
+        if (i >= n) return null
+      }
+      first = false
+      if (bytes(i) != '"') return null
+      val keyStart = i + 1
+      val keyEnd = scanString(bytes, keyStart)
+      if (keyEnd < 0) return null
+      val key = sliceDecoded(bytes, keyStart, keyEnd)
+      if (key == null) return null
+      i = skipWs(bytes, keyEnd + 1)
+      if (i >= n || bytes(i) != ':') return null
+      i = skipWs(bytes, i + 1)
+      if (i >= n) return null
+      val vStart = i
+      i = parseValue(bytes, i, 0, state)
+      if (i < 0) return null
+      val value = renderValue(bytes, vStart, i, state)
+      if (value == null) return null // internal render error
+      buf.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](key,
+          if (value eq NullSentinel) null else value)))
+    }
+    null // unreachable
+  }
+
+  private val NullSentinel: UTF8String = UTF8String.fromString(" graft-null")
+
+  /** The string slice [start, end) escape-decoded — zero-copy when it
+    * contains no backslash. */
+  private def sliceDecoded(
+      bytes: Array[Byte], start: Int, end: Int): UTF8String = {
+    var j = start
+    var escaped = false
+    while (j < end && !escaped) {
+      if (bytes(j) == '\\') escaped = true
+      j += 1
+    }
+    if (!escaped) UTF8String.fromBytes(bytes, start, end - start)
+    else {
+      val dec = decodeString(bytes, start, end)
+      if (dec == null) null else UTF8String.fromString(dec)
+    }
+  }
+
+  /** Render the ALREADY-VALIDATED value at bytes[start, end) to its
+    * from_json(…String) textual form; NullSentinel for JSON null (and
+    * for internal errors, disambiguated by the caller on the first
+    * byte). `state` still holds parseValue's verdict for a top-level
+    * scalar number. */
+  private def renderValue(
+      bytes: Array[Byte], start: Int, end: Int, state: St): UTF8String =
+    bytes(start) match {
+      case '"' => sliceDecoded(bytes, start + 1, end - 1)
+      case 't' => TrueText
+      case 'f' => FalseText
+      case 'n' => NullSentinel
+      case '{' | '[' =>
+        val sb = new java.lang.StringBuilder(end - start)
+        if (renderCompact(bytes, start, sb) < 0) null
+        else UTF8String.fromString(sb.toString)
+      case _ => renderNumberFrom(bytes, start, end, state)
+    }
+
+  private val TrueText = UTF8String.fromString("true")
+  private val FalseText = UTF8String.fromString("false")
+
+  /** Number rendering from a validated token whose parse verdict is in
+    * `state`: in-range ints via the long (so `-0` → `0`), overflow
+    * ints raw, floats through double. */
+  private def renderNumberFrom(
+      bytes: Array[Byte], start: Int, end: Int, state: St): UTF8String = {
+    if (state.kind == 1) {
+      // raw slice == Long.toString(value) except for the "-0" token
+      if (end - start == 2 && bytes(start) == '-' && bytes(start + 1) == '0')
+        ZeroText
+      else UTF8String.fromBytes(bytes, start, end - start)
+    } else {
+      var isInt = true
+      var j = start
+      while (j < end && isInt) {
+        val b = bytes(j)
+        if (b == '.' || b == 'e' || b == 'E') isInt = false
+        j += 1
+      }
+      if (isInt) UTF8String.fromBytes(bytes, start, end - start) // BigInteger
+      else UTF8String.fromString(java.lang.Double.toString(
+        java.lang.Double.parseDouble(
+          new String(bytes, start, end - start,
+            java.nio.charset.StandardCharsets.US_ASCII))))
+    }
+  }
+
+  /** Recursive compact re-serialization of the (validated) value at
+    * `i` — Jackson copyCurrentStructure: whitespace dropped, strings
+    * decoded and re-escaped, scalar number rules recursively. Returns
+    * the index after the value, or -1 (cannot happen on validated
+    * input; kept as a guard). */
+  private def renderCompact(
+      bytes: Array[Byte], start: Int, sb: java.lang.StringBuilder): Int = {
+    val n = bytes.length
+    val state = st.get()
+    var i = start
+    bytes(i) match {
+      case '"' =>
+        val e = scanString(bytes, i + 1)
+        if (e < 0) return -1
+        val dec = sliceDecoded(bytes, i + 1, e)
+        if (dec == null) return -1
+        appendEscaped(sb, dec.toString)
+        e + 1
+      case 't' => sb.append("true"); i + 4
+      case 'f' => sb.append("false"); i + 5
+      case 'n' => sb.append("null"); i + 4
+      case '{' =>
+        sb.append('{')
+        i = skipWs(bytes, i + 1)
+        var firstM = true
+        while (i < n && bytes(i) != '}') {
+          if (!firstM) {
+            if (bytes(i) != ',') return -1
+            i = skipWs(bytes, i + 1)
+            sb.append(',')
+          }
+          firstM = false
+          if (i >= n || bytes(i) != '"') return -1
+          val ke = scanString(bytes, i + 1)
+          if (ke < 0) return -1
+          val kd = sliceDecoded(bytes, i + 1, ke)
+          if (kd == null) return -1
+          appendEscaped(sb, kd.toString)
+          i = skipWs(bytes, ke + 1)
+          if (i >= n || bytes(i) != ':') return -1
+          sb.append(':')
+          i = skipWs(bytes, i + 1)
+          if (i >= n) return -1
+          i = renderCompact(bytes, i, sb)
+          if (i < 0) return -1
+          i = skipWs(bytes, i)
+        }
+        if (i >= n) return -1
+        sb.append('}')
+        i + 1
+      case '[' =>
+        sb.append('[')
+        i = skipWs(bytes, i + 1)
+        var firstE = true
+        while (i < n && bytes(i) != ']') {
+          if (!firstE) {
+            if (bytes(i) != ',') return -1
+            i = skipWs(bytes, i + 1)
+            sb.append(',')
+          }
+          firstE = false
+          if (i >= n) return -1
+          i = renderCompact(bytes, i, sb)
+          if (i < 0) return -1
+          i = skipWs(bytes, i)
+        }
+        if (i >= n) return -1
+        sb.append(']')
+        i + 1
+      case _ =>
+        val e = parseNumber(bytes, i, state)
+        if (e < 0) return -1
+        val r = renderNumberFrom(bytes, i, e, state)
+        if (r == null) return -1
+        sb.append(r.toString)
+        e
+    }
+  }
+
+  private val ZeroText = UTF8String.fromString("0")
+
+  private val HexUpper = "0123456789ABCDEF".toCharArray
+
+  /** Jackson writeString escaping (fuzz-pinned): `"` `\` and the five
+    * short control escapes; other chars below 0x20 as `\u00XX`;
+    * UTF-16 surrogate units — i.e. every supplementary-plane code
+    * point — as `\uXXXX` pairs (Jackson's byte-generator escapes
+    * surrogates rather than emitting 4-byte UTF-8); everything else,
+    * including BMP non-ASCII, verbatim. Hex is uppercase, matching
+    * Jackson. */
+  private def appendEscaped(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case _ =>
+          if (c < 0x20)
+            sb.append("\\u00").append(HexUpper((c >> 4) & 0xf))
+              .append(HexUpper(c & 0xf))
+          else if (c >= 0xD800 && c <= 0xDFFF)
+            sb.append("\\u").append(HexUpper((c >> 12) & 0xf))
+              .append(HexUpper((c >> 8) & 0xf))
+              .append(HexUpper((c >> 4) & 0xf))
+              .append(HexUpper(c & 0xf))
+          else sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
 }
 
 /** `json_long_field(doc, 'key')`: the top-level integer field of a JSON
@@ -361,8 +614,58 @@ case class JsonLongField(child: Expression, key: String)
       newChild: Expression): JsonLongField = copy(child = newChild)
 }
 
+/** `json_kv_pairs(doc)`: every top-level (key, value-as-string) pair
+  * of a JSON object, document order, duplicates kept —
+  * `explode(from_json(doc, Map[String,String]))` flatten semantics
+  * (see [[JsonKernelUtil.kvPairs]]; fuzz-pinned) at byte-scan cost.
+  * Null on malformed/non-object documents, so
+  * `explode(json_kv_pairs(doc))` drops them exactly like the null map.
+  * The VARIANT-flatten hot path (reference data.*_v LATERAL FLATTEN
+  * views): at 10× events the Jackson map parse was ~70% of
+  * q_variant_flatten's runtime. */
+case class JsonKvPairs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = JsonKvPairs.OutType
+
+  override def nullable: Boolean = true
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "json_kv_pairs"
+
+  override protected def nullSafeEval(v: Any): Any =
+    JsonKernelUtil.kvPairs(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.GenericArrayData r =
+        graft.functions.JsonKernelUtil.kvPairs($c);
+      ${ev.isNull} = (r == null);
+      if (!${ev.isNull}) { ${ev.value} = r; }""")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): JsonKvPairs = copy(child = newChild)
+}
+
+object JsonKvPairs {
+  val OutType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = true))),
+    containsNull = false)
+}
+
 /** Column-API surface. */
 object json {
   def longField(doc: Column, key: String): Column =
     graftexpr.column(JsonLongField(graftexpr.expression(doc), key))
+
+  def kvPairs(doc: Column): Column =
+    graftexpr.column(JsonKvPairs(graftexpr.expression(doc)))
 }

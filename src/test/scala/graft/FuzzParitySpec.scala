@@ -410,4 +410,72 @@ class FuzzParitySpec extends SparkSuite {
       s"divergence on: ${cmp.take(10).map(r => r.getString(1) +
         " kern=" + r.get(2) + " decl=" + r.get(3)).mkString(" | ")}")
   }
+
+  test("fuzz: json_kv_pairs matches explode(from_json Map) — order, dups, rendering") {
+    import org.apache.spark.sql.types.{MapType, StringType => SStr}
+    val rng = new scala.util.Random(1616L)
+    // scalar pool stresses every rendering rule: int text kept, -0
+    // normalized, overflow ints raw, floats through double (1.50→1.5,
+    // 1e2→100.0), strings decoded (incl. escapes + unicode), literals
+    val scalars = Vector("0", "7", "-13", "-0", "123456789012345",
+      "9223372036854775808", "-9223372036854775809", "1.5", "1.50",
+      "-0.25", "1e3", "2E-1", "1E+2", "0.0", "true", "false", "null",
+      "\"x\"", "\"a\\\"b\"", "\"\\u0041\"", "\"x\\ny\"", "\"\\u001f\"",
+      "\"😀字\"", "\"\"", "\"\\\\\"", "\"\\u00e9\"")
+    def value(depth: Int): String =
+      if (depth >= 2 || rng.nextInt(10) < 7)
+        scalars(rng.nextInt(scalars.length))
+      else if (rng.nextBoolean()) {
+        val n = rng.nextInt(3)
+        val ws = if (rng.nextBoolean()) " " else ""
+        (0 until n).map(_ =>
+          s""""k${rng.nextInt(3)}"$ws:$ws${value(depth + 1)}""")
+          .mkString(s"{$ws", s",$ws", s"$ws}")
+      } else {
+        val n = rng.nextInt(4)
+        val ws = if (rng.nextBoolean()) " " else ""
+        (0 until n).map(_ => value(depth + 1))
+          .mkString(s"[$ws", s",$ws", s"$ws]")
+      }
+    val keys = Vector("k", "kk", "a", "\\u006b", "a\\\"b", "字", "")
+    def doc(): String = {
+      val n = rng.nextInt(6)
+      val ws = if (rng.nextBoolean()) " " else ""
+      (0 until n).map(_ =>
+        s""""${keys(rng.nextInt(keys.length))}"$ws:$ws${value(0)}""")
+        .mkString(s"{$ws", s",$ws", s"$ws}")
+    }
+    val malformed = Seq("", "   ", "{", "}", "{\"k\":}", "{\"k\" 1}",
+      "{\"k\":1", "[{\"k\":1}]", "5", "\"k\"", "{\"k\":1}}", "{\"k\":1,}",
+      "{,\"k\":1}", "not json", "{\"k\": 00}", "{\"k\":+1}",
+      "{\"a\":[01]}", "{\"a\":truth}", "{\"a\":\"\\q\"}",
+      "{\"a\":\"x\ty\"}", "[1,2]")
+    val pinned = Seq(
+      """{"a":1,"a":2}""", // duplicates BOTH kept, in order
+      """{"a":1,"b":2,"a":3}""",
+      """{"n":null}""", // pair emitted with null VALUE
+      """{}""", // empty map -> zero pairs after explode
+      """{"o":{ "x" : [1, 2.50, "a\u0041"] }}""", // compact re-ser
+      """{"k":-0,"f":-0.0}""", """  {"ws" : 7}  """,
+      """{"t":1} trailing""", """{"deep":[[[{"z":"\u001F"}]]]}""")
+    val docs = (pinned ++ malformed ++ (1 to 500).map(_ => doc()))
+      .distinct.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+    val df = docs.toDF("id", "doc")
+    val decl = df.select(col("id"),
+        posexplode_outer(from_json(col("doc"), MapType(SStr, SStr))))
+      .toDF("id", "pos", "dk", "dv")
+    val kern = df.select(col("id"),
+        posexplode_outer(graft.functions.json.kvPairs(col("doc"))))
+      .select(col("id"), col("pos"), col("col.key").as("kk"),
+        col("col.value").as("kv"))
+    val joined = decl.join(kern, Seq("id", "pos"), "full_outer")
+    val bad = joined.filter(
+        !(col("dk") <=> col("kk")) || !(col("dv") <=> col("kv")))
+      .join(df, Seq("id")).select(col("doc"), col("dk"), col("dv"),
+        col("kk"), col("kv"))
+      .collect()
+    assert(bad.isEmpty, s"divergence on: ${bad.take(10).map(r =>
+      s"${r.get(0)} decl=(${r.get(1)},${r.get(2)}) kern=(${r.get(3)},${r.get(4)})")
+      .mkString(" | ")}")
+  }
 }
