@@ -86,6 +86,13 @@ object AsOf {
       s"left columns collide with asofJoin-generated names: " +
         s"${collisions.mkString(", ")} — rename them first " +
         "(e.g. when chaining as-of joins, alias the previous r_* output)")
+    // shuffle_hash, build = right: the join output is immediately
+    // re-shuffled by leftId for the argmax, so the SMJ's two full
+    // (keys, bucket) sorts buy nothing downstream — and the hash build
+    // is the per-(key, bucket) candidate set, exactly the quantity the
+    // bucketing scheme already bounds (AQE still splits residual skew).
+    // Measured 0.82-1.01 -> 0.60 s steady-state at 10x events, exact
+    // parity both directions.
     val r = right.select(
       keys.map(k => col(k).as(s"__rk_$k")) ++
         rCols.map(c => col(c).as(s"r_$c")): _*)
@@ -93,6 +100,7 @@ object AsOf {
         floor(col(s"r_$rightTimeS") / toleranceS),
         floor(col(s"r_$rightTimeS") / toleranceS) +
           (if (fwd) -1 else 1))))
+      .hint("shuffle_hash")
     val lt = col(leftTimeS)
     val rt = col(s"r_$rightTimeS")
     val leftCols = left.columns.toSeq
