@@ -386,7 +386,7 @@ object JsonKernelUtil {
     null // unreachable
   }
 
-  private val NullSentinel: UTF8String = UTF8String.fromString(" graft-null")
+  private val NullSentinel: UTF8String = UTF8String.fromString("\u0000graft-null")
 
   /** The string slice [start, end) escape-decoded — zero-copy when it
     * contains no backslash. */
