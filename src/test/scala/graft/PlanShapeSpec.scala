@@ -155,6 +155,22 @@ class PlanShapeSpec extends SparkSuite {
       s"containment funnels through one partition:\n$plan")
     assert(plan.contains("sorted_long_intersect_count"),
       "containment verify lost the candidate-only intersection kernel")
+    // both g-keyed joins are hinted shuffled-hash: the SMJ sorts fed
+    // consumers that immediately re-partition (doc_id window / pair
+    // distinct) — a regression to SortMergeJoin re-buys both sorts
+    assert(plan.contains("ShuffledHashJoin"),
+      s"containment's g-keyed joins lost the shuffle_hash shape:\n$plan")
+  }
+
+  test("as-of candidate join is shuffled-hash, not sort-merge") {
+    // the (keys, bucket) equi-join's output goes straight into the
+    // leftId argmax regroup, so SMJ's two full sorts buy nothing; the
+    // hash build is the per-(key, bucket)-bounded candidate side
+    val plan = planOf("q_asof_join")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"as-of candidate join lost the shuffle_hash shape:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"as-of candidate join regressed to sort-merge:\n$plan")
   }
 
   test("anchored-correlation candidate join is keyed by (actor, bucket)") {
