@@ -475,17 +475,13 @@ object Ann {
   def ensurePqStore(e: DataFrame, seeds: Seq[(Long, Array[Double])],
       cbs: Seq[(Long, Array[Double])], storeDir: String,
       sourceTag: String): Unit = {
-    val marker = new java.io.File(storeDir, "_graft_source")
-    val current =
-      if (marker.exists())
-        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-      else ""
-    if (current == sourceTag) return
-    e.withColumn("cell",
-        graft.functions.vec.nearestCentroid(col("v"), seeds).getField("cid"))
-      .withColumn("codes", pqCodeArray(cbs))
-      .write.mode("overwrite").partitionBy("cell").parquet(storeDir)
-    java.nio.file.Files.write(marker.toPath, sourceTag.getBytes("UTF-8"))
+    graft.sources.FixtureStore.ensure(storeDir, sourceTag) { buildDir =>
+      e.withColumn("cell",
+          graft.functions.vec.nearestCentroid(col("v"), seeds).getField("cid"))
+        .withColumn("codes", pqCodeArray(cbs))
+        .write.mode("overwrite").partitionBy("cell").parquet(buildDir)
+    }
+    ()
   }
 
   /** The identity tag [[ensurePqStore]] keys a store on: the source

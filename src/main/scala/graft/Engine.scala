@@ -49,17 +49,10 @@ object Engine {
       sys.props("java.io.tmpdir"),
       "graft_alert_store_" + java.security.MessageDigest.getInstance("MD5")
         .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString).getPath
-    val marker = new java.io.File(storeDir, "_graft_source")
-    val current =
-      if (marker.exists())
-        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-      else ""
-    if (current != tag) {
+    graft.sources.FixtureStore.ensure(storeDir, tag) { buildDir =>
       RuleEngine.mergeAlerts(alertsIn(s, dir, From, Mid, StoreTimeS))
-        .write.mode("overwrite").parquet(storeDir)
-      java.nio.file.Files.write(marker.toPath, tag.getBytes("UTF-8"))
+        .write.mode("overwrite").parquet(buildDir)
     }
-    storeDir
   }
 
   private def alertsIn(s: SparkSession, dir: String,

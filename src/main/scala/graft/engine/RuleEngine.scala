@@ -122,12 +122,25 @@ object RuleEngine {
     * little set. Three broadcast-hash joins, zero exchanges over store
     * rows (MergeStorePlanSpec pins it) — the old full-outer shape
     * sort-merge-shuffled the entire store to add a day's batch. */
-  def mergeIntoStore(store: DataFrame, newAlerts: DataFrame): DataFrame = {
+  def mergeIntoStore(store: DataFrame, newAlerts: DataFrame,
+      maxBatchRows: Long = 4000000L): DataFrame = {
     // the merged batch feeds three consumers (both broadcasts + the
     // anti-join probe side); materialize it once — it is small by this
     // function's contract, and recomputing the rule scan + merge per
     // consumer tripled the events-table work at 100x
     val n = graft.Materialize.frame(mergeAlerts(newAlerts))
+    // the broadcast contract fails LOUDLY: a backfill-sized batch would
+    // OOM the broadcast build long after this plan was handed out, with
+    // an executor stack that points nowhere near the caller. The count
+    // is one pass over the just-materialized blocks — cheap relative to
+    // the rule scan that produced them.
+    val batchRows = n.count()
+    require(batchRows <= maxBatchRows,
+      s"mergeIntoStore: merged batch has $batchRows rows > maxBatchRows=" +
+        s"$maxBatchRows — this is a backfill, not an incremental batch; " +
+        "run it as a shuffled full-outer merge on (object, description) " +
+        "instead of the broadcast hot loop, or raise maxBatchRows if " +
+        "the driver can hold the broadcast")
     val carry = Seq("alert_id", "query_name", "query_id", "environment",
       "sources", "actor", "action", "title", "detector", "event_data",
       "severity", "alert_time_s", "event_time_s")

@@ -446,12 +446,24 @@ object JsonKernelUtil {
         j += 1
       }
       if (isInt) UTF8String.fromBytes(bytes, start, end - start) // BigInteger
-      else UTF8String.fromString(java.lang.Double.toString(
-        java.lang.Double.parseDouble(
+      else {
+        val d = java.lang.Double.parseDouble(
           new String(bytes, start, end - start,
-            java.nio.charset.StandardCharsets.US_ASCII))))
+            java.nio.charset.StandardCharsets.US_ASCII))
+        // a float token whose double overflows renders QUOTED —
+        // Jackson's generator (QUOTE_NON_NUMERIC_NUMBERS, default on)
+        // writes non-finite doubles as JSON strings, top-level and
+        // inside re-serialized structure alike; underflow is finite
+        // (0.0 / -0.0) and takes the plain Double.toString path
+        if (java.lang.Double.isInfinite(d))
+          if (d > 0) PosInfText else NegInfText
+        else UTF8String.fromString(java.lang.Double.toString(d))
+      }
     }
   }
+
+  private val PosInfText = UTF8String.fromString("\"Infinity\"")
+  private val NegInfText = UTF8String.fromString("\"-Infinity\"")
 
   /** Recursive compact re-serialization of the (validated) value at
     * `i` — Jackson copyCurrentStructure: whitespace dropped, strings

@@ -91,8 +91,18 @@ object Layout {
       left: String,
       right: String,
       leftKey: String,
-      rightKey: String): DataFrame =
-    s.table(left).join(
-      s.table(right),
-      s.table(left)(leftKey) === s.table(right)(rightKey))
+      rightKey: String): DataFrame = {
+    // One Dataset instance per side, and the condition built from THOSE
+    // instances: fresh s.table() calls per column relied on the relation
+    // cache handing back identical attribute exprIds, which a cache
+    // refresh (or a self-join, where the two sides' attributes collide)
+    // silently breaks. A self-join needs an alias to be unambiguous —
+    // reject it rather than produce an unresolvable condition.
+    require(left != right,
+      s"coLocatedJoin($left, $right): self-join needs aliased sides — " +
+        "read the table once and join df.as(\"l\") to df.as(\"r\")")
+    val l = s.table(left)
+    val r = s.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -83,14 +83,17 @@ object StreamingAlerts {
     * the key.
     * Composes with [[ruleStream]] (which already watermarks its
     * event_time): the watermark is declared here only when the input
-    * doesn't carry one — redefining a watermark is an analysis error
-    * under multiple-stateful-operator support. */
+    * already carries one ON event_time — redefining a watermark is an
+    * analysis error under multiple-stateful-operator support, but a
+    * watermark on some OTHER column (e.g. correlateStream's ts) must
+    * not silently stand in for the documented event_time contract. */
   def dedupStream(alerts: DataFrame, watermark: String = "10 minutes"): DataFrame = {
-    val hasWatermark = alerts.queryExecution.logical.collectFirst {
-      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
-    }.isDefined
+    val hasEventTimeWatermark = alerts.queryExecution.logical.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+        e.eventTime.name
+    }.contains("event_time")
     val based =
-      if (hasWatermark) alerts
+      if (hasEventTimeWatermark) alerts
       else alerts.withWatermark("event_time", watermark)
     based.dropDuplicatesWithinWatermark("alert_id")
   }

@@ -419,7 +419,11 @@ class FuzzParitySpec extends SparkSuite {
     // 1e2→100.0), strings decoded (incl. escapes + unicode), literals
     val scalars = Vector("0", "7", "-13", "-0", "123456789012345",
       "9223372036854775808", "-9223372036854775809", "1.5", "1.50",
-      "-0.25", "1e3", "2E-1", "1E+2", "0.0", "true", "false", "null",
+      "-0.25", "1e3", "2E-1", "1E+2", "0.0",
+      // overflow/underflow-exponent floats: the double is infinite
+      // (rendered QUOTED by Jackson) or flushes to signed zero
+      "1e999", "-1E+999", "1e-999", "-1e-999", "1.7976931348623159e308",
+      "true", "false", "null",
       "\"x\"", "\"a\\\"b\"", "\"\\u0041\"", "\"x\\ny\"", "\"\\u001f\"",
       "\"😀字\"", "\"\"", "\"\\\\\"", "\"\\u00e9\"")
     def value(depth: Int): String =

@@ -58,6 +58,16 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("coLocatedJoin rejects a self-join (ambiguous attributes need " +
+      "aliased sides)") {
+    landed
+    val ex = intercept[IllegalArgumentException] {
+      Layout.coLocatedJoin(spark, "li_bkt", "li_bkt",
+        "l_orderkey", "l_orderkey")
+    }
+    assert(ex.getMessage.contains("self-join"), ex.getMessage)
+  }
+
   test("with sorted-scan ordering restored, the join also plans no sort") {
     landed
     // one file per bucket -> the scan can report its in-bucket order;

@@ -93,6 +93,19 @@ class RuleEngineSpec extends SparkSuite {
       assert(u1.getAs[String](c) == src.getAs[String](c), s"column $c")
   }
 
+  test("mergeIntoStore fails loudly on a backfill-sized batch " +
+      "(broadcast contract guard)") {
+    val store = RuleEngine.mergeAlerts(alerts)
+    // the merged batch has 2 groups (u1, u3) — a limit of 1 trips the
+    // guard BEFORE any broadcast plan is handed out
+    val ex = intercept[IllegalArgumentException] {
+      RuleEngine.mergeIntoStore(store, alerts, maxBatchRows = 1L)
+    }
+    assert(ex.getMessage.contains("backfill"), ex.getMessage)
+    // at the default limit the same call plans fine
+    assert(RuleEngine.mergeIntoStore(store, alerts).count() == 2)
+  }
+
   test("mergeIntoStore keeps store-side times on match (reference MERGE)") {
     val store = RuleEngine.mergeAlerts(alerts)
     // new batch at EARLIER times — the reference's WHEN MATCHED leaves

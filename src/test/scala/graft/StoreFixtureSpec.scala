@@ -46,6 +46,41 @@ class StoreFixtureSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() == 16)
   }
 
+  test("FixtureStore.ensure publishes via atomic move and keeps the " +
+      "previous store when a rebuild fails mid-build") {
+    import graft.sources.FixtureStore
+    val dir = Files.createTempDirectory("graft_fs")
+      .resolve("store").toString
+    FixtureStore.ensure(dir, "t1") { p =>
+      Files.createDirectories(java.nio.file.Paths.get(p))
+      Files.write(java.nio.file.Paths.get(p, "data.txt"), "v1".getBytes)
+    }
+    def marker = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_source")), "UTF-8")
+    assert(marker == "t1")
+    // no stray build dir left behind after publishing
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles.exists(_.getName.contains(".build-")))
+    // a crashing rebuild must leave the t1 store fully intact — the
+    // old in-place overwrite protocol failed exactly this
+    intercept[RuntimeException] {
+      FixtureStore.ensure(dir, "t2") { _ =>
+        throw new RuntimeException("build died")
+      }
+    }
+    assert(marker == "t1")
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "data.txt")), "UTF-8") == "v1")
+    // and a successful rebuild swaps the whole directory
+    FixtureStore.ensure(dir, "t2") { p =>
+      Files.createDirectories(java.nio.file.Paths.get(p))
+      Files.write(java.nio.file.Paths.get(p, "data.txt"), "v2".getBytes)
+    }
+    assert(marker == "t2")
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "data.txt")), "UTF-8") == "v2")
+  }
+
   test("ivfPqAnnStore fails loudly on an undersized codebook") {
     val e = vecs
     val seeds = Ann.seedCentroidsOf(e, 8)

@@ -118,6 +118,28 @@ class StreamingSpec extends SparkSuite {
     assert(again.count(_.getString(0) == "a1") == 2)
   }
 
+  test("dedupStream watermarks event_time even when the input is " +
+      "watermarked on a different column") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+    val input = MemoryStream[(String, Timestamp, Timestamp)]
+    def base = input.toDF().toDF("alert_id", "ts", "event_time")
+    // watermark on ts only: the documented event_time contract must
+    // still be declared, not silently replaced by ts's delay
+    val cross = StreamingAlerts.dedupStream(base.withWatermark("ts", "5 minutes"))
+    val crossWms = cross.queryExecution.logical.collect {
+      case e: EventTimeWatermark => e.eventTime.name
+    }
+    assert(crossWms.contains("event_time"), crossWms.toString)
+    // already watermarked on event_time: composes without redefining
+    val pre = StreamingAlerts.dedupStream(
+      base.withWatermark("event_time", "5 minutes"))
+    val preWms = pre.queryExecution.logical.collect {
+      case e: EventTimeWatermark => e.eventTime.name
+    }
+    assert(preWms == Seq("event_time"), preWms.toString)
+  }
+
   test("suppressStream flags alerts against a static suppression set") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[StreamEv]
