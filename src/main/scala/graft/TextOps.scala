@@ -279,31 +279,56 @@ object TextOps {
     * vocab×sources frame, which is bounded by |vocab|·|sources| no
     * matter the corpus size. */
   def tfidfTerms(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
-    // tf is the expensive frame (full token explode + aggregate) and
-    // has two consumers (idf, final join) — checkpoint it; it is the
-    // stored term-frequency table at scale. n_src never needed the
-    // token stream at all: count sources on the raw table.
+    // Three bounded passes, no full-vocab sort anywhere:
+    //  1. (source, word) term frequency. The per-token rows never
+    //     exist — WordCensus folds each document to (word, count)
+    //     pairs in one row-local byte pass (byte-exact, empty tokens
+    //     included), so the explode emits one row per DISTINCT word
+    //     per document and the aggregate sums pre-counted c instead
+    //     of probing once per token.
+    //  2. ONE word-keyed pass computes df AND redistributes the
+    //     (source, tf) pairs it grouped — a per-word group is bounded
+    //     by |sources|, so the collect_list is a bounded struct list,
+    //     and the old shape's second vocab-sized shuffle (tf joined
+    //     back to the idf frame by word) disappears along with the
+    //     checkpoint that fed two consumers.
+    //  3. top-k per source via the bounded TopKWeighted aggregate —
+    //     the window form row_number()-sorted each source's ENTIRE
+    //     vocab slice on a single task; the aggregate ships k structs
+    //     per source per map partition and merges.
     val tf = t(s, dir, "documents")
-      .select(col("source"), explode(split(col("text"), " ")).as("word"))
-      .groupBy(col("source"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-      .transform(graft.Materialize.frame)
-    val nSrc = t(s, dir, "documents")
-      .agg(countDistinct(col("source")).as("n_src"))
-    val idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .select(col("source"),
+        explode(graft.functions.hashes.wordCensus(col("text"))).as("wc"))
+      .groupBy(col("source"), col("wc.word").as("word"))
+      .agg(sum(col("wc.c")).as("tf"))
+    // n_src off the BOUNDED tf frame, not the raw table: every document
+    // contributes at least one census row (an empty text is the single
+    // empty-string word), so distinct sources in tf equal distinct
+    // sources in documents — the corpus is never re-scanned for one
+    // scalar (measured faster at 10x docs too: 0.60-0.64 vs 0.70-0.73
+    // with a second source-only table scan)
+    val nSrc = tf.agg(countDistinct(col("source")).as("n_src"))
+    val weighted = tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"),
+        collect_list(struct(col("source"), col("tf"))).as("by_src"))
       .crossJoin(broadcast(nSrc))
-      .select(col("word"), log(col("n_src").cast("double") / col("df"))
-        .as("idf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(col("weight").desc, col("word"))
-    tf.join(idf, Seq("word"))
-      .withColumn("weight", col("tf") * col("idf"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select(col("source"), col("word").as("term"),
-        Num.r4(col("weight")).as("weight"), col("rnk"))
-      .orderBy(col("source"), col("rnk"))
+      .select(col("word"),
+        log(col("n_src").cast("double") / col("df")).as("idf"),
+        explode(col("by_src")).as("st"))
+      .select(col("st.source").as("source"), col("word"),
+        (col("st.tf") * col("idf")).as("weight"))
+    weighted.groupBy(col("source"))
+      .agg(graft.functions.text.topKWeighted(
+        col("weight"), col("word"), topK).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("source"), col("t.word").as("term"),
+        Num.r4(col("t.weight")).as("weight"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      // the output is ≤ topK×|sources| rows by construction: a single-
+      // partition in-memory sort replaces orderBy's range-exchange
+      // (which schedules a separate sampling job just to order it)
+      .coalesce(1)
+      .sortWithinPartitions(col("source"), col("rnk"))
   }
 
   /** #89 BPE tokenizer training, the data-side step: the adjacent

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftexpr
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen helper for FastMd5 — separate object (not the expression's
@@ -424,6 +424,73 @@ object Md5Util {
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(out)
+  }
+
+  private def regionEquals(bytes: Array[Byte], aStart: Int, bStart: Int,
+      len: Int): Boolean = {
+    var i = 0
+    while (i < len) {
+      if (bytes(aStart + i) != bytes(bStart + i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Row-local word census: (word, count) over the space-separated
+    * words of `s`, first-occurrence order — the per-document half of
+    * explode(split(text, ' ')) + groupBy(word).count() done in ONE
+    * byte pass, so the per-token Generate rows and per-token aggregate
+    * probes never exist; downstream term-frequency aggregates see one
+    * row per DISTINCT word per document. Probing keys on xxhash64 of
+    * the word's byte region with byte-exact confirmation (a hash
+    * collision cannot merge two different words), so the census equals
+    * the declarative form bit-for-bit, empty tokens included. */
+  def wordCensus(s: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val starts = wordStartOffsets(bytes)
+    val nWords = starts.length - 1
+    var cap = 8
+    while (cap < nWords * 2) cap <<= 1
+    val slots = new Array[Int](cap) // census index + 1; 0 = empty
+    val hs = new Array[Long](nWords)
+    val st = new Array[Int](nWords)
+    val ln = new Array[Int](nWords)
+    val cnt = new Array[Long](nWords)
+    var n = 0
+    var w = 0
+    while (w < nWords) {
+      val start = starts(w)
+      val len = starts(w + 1) - 1 - start
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+          len, 42L)
+      var idx = java.lang.Long.hashCode(h) & (cap - 1)
+      var found = -1
+      while (found < 0 && slots(idx) != 0) {
+        val e = slots(idx) - 1
+        if (hs(e) == h && ln(e) == len &&
+            regionEquals(bytes, st(e), start, len)) found = e
+        else idx = (idx + 1) & (cap - 1)
+      }
+      if (found >= 0) cnt(found) += 1
+      else {
+        slots(idx) = n + 1
+        hs(n) = h; st(n) = start; ln(n) = len; cnt(n) = 1L
+        n += 1
+      }
+      w += 1
+    }
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](
+          UTF8String.fromBytes(bytes, st(i), ln(i)), cnt(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Two-pointer merge count over ascending duplicate-free long arrays
@@ -871,6 +938,36 @@ case class WordHashes(child: Expression) extends UnaryExpression {
       newChild: Expression): WordHashes = copy(child = newChild)
 }
 
+/** See Md5Util.wordCensus: per-document (word, count) pairs, one pass. */
+case class WordCensus(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("word", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "word_census"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Md5Util.wordCensus(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Util.wordCensus($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordCensus = copy(child = newChild)
+}
+
 object hashes {
   /** md5 hex digest of a string column (same output as
     * functions.md5(c.cast(binary)), faster per row). */
@@ -916,6 +1013,10 @@ object hashes {
   /** per-word xxhash64 longs, duplicates and order kept (see WordHashes). */
   def wordHashes(c: Column): Column =
     graftexpr.column(WordHashes(graftexpr.expression(c)))
+
+  /** per-document (word, count) census pairs (see WordCensus). */
+  def wordCensus(c: Column): Column =
+    graftexpr.column(WordCensus(graftexpr.expression(c)))
 
   /** positional width-word gram xxhash64 longs (see WordGramHashes). */
   def wordGramHashes(c: Column, width: Int): Column =

@@ -558,9 +558,157 @@ case class PiiCounts(child: Expression) extends UnaryExpression {
       newChild: Expression): PiiCounts = copy(child = newChild)
 }
 
+/** Bounded top-k aggregate: keeps the k best (weight, word) pairs per
+  * group under the total order (weight DESC, word ASC binary — the
+  * row_number()-window tie-break), evaluating to an array of
+  * struct(word, weight) in rank order. This is the scale path for
+  * "top k per group": a window form sorts EVERY group member on one
+  * task per group (a per-source full-vocab sort at corpus scale),
+  * while this aggregate's partial state is k entries per group per
+  * map partition — only k×|partitions| tiny structs cross the
+  * shuffle, and merge is a k-way bounded insert. */
+case class TopKWeighted(
+    weight: Expression,
+    word: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[TopKWeighted.Buf]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def left: Expression = weight
+  override def right: Expression = word
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k <= 0) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires k > 0, got $k")
+    else if (weight.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a double weight, got ${weight.dataType.simpleString}")
+    else if (word.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string word, got ${word.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      StructType(Seq(
+        StructField("word", StringType, nullable = false),
+        StructField("weight", DoubleType, nullable = false))),
+      containsNull = false)
+
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k_weighted"
+
+  override def createAggregationBuffer(): TopKWeighted.Buf =
+    new TopKWeighted.Buf(0, new Array[Double](k), new Array[UTF8String](k))
+
+  /** Rank position of candidate (w, t): the count of kept entries that
+    * order strictly before it. */
+  private def insert(buf: TopKWeighted.Buf, w: Double, t: UTF8String): Unit = {
+    var p = 0
+    while (p < buf.n &&
+        (buf.ws(p) > w || (buf.ws(p) == w && buf.words(p).compareTo(t) <= 0)))
+      p += 1
+    if (p >= k) return
+    var i = math.min(buf.n, k - 1)
+    while (i > p) {
+      buf.ws(i) = buf.ws(i - 1)
+      buf.words(i) = buf.words(i - 1)
+      i -= 1
+    }
+    buf.ws(p) = w
+    buf.words(p) = t
+    if (buf.n < k) buf.n += 1
+  }
+
+  override def update(buf: TopKWeighted.Buf, input: InternalRow)
+      : TopKWeighted.Buf = {
+    val w = weight.eval(input)
+    val t = word.eval(input)
+    if (w != null && t != null)
+      // clone: the eval result may point into a reused row buffer
+      insert(buf, w.asInstanceOf[Double],
+        t.asInstanceOf[UTF8String].clone())
+    buf
+  }
+
+  override def merge(a: TopKWeighted.Buf, b: TopKWeighted.Buf)
+      : TopKWeighted.Buf = {
+    var i = 0
+    while (i < b.n) { insert(a, b.ws(i), b.words(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: TopKWeighted.Buf): Any = {
+    val out = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) {
+      out(i) = new GenericInternalRow(
+        Array[Any](buf.words(i), buf.ws(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKWeighted.Buf): Array[Byte] = {
+    var size = 4
+    var i = 0
+    while (i < buf.n) { size += 12 + buf.words(i).numBytes(); i += 1 }
+    val bb = java.nio.ByteBuffer.allocate(size)
+    bb.putInt(buf.n)
+    i = 0
+    while (i < buf.n) {
+      bb.putDouble(buf.ws(i))
+      val wb = buf.words(i).getBytes
+      bb.putInt(wb.length)
+      bb.put(wb)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKWeighted.Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new TopKWeighted.Buf(n, new Array[Double](k),
+      new Array[UTF8String](k))
+    var i = 0
+    while (i < n) {
+      buf.ws(i) = bb.getDouble()
+      val wb = new Array[Byte](bb.getInt())
+      bb.get(wb)
+      buf.words(i) = UTF8String.fromBytes(wb)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKWeighted =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKWeighted =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKWeighted =
+    copy(weight = newLeft, word = newRight)
+}
+
+object TopKWeighted {
+  /** Rank-ordered size-≤k state: parallel arrays, entry i is the
+    * i-th best (weight DESC, word ASC). */
+  final class Buf(var n: Int, val ws: Array[Double],
+      val words: Array[UTF8String])
+}
+
 object text {
   def tokenInListCount(c: Column, tokens: Seq[String]): Column =
     graftexpr.column(TokenInListCount(graftexpr.expression(c), tokens))
+
+  /** top-k (weight, word) pairs per group, rank order (aggregate). */
+  def topKWeighted(weight: Column, word: Column, k: Int): Column =
+    graftexpr.column(TopKWeighted(graftexpr.expression(weight),
+      graftexpr.expression(word), k).toAggregateExpression())
 
   def digitCount(c: Column): Column =
     graftexpr.column(DigitCount(graftexpr.expression(c)))

@@ -93,6 +93,28 @@ class AsOfSpec extends SparkSuite {
     }
   }
 
+  test("buildSide=left: result-identical and the join builds left") {
+    val rnd = new scala.util.Random(23)
+    val lrows = (0 until 25).map(i =>
+      (i.toLong, s"k${rnd.nextInt(3)}", rnd.nextInt(5000).toLong))
+    val rrows = (0 until 40).map(i =>
+      (100L + i, s"k${rnd.nextInt(3)}", rnd.nextInt(5000).toLong))
+    def run(b: String) = AsOf.asofJoin(frame(lrows: _*), frame(rrows: _*),
+        Seq("k"), "id", "t", "id", "t", 700L, buildSide = b)
+      .orderBy(col("id")).collect().map(_.toString).toSeq
+    assert(run("left") == run("right"))
+    val plan = AsOf.asofJoin(frame(lrows: _*), frame(rrows: _*),
+        Seq("k"), "id", "t", "id", "t", 700L, buildSide = "left")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BuildLeft"),
+      s"buildSide=left did not build left:\n$plan")
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(frame(lrows: _*), frame(rrows: _*),
+        Seq("k"), "id", "t", "id", "t", 700L, buildSide = "middle")
+    }
+    assert(ex.getMessage.contains("buildSide"))
+  }
+
   test("plans as an equi-join keyed by the time bucket") {
     val plan = AsOf.asofJoin(
         frame((1L, "a", 10L)), frame((2L, "a", 5L)),

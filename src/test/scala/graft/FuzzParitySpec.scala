@@ -411,6 +411,27 @@ class FuzzParitySpec extends SparkSuite {
         " kern=" + r.get(2) + " decl=" + r.get(3)).mkString(" | ")}")
   }
 
+  test("fuzz: word_census matches explode(split) per-doc counts") {
+    val naive = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val kern = docs
+      .select(col("doc_id"),
+        explode(graft.functions.hashes.wordCensus(col("text"))).as("wc"))
+      .select(col("doc_id"), col("wc.word").as("w"), col("wc.c").as("c"))
+    // exact bag equality both directions: every (doc, word) count
+    // matches, nothing extra on either side
+    val joined = naive.withColumnRenamed("c", "nc")
+      .join(kern.withColumnRenamed("c", "kc"), Seq("doc_id", "w"), "full_outer")
+    val bad = joined.filter(!(col("nc") <=> col("kc"))).collect()
+    assert(bad.isEmpty, s"divergence: ${bad.take(10).mkString(" | ")}")
+    // and within one doc the census is duplicate-free
+    val dup = kern.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("k")).filter(col("k") > 1).count()
+    assert(dup == 0)
+  }
+
   test("fuzz: json_kv_pairs matches explode(from_json Map) — order, dups, rendering") {
     import org.apache.spark.sql.types.{MapType, StringType => SStr}
     val rng = new scala.util.Random(1616L)

@@ -171,6 +171,10 @@ class PlanShapeSpec extends SparkSuite {
       s"as-of candidate join lost the shuffle_hash shape:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"as-of candidate join regressed to sort-merge:\n$plan")
+    // q_asof_join passes buildSide=left: errors are the rare side, so
+    // the hash table holds them, not the 2x-duplicated click stream
+    assert(plan.contains("BuildLeft"),
+      s"as-of join lost its small-side build:\n$plan")
   }
 
   test("anchored-correlation candidate join is keyed by (actor, bucket)") {
