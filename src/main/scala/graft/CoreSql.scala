@@ -236,7 +236,78 @@ object CoreSql {
       .orderBy(col("day"))
   }
 
+  private val Buckets = 32
+
+  /** Build — or reuse via the FixtureStore marker — the bucketed
+    * landing of `dir`'s fact tables (lineitem, orders), each landed by
+    * [[graft.sources.Layout.landBucketed]]: bucketBy(32, orderkey),
+    * in-bucket sorted, one file per bucket. Registration is
+    * per-session (the in-memory catalog dies with the JVM; the files
+    * and marker persist per source generation), via external
+    * CLUSTERED BY table DDL over the landed files. Returns the two
+    * table names. */
+  private def ensureBucketedFacts(
+      s: SparkSession, dir: String): (String, String) = {
+    val tag = graft.Ann.sourceTagOf(s"$dir/lineitem.parquet") + ";" +
+      graft.Ann.sourceTagOf(s"$dir/orders.parquet") + s";bkt$Buckets-v1"
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(12)
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_bktfacts_$h").getPath
+    graft.sources.FixtureStore.ensure(root, tag) { buildDir =>
+      def land(df: DataFrame, sub: String, key: String): Unit = {
+        val tmpName = s"graft_bktland_${h}_$sub"
+        graft.sources.Layout.landBucketed(
+          df.repartition(Buckets, col(key)), tmpName, key, Buckets,
+          path = Some(s"$buildDir/$sub"))
+        s.sql(s"DROP TABLE IF EXISTS $tmpName") // external: files stay
+        ()
+      }
+      land(t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount")), "li", "l_orderkey")
+      land(t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority")), "o", "o_orderkey")
+    }
+    val liT = s"graft_li_bkt_$h"
+    val oT = s"graft_o_bkt_$h"
+    if (!s.catalog.tableExists(liT))
+      s.sql(s"""CREATE TABLE $liT (l_orderkey BIGINT,
+        | l_extendedprice DOUBLE, l_discount DOUBLE) USING parquet
+        | CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey)
+        | INTO $Buckets BUCKETS LOCATION '$root/li'""".stripMargin)
+    if (!s.catalog.tableExists(oT))
+      s.sql(s"""CREATE TABLE $oT (o_orderkey BIGINT,
+        | o_orderpriority STRING) USING parquet
+        | CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey)
+        | INTO $Buckets BUCKETS LOCATION '$root/o'""".stripMargin)
+    (liT, oT)
+  }
+
+  /** #98b `q_join_bucketed` — the [[graft.sources.Layout]] landing
+    * consumed end to end: the per-orderkey revenue join of
+    * [[joinBroadcast]]'s fact⋈fact core run over tables landed
+    * bucketed on the join key. Both scans report the bucketed
+    * distribution, so the sort-merge join plans with NO Exchange on
+    * either side — the exchange work happened once at landing instead
+    * of on every run (ref: alert_queries_runner.py MERGE ON alert_id,
+    * which presumes exactly this warehouse-side clustering). The only
+    * shuffles left in the whole query are the ≤|priorities|-row
+    * aggregate and the final ordering. */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (liT, oT) = ensureBucketedFacts(s, dir)
+    graft.sources.Layout
+      .coLocatedJoin(s, liT, oT, "l_orderkey", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        Num.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bucketed" -> joinBucketed _,
     "q_range_join" -> rangeJoin _,
     "q_asof_join" -> asofJoin _,
     "q_variant_flatten" -> variantFlatten _,
@@ -311,6 +382,16 @@ object CoreSql {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_bucketed" ->
+      """SELECT o.o_orderpriority,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
 
     "q_join_broadcast" ->
       """SELECT c.c_mktsegment, o.o_orderpriority,

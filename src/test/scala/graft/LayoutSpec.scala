@@ -58,6 +58,31 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("q_join_bucketed consumes the landed layout: no exchange on " +
+      "either join side, result matches the raw-frame join") {
+    withConf(NoBroadcast: _*) {
+      val df = CoreSql.joinBucketed(spark, Sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // the ONLY hash exchange is the ≤|priorities|-row aggregate —
+      // the join itself runs on the landed bucketed distribution
+      val joinSide = plan.split("SortMergeJoin").last
+      assert(!joinSide.contains("Exchange hashpartitioning"),
+        s"bucketed fact join planned an exchange:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+      val got = df.collect().map(_.toString).toSeq
+      val raw = Tables.t(spark, Sf, "lineitem")
+        .join(Tables.t(spark, Sf, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(Num.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy(col("o_orderpriority"))
+        .collect().map(_.toString).toSeq
+      assert(got == raw)
+    }
+  }
+
   test("coLocatedJoin rejects a self-join (ambiguous attributes need " +
       "aliased sides)") {
     landed
