@@ -118,8 +118,16 @@ object AsOf {
     val rt = col(s"r_$rightTimeS")
     val leftCols = left.columns.toSeq
     val key = packedKey(rt, col(s"r_$rightId"))
+    // The argmax groups by (__lbk, keys, leftId), not leftId alone —
+    // same groups (leftId is unique and determines the others), but
+    // the join's output is already hash-partitioned by (__lbk, keys),
+    // which satisfies the wider clustering, so the aggregate runs IN
+    // the join's partitions: the |left| + |candidates| re-shuffle the
+    // leftId-only grouping forced is elided entirely (plan-pinned).
+    val groupCols = (Seq("__lbk") ++ keys :+ leftId).map(col)
     val aggs =
-      leftCols.filterNot(_ == leftId).map(c => first(col(c)).as(c)) ++
+      leftCols.filterNot(c => c == leftId || keys.contains(c))
+        .map(c => first(col(c)).as(c)) ++
         rCols.map(c => (if (fwd) min_by(col(s"r_$c"), key)
           else max_by(col(s"r_$c"), key)).as(s"r_$c"))
     val timePred =
@@ -134,7 +142,7 @@ object AsOf {
     l.join(r, keys.map(k => col(k) === col(s"__rk_$k"))
         .foldLeft(col("__lbk") === col("__rbk"))(_ && _) &&
         timePred, "left")
-      .groupBy(col(leftId))
+      .groupBy(groupCols: _*)
       .agg(aggs.head, aggs.tail: _*)
       .select(leftCols.map(col) ++ rCols.map(c => col(s"r_$c")): _*)
   }

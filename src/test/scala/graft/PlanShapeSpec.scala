@@ -175,6 +175,13 @@ class PlanShapeSpec extends SparkSuite {
     // the hash table holds them, not the 2x-duplicated click stream
     assert(plan.contains("BuildLeft"),
       s"as-of join lost its small-side build:\n$plan")
+    // the argmax groups by (__lbk, keys, leftId) so it runs IN the
+    // join's partitions — no exchange between the join and the agg
+    val joinIdx = plan.indexOf("ShuffledHashJoin")
+    val aggIdx = plan.lastIndexOf("HashAggregate", joinIdx)
+    assert(aggIdx >= 0 &&
+      !plan.substring(aggIdx, joinIdx).contains("Exchange"),
+      s"as-of argmax re-shuffled the join output:\n$plan")
   }
 
   test("anchored-correlation candidate join is keyed by (actor, bucket)") {
