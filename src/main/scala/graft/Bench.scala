@@ -27,6 +27,20 @@ object Bench {
       // 64m, flat for shuffle-bound queries and for sf0.1's small
       // files). The same sizing rule §5 prescribes for the cluster.
       .config("spark.sql.files.maxPartitionBytes", "64m")
+      // let SMALL files split to the cores too: maxSplitBytes floors at
+      // openCostInBytes (default 4 MB), which caps a 20 MB single-file
+      // scan at ~5 tasks on local[32]; 256 KB lets totalBytes/parallelism
+      // set the split instead (measured: the 10x-events scans behind
+      // q_asof_join/q_tfidf drop ~10%, flat elsewhere — same §5 sizing
+      // rule as maxPartitionBytes, applied at the small end)
+      .config("spark.sql.files.openCostInBytes", "262144")
+      // the bucketed landing (Layout.landBucketed) writes ONE file per
+      // bucket, so the write-time in-bucket sort order is real at read
+      // time; this flag lets the scan report it and the co-located SMJ
+      // plan sort-free (Spark disabled the default because MULTI-file
+      // buckets interleave — not our layout; LayoutSpec pins both
+      // shapes, measured 4.3-6.6 -> ~1.0 s on the 60M-row fact join)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
