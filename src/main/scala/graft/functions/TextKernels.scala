@@ -605,12 +605,19 @@ case class TopKWeighted(
     new TopKWeighted.Buf(0, new Array[Double](k), new Array[UTF8String](k))
 
   /** Rank position of candidate (w, t): the count of kept entries that
-    * order strictly before it. */
+    * order strictly before it. Weights compare under Spark's SQL double
+    * ordering (NaN greater than any double and equal to itself,
+    * -0.0 == 0.0) so the result matches the row_number() window this
+    * aggregate replaces even for non-finite weights. */
   private def insert(buf: TopKWeighted.Buf, w: Double, t: UTF8String): Unit = {
     var p = 0
-    while (p < buf.n &&
-        (buf.ws(p) > w || (buf.ws(p) == w && buf.words(p).compareTo(t) <= 0)))
-      p += 1
+    var scan = true
+    while (scan && p < buf.n) {
+      val cmp = org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+        .compareDoubles(buf.ws(p), w)
+      if (cmp > 0 || (cmp == 0 && buf.words(p).compareTo(t) <= 0)) p += 1
+      else scan = false
+    }
     if (p >= k) return
     var i = math.min(buf.n, k - 1)
     while (i > p) {

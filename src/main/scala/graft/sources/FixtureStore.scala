@@ -48,24 +48,42 @@ object FixtureStore {
     deleteRecursively(tmp)
     build(tmp.getPath)
     Files.write(new File(tmp, MarkerName).toPath, tag.getBytes("UTF-8"))
-    // publish: drop the stale store, then one atomic move. If another
-    // process won the race and its store carries OUR tag, reuse it;
-    // any other residue is stale — clear it and retry the move once.
+    // publish: move any stale store ASIDE (rename, not delete) then one
+    // atomic move in. Renaming instead of deleting means a racer's
+    // just-published same-tag store is preserved at the .stale path
+    // rather than destroyed mid-read, and the window where the store
+    // path is empty is two rename metadata ops, not a recursive delete.
+    // If another process won the race and its store carries OUR tag,
+    // reuse it; the tmp build dir is always reclaimed, including on the
+    // failure path.
+    val stale = new File(dir.getParentFile,
+      dir.getName + ".stale-" + ProcessHandle.current().pid())
     var attempt = 0
     var done = false
     while (!done) {
-      deleteRecursively(dir)
-      try {
-        Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
-        done = true
-      } catch {
-        case e: java.io.IOException =>
-          if (markerOf(dir) == tag) { deleteRecursively(tmp); done = true }
-          else if (attempt == 0) attempt = 1
-          else throw new IllegalStateException(
-            s"cannot publish fixture store at $storeDir", e)
+      if (markerOf(dir) == tag) { deleteRecursively(tmp); done = true }
+      else {
+        if (dir.exists()) {
+          deleteRecursively(stale)
+          try Files.move(dir.toPath, stale.toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.io.IOException => () } // racer moved it first
+        }
+        try {
+          Files.move(tmp.toPath, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+          done = true
+        } catch {
+          case e: java.io.IOException =>
+            if (attempt == 0) attempt = 1
+            else {
+              deleteRecursively(tmp)
+              throw new IllegalStateException(
+                s"cannot publish fixture store at $storeDir", e)
+            }
+        }
       }
     }
+    deleteRecursively(stale)
     storeDir
   }
 }

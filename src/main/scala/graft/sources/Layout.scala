@@ -79,6 +79,34 @@ object Layout {
     if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
     path.foreach(p => w = w.option("path", p))
     w.saveAsTable(name)
+    // Verify the one-file-per-bucket invariant LOUDLY at landing time:
+    // sessions that read this table under
+    // spark.sql.legacy.bucketedTableScan.outputOrdering=true depend on
+    // it for CORRECTNESS (multi-file buckets interleave at read, so a
+    // reported sort order would be false and a downstream sort-merge
+    // join silently wrong). A landing that forgot the
+    // repartition(buckets, key) pre-shuffle must fail here, not there.
+    val loc = path.getOrElse(
+      df.sparkSession.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name)).location.getPath)
+    val bucketId = java.util.regex.Pattern.compile("_(\\d{5})\\.")
+    def walk(d: java.io.File): Unit = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty)
+      kids.filter(_.isDirectory).foreach(walk)
+      val perBucket = kids.filter(f => f.isFile && f.getName.startsWith("part-"))
+        .groupBy { f =>
+          val m = bucketId.matcher(f.getName)
+          if (m.find()) m.group(1) else f.getName
+        }
+      perBucket.collect { case (b, fs) if fs.length > 1 =>
+        throw new IllegalStateException(
+          s"landBucketed($name): bucket $b has ${fs.length} files in " +
+            s"${d.getPath} — repartition(buckets, col(key)) before landing " +
+            "or the reported in-bucket ordering is unsound")
+      }
+      ()
+    }
+    walk(new java.io.File(loc))
   }
 
   /** The co-located equi-join of two tables landed with the SAME

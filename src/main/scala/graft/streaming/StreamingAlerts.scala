@@ -88,7 +88,11 @@ object StreamingAlerts {
     * watermark on some OTHER column (e.g. correlateStream's ts) must
     * not silently stand in for the documented event_time contract. */
   def dedupStream(alerts: DataFrame, watermark: String = "10 minutes"): DataFrame = {
-    val hasEventTimeWatermark = alerts.queryExecution.logical.collectFirst {
+    // collect ALL watermark nodes, not the topmost: under
+    // multiple-stateful-operator support a plan can legally carry
+    // several (e.g. ts applied downstream of an upstream event_time
+    // watermark) and the event_time one may not be first.
+    val hasEventTimeWatermark = alerts.queryExecution.logical.collect {
       case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
         e.eventTime.name
     }.contains("event_time")
