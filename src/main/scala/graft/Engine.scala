@@ -40,19 +40,62 @@ object Engine {
   private val BatchTo = "2024-01-18 00:00:00"
   private val StoreTimeS = 1705363200L // 2024-01-16T00:00:00Z
 
+  private val StoreBuckets = 16
+
   /** Build — or reuse via source marker — the landed alert-store
-    * fixture for `dir`: mergeAlerts over the first-half window, written
-    * once to parquet under the JVM tmpdir. */
+    * fixture for `dir`: mergeAlerts over the first-half window, landed
+    * once under the JVM tmpdir BUCKETED + in-bucket SORTED on the merge
+    * key (object, description) — the Spark-native equivalent of the
+    * reference's warehouse-clustered alerts table that MERGE ON joins
+    * against (alert_queries_runner.py:66-97). One file per bucket (the
+    * repartition pre-shuffle), so the clustered merge's sort-merge join
+    * plans sort-free on the store side under Bench's ordering flag.
+    * The landing asserts non-null merge keys (the
+    * [[graft.engine.RuleEngine.mergeIntoStoreClustered]] contract). */
   private def alertStoreFixture(s: SparkSession, dir: String): String = {
-    val tag = Ann.sourceTagOf(s"$dir/events.parquet") + ":alertstore-v1"
+    val tag = Ann.sourceTagOf(s"$dir/events.parquet") + ":alertstore-v2"
     val storeDir = new java.io.File(
       sys.props("java.io.tmpdir"),
       "graft_alert_store_" + java.security.MessageDigest.getInstance("MD5")
         .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString).getPath
     graft.sources.FixtureStore.ensure(storeDir, tag) { buildDir =>
-      RuleEngine.mergeAlerts(alertsIn(s, dir, From, Mid, StoreTimeS))
-        .write.mode("overwrite").parquet(buildDir)
+      val merged = RuleEngine.mergeAlerts(
+        alertsIn(s, dir, From, Mid, StoreTimeS))
+      val nullKeys = merged.filter(
+        col("object").isNull || col("description").isNull).limit(1).count()
+      require(nullKeys == 0L,
+        "alert store landing: null merge keys — the clustered merge " +
+          "joins on plain equality and would drop these rows; fix the " +
+          "rule's target/description mapping")
+      val tmpName = "graft_alert_store_land_" +
+        java.lang.Long.toHexString(System.nanoTime())
+      graft.sources.Layout.landBucketedKeys(
+        merged.repartition(StoreBuckets, col("object"), col("description")),
+        tmpName, Seq("object", "description"), StoreBuckets,
+        path = Some(s"$buildDir/data"))
+      s.sql(s"DROP TABLE IF EXISTS $tmpName") // external: files stay
+      ()
     }
+  }
+
+  /** Per-session registration of the landed store as a bucketed table
+    * (external CLUSTERED BY DDL over the fixture files — the in-memory
+    * catalog dies with the JVM, the files and marker persist). */
+  private def alertStoreTable(s: SparkSession, dir: String): String = {
+    val root = alertStoreFixture(s, dir)
+    val h = new java.io.File(root).getName.stripPrefix("graft_alert_store_")
+    val tbl = s"graft_alert_store_bkt_$h"
+    if (!s.catalog.tableExists(tbl))
+      s.sql(s"""CREATE TABLE $tbl (object STRING, description STRING,
+        | alert_id STRING, query_name STRING, query_id STRING,
+        | environment STRING, sources STRING, actor STRING, action STRING,
+        | title STRING, detector STRING, event_data STRING,
+        | severity STRING, counter BIGINT, alert_time_s BIGINT,
+        | event_time_s BIGINT) USING parquet
+        | CLUSTERED BY (object, description)
+        | SORTED BY (object, description)
+        | INTO $StoreBuckets BUCKETS LOCATION '$root/data'""".stripMargin)
+    tbl
   }
 
   private def alertsIn(s: SparkSession, dir: String,
@@ -124,7 +167,22 @@ object Engine {
     // fixture and never shuffled (batch broadcast; MergeStorePlanSpec).
     "q_alert_merge_store" -> ((s, dir) =>
       RuleEngine.mergeIntoStore(
-        s.read.parquet(alertStoreFixture(s, dir)),
+        s.read.parquet(s"${alertStoreFixture(s, dir)}/data"),
+        alertsIn(s, dir, Mid, BatchTo, AlertTimeS))
+        .select(col("object"), col("description"), col("alert_id"),
+          col("counter"), col("alert_time_s"), col("event_time_s"),
+          col("severity"))
+        .orderBy(col("object"), col("description"))),
+
+    // #2c the SAME MERGE as one co-located full-outer join over the
+    // store read as its bucketed table (the reference's clustered-
+    // warehouse MERGE): no broadcast, no batch-size ceiling, one store
+    // scan with no Exchange and no Sort on the store side — only the
+    // batch shuffles. Same oracle as q_alert_merge_store (identical
+    // result by construction).
+    "q_alert_merge_clustered" -> ((s, dir) =>
+      RuleEngine.mergeIntoStoreClustered(
+        s.table(alertStoreTable(s, dir)),
         alertsIn(s, dir, Mid, BatchTo, AlertTimeS))
         .select(col("object"), col("description"), col("alert_id"),
           col("counter"), col("alert_time_s"), col("event_time_s"),
@@ -253,6 +311,29 @@ object Engine {
          |FROM m1 s FULL OUTER JOIN m2 n
          |  ON s.object IS NOT DISTINCT FROM n.object
          | AND s.description IS NOT DISTINCT FROM n.description
+         |ORDER BY object, description""".stripMargin,
+
+    "q_alert_merge_clustered" ->
+      s"""WITH a1 AS (
+         |${alertsCteBody(From, Mid, StoreTimeS)}
+         |), a2 AS (
+         |${alertsCteBody(Mid, BatchTo, AlertTimeS)}
+         |), m1 AS (
+         |${mergeSqlOver("a1")}
+         |), m2 AS (
+         |${mergeSqlOver("a2")}
+         |)
+         |SELECT coalesce(s.object, n.object) AS object,
+         |  coalesce(s.description, n.description) AS description,
+         |  coalesce(s.alert_id, n.alert_id) AS alert_id,
+         |  CAST(coalesce(s.counter, 0) + coalesce(n.counter, 0) AS BIGINT)
+         |    AS counter,
+         |  coalesce(s.alert_time_s, n.alert_time_s) AS alert_time_s,
+         |  coalesce(s.event_time_s, n.event_time_s) AS event_time_s,
+         |  coalesce(s.severity, n.severity) AS severity
+         |FROM m1 s FULL OUTER JOIN m2 n
+         |  ON s.object = n.object
+         | AND s.description = n.description
          |ORDER BY object, description""".stripMargin,
 
     "q_alert_suppress" ->

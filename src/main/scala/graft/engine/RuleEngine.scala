@@ -128,13 +128,16 @@ object RuleEngine {
     // anti-join probe side); materialize it once — it is small by this
     // function's contract, and recomputing the rule scan + merge per
     // consumer tripled the events-table work at 100x
-    val n = graft.Materialize.frame(mergeAlerts(newAlerts))
+    val obsN = org.apache.spark.sql.Observation(
+      s"merge_batch_${System.nanoTime()}")
+    val n = graft.Materialize.frame(
+      mergeAlerts(newAlerts).observe(obsN, count(lit(1)).as("n")))
     // the broadcast contract fails LOUDLY: a backfill-sized batch would
     // OOM the broadcast build long after this plan was handed out, with
     // an executor stack that points nowhere near the caller. The count
-    // is one pass over the just-materialized blocks — cheap relative to
-    // the rule scan that produced them.
-    val batchRows = n.count()
+    // rides the checkpoint action itself (observe metric) — zero extra
+    // jobs, same pattern as correlateAnchored's edge count.
+    val batchRows = obsN.get("n").asInstanceOf[Long]
     require(batchRows <= maxBatchRows,
       s"mergeIntoStore: merged batch has $batchRows rows > maxBatchRows=" +
         s"$maxBatchRows — this is a backfill, not an incremental batch; " +
@@ -165,6 +168,45 @@ object RuleEngine {
     val inserts = n.as("n").join(broadcast(matched).as("s"),
       matchKey, "left_anti")
     updated.unionByName(inserts.select(updated.columns.map(col): _*))
+  }
+
+  /** The MERGE as ONE co-located full-outer join — the scale path the
+    * [[mergeIntoStore]] broadcast guard points at, and the shape the
+    * reference's warehouse actually runs (MERGE ON the clustering key
+    * of a clustered table; alert_queries_runner.py:66-97): when the
+    * store is LANDED bucketed on the merge key
+    * ([[graft.sources.Layout.landBucketedKeys]] on
+    * (object, description)) and read as that bucketed table, the store
+    * side of the join needs NO exchange and (one-file-per-bucket,
+    * in-bucket sorted) no sort — only the day's batch shuffles, sized
+    * |batch| regardless of how large the store has grown. One store
+    * scan total (the broadcast shape needs two), no broadcast builds,
+    * no batch-size ceiling: this is the backfill-safe variant.
+    *
+    * Join keys are PLAIN equality, not null-safe: a null-safe join is
+    * extracted as coalesce/isnull key EXPRESSIONS, which the bucketed
+    * distribution on the raw columns cannot satisfy — the store would
+    * silently re-shuffle. The store landing enforces non-null merge
+    * keys instead (assertNoNullKeys below fails the landing loudly),
+    * which the demo rule guarantees and a production rule should: a
+    * null object/description is a rule bug, not a mergeable identity. */
+  def mergeIntoStoreClustered(store: DataFrame, newAlerts: DataFrame)
+      : DataFrame = {
+    val n = mergeAlerts(newAlerts)
+    val carry = Seq("alert_id", "query_name", "query_id", "environment",
+      "sources", "actor", "action", "title", "detector", "event_data",
+      "severity", "alert_time_s", "event_time_s")
+    val matchKey =
+      col("s.object") === col("n.object") &&
+        col("s.description") === col("n.description")
+    store.as("s").join(n.as("n"), matchKey, "full_outer")
+      .select(
+        Seq(coalesce(col("s.object"), col("n.object")).as("object"),
+          coalesce(col("s.description"), col("n.description"))
+            .as("description")) ++
+          carry.map(c => coalesce(col(s"s.$c"), col(s"n.$c")).as(c)) :+
+          (coalesce(col("s.counter"), lit(0L)) +
+            coalesce(col("n.counter"), lit(0L))).as("counter"): _*)
   }
 
   /** Suppression: mark alerts matched by a suppression-rule output
@@ -295,10 +337,19 @@ object RuleEngine {
     //    job with zero pointer-jump rounds — the loop only runs when a
     //    chain of depth ≥ 3 was actually observed, starting from the
     //    3-hop labels the seed job already produced.
+    // The candidate join consumes the alert frame TWICE (alert side +
+    // parent side) with different downstream shapes, so Catalyst cannot
+    // reuse one scan between them — without this checkpoint the rule
+    // scan that produced the alerts executes once per side. The
+    // projection is the five columns the join needs, bounded by
+    // |alerts| (a filtered rule output, not the event stream).
+    val probe = graft.Materialize.frame(alerts.select(
+      col("alert_id"), col("actor"), col("object"), col("action"),
+      col("event_time_s")))
     val obsE = org.apache.spark.sql.Observation(
       s"anchor_edges_${System.nanoTime()}")
     val parents = graft.Materialize.frame(
-      anchoredParents(alerts, gapMinutes, maxActorBucketAlerts)
+      anchoredParents(probe, gapMinutes, maxActorBucketAlerts)
         .observe(obsE, count(lit(1)).as("n")))
     if (obsE.get("n").asInstanceOf[Long] == 0L) {
       return alerts.withColumn("correlation_id", md5(col("alert_id")))
@@ -357,19 +408,34 @@ object RuleEngine {
     // non-ANSI mode → every alert silently roots its own chain).
     require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
     val W = gapMinutes * 60L
+    // The ALERT side keeps one row per alert; the PARENT side
+    // duplicates into its own and the NEXT bucket (a parent at pt can
+    // only serve alerts in bucket(pt) or bucket(pt)+1) — the AsOf
+    // orientation, adopted here in round 18. With each a_id living in
+    // exactly ONE (actor, bucket) partition, the argmax below can group
+    // by (a_actor, __abk, a_id): same groups (a_id is unique and
+    // determines the others), but the join's output partitioning
+    // satisfies the wider clustering, so the |alerts| + |candidates|
+    // re-shuffle the a_id-only grouping forced is ELIDED — the same
+    // exchange removal measured on AsOf in round 17. shuffle_hash on
+    // the alert side: the join output feeds an aggregate, so the
+    // sort-merge join's two full (actor, bucket) sorts buy nothing
+    // downstream; the hash build holds the non-duplicated side.
     val a = alerts.select(col("alert_id").as("a_id"),
       col("actor").as("a_actor"), col("object").as("a_object"),
       col("action").as("a_action"), col("event_time_s").as("a_t"))
-      .withColumn("__abk",
-        explode(array(floor(col("a_t") / W), floor(col("a_t") / W) - 1)))
+      .withColumn("__abk", floor(col("a_t") / W))
+      .hint("shuffle_hash")
     val p = alerts.select(col("alert_id").as("p_id"),
       col("actor").as("p_actor"), col("object").as("p_object"),
       col("action").as("p_action"), col("event_time_s").as("p_t"))
-      .withColumn("__pbk", floor(col("p_t") / W))
+      .withColumn("__pbk0", floor(col("p_t") / W))
       .withColumn("__bsz", count(lit(1)).over(
-        Window.partitionBy(col("p_actor"), col("__pbk"))))
+        Window.partitionBy(col("p_actor"), col("__pbk0"))))
       .filter(col("__bsz") <= maxActorBucketAlerts)
-      .drop("__bsz")
+      .withColumn("__pbk",
+        explode(array(col("__pbk0"), col("__pbk0") + 1)))
+      .drop("__bsz", "__pbk0")
     a.join(p,
         col("a_actor") === col("p_actor") &&
           col("__abk") === col("__pbk") &&
@@ -378,9 +444,10 @@ object RuleEngine {
           col("a_t") - col("p_t") <= W &&
           (col("p_object") === col("a_object") ||
             col("p_action") === col("a_action")))
-      .groupBy(col("a_id"))
+      .groupBy(col("a_actor"), col("__abk"), col("a_id"))
       .agg(max_by(col("p_id"), struct(col("p_t"), col("p_id")))
         .as("parent_id"))
+      .select(col("a_id"), col("parent_id"))
   }
 
   /** Run a violation rule: one row per violating (target, day) with the

@@ -72,10 +72,27 @@ object Layout {
       key: String,
       buckets: Int,
       partitionCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit =
+    landBucketedKeys(df, name, Seq(key), buckets, partitionCols, path)
+
+  /** [[landBucketed]] for a COMPOSITE key — e.g. the alert store
+    * clustered on its MERGE key (object, description), the reference's
+    * warehouse-clustered alerts table. Bucket hash and in-bucket sort
+    * both use the full key sequence; pre-shuffle with
+    * `df.repartition(buckets, keys.map(col): _*)` for the
+    * one-file-per-bucket landing. */
+  def landBucketedKeys(
+      df: DataFrame,
+      name: String,
+      keys: Seq[String],
+      buckets: Int,
+      partitionCols: Seq[String] = Nil,
       path: Option[String] = None): Unit = {
     require(buckets > 0, "buckets must be positive")
+    require(keys.nonEmpty, "at least one bucket key required")
     var w = df.write.format("parquet").mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
     if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
     path.foreach(p => w = w.option("path", p))
     w.saveAsTable(name)

@@ -95,4 +95,59 @@ class MergeStorePlanSpec extends SparkSuite {
     assert(got("u10") == 2L) // store events 10,110; no batch hit
     assert(got("u100") == 1L) // batch-only key (event 1090)
   }
+
+  test("mergeIntoStoreClustered over a store landed bucketed on the " +
+      "merge key: the store side never shuffles and the result matches " +
+      "the broadcast merge") {
+    val base = Files.createTempDirectory("graft_merge_clust").toString
+    val storeFrame = RuleEngine.mergeAlerts(mkAlerts(1L to 200L, 100))
+    graft.sources.Layout.landBucketedKeys(
+      storeFrame.repartition(8, col("object"), col("description")),
+      "graft_spec_store_land", Seq("object", "description"), 8,
+      path = Some(s"$base/store"))
+    spark.sql("DROP TABLE IF EXISTS graft_spec_store_land")
+    val cols = storeFrame.schema.fields.map { f =>
+      s"${f.name} ${f.dataType.sql}"
+    }.mkString(", ")
+    spark.sql(s"""CREATE TABLE graft_spec_store_bkt ($cols) USING parquet
+      | CLUSTERED BY (object, description) SORTED BY (object, description)
+      | INTO 8 BUCKETS LOCATION '$base/store'""".stripMargin)
+    val store = spark.table("graft_spec_store_bkt")
+    val batch = mkAlerts(1090L to 1109L, 110)
+
+    val out = RuleEngine.mergeIntoStoreClustered(store, batch)
+    out.write.mode("overwrite").format("noop").save()
+
+    val nodes = allNodes(out.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "clustered merge should be a sort-merge join")
+    // only the BATCH shuffles: no store scan under any shuffle exchange
+    val storeScansUnderShuffle = nodes.collect {
+      case s: ShuffleExchangeLike => allNodes(s).collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.mkString(",")
+            .contains(s"$base/store") => f
+      }
+    }.flatten
+    assert(storeScansUnderShuffle.isEmpty,
+      "the clustered merge re-shuffles the bucketed store")
+    val storeScans = nodes.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.mkString(",")
+          .contains(s"$base/store") => f
+    }
+    assert(storeScans.size == 1,
+      s"clustered merge should scan the store ONCE, got ${storeScans.size}")
+    assert(storeScans.head.bucketedScan,
+      "store scan lost its bucketed distribution")
+
+    // result parity with the broadcast hot-loop shape on the same data
+    val viaBroadcast = RuleEngine.mergeIntoStore(
+      spark.read.parquet(s"$base/store"), batch)
+    val l = out.orderBy(col("object"), col("description"))
+      .collect().map(_.toString).toSeq
+    val r = viaBroadcast.orderBy(col("object"), col("description"))
+      .collect().map(_.toString).toSeq
+    assert(l == r)
+  }
 }
