@@ -52,15 +52,22 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      catch {
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.write.mode("overwrite").format("noop").save()
+        if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
+          System.err.println(s"[plan] $name\n" +
+            df.queryExecution.executedPlan.toString.take(8000))
+      } catch {
         case e: Throwable =>
           // full diagnostic belongs in the BENCH.json FILE (bounded only
           // against pathological megabyte messages); stdout gets a count.
           errors(name) = String.valueOf(e.getMessage).take(4000)
       }
-      (System.nanoTime() - t0) / 1e9
+      val el = (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
+        System.err.println(f"[trace] $name $el%.3f")
+      el
     }
     // Best-of with convergence: the first run of a query pays one-time
     // whole-stage-codegen compilation (hundreds of ms to seconds of
@@ -107,6 +114,19 @@ object Bench {
         .filter(graft.RddCheckpointAccess.isLocallyCheckpointed)
         .foreach(_.unpersist(blocking = false))
     }
+
+    if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val i = s.stageInfo
+            System.err.println(s"[stage] ${i.stageId} " +
+              s"${i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)} ms " +
+              s"tasks=${i.numTasks} ${i.name.split("\n")(0).take(60)}")
+          }
+        })
 
     try runOnce("q_agg_pushdown") // session warm-up, untimed
     finally errors.remove("q_agg_pushdown")

@@ -337,19 +337,10 @@ object RuleEngine {
     //    job with zero pointer-jump rounds — the loop only runs when a
     //    chain of depth ≥ 3 was actually observed, starting from the
     //    3-hop labels the seed job already produced.
-    // The candidate join consumes the alert frame TWICE (alert side +
-    // parent side) with different downstream shapes, so Catalyst cannot
-    // reuse one scan between them — without this checkpoint the rule
-    // scan that produced the alerts executes once per side. The
-    // projection is the five columns the join needs, bounded by
-    // |alerts| (a filtered rule output, not the event stream).
-    val probe = graft.Materialize.frame(alerts.select(
-      col("alert_id"), col("actor"), col("object"), col("action"),
-      col("event_time_s")))
     val obsE = org.apache.spark.sql.Observation(
       s"anchor_edges_${System.nanoTime()}")
     val parents = graft.Materialize.frame(
-      anchoredParents(probe, gapMinutes, maxActorBucketAlerts)
+      anchoredParents(alerts, gapMinutes, maxActorBucketAlerts)
         .observe(obsE, count(lit(1)).as("n")))
     if (obsE.get("n").asInstanceOf[Long] == 0L) {
       return alerts.withColumn("correlation_id", md5(col("alert_id")))
@@ -417,15 +408,24 @@ object RuleEngine {
     // determines the others), but the join's output partitioning
     // satisfies the wider clustering, so the |alerts| + |candidates|
     // re-shuffle the a_id-only grouping forced is ELIDED — the same
-    // exchange removal measured on AsOf in round 17. shuffle_hash on
-    // the alert side: the join output feeds an aggregate, so the
-    // sort-merge join's two full (actor, bucket) sorts buy nothing
-    // downstream; the hash build holds the non-duplicated side.
+    // exchange removal measured on AsOf in round 17. Net shuffle rows
+    // |A| + 3|P| with no candidate-row exchange anywhere, vs the old
+    // orientation's 3|A| + |P| + |candidates|.
+    //
+    // Round-18 A/B notes (same-JVM, interleaved, events-100x): a
+    // shuffle_hash hint here measured SLOWER than the default SMJ
+    // (the window's (actor, bucket) sort makes the parent side
+    // SMJ-ready, and the argmax's SortAggregate wants sorted input
+    // anyway), and a Materialize of the shared alert projection
+    // (1 rule scan instead of 2, +1 sequential job) also measured
+    // slower at 100x — both rejected on numbers. Callers running over
+    // an expensive-to-recompute alert frame should materialize it
+    // BEFORE calling (the composed Runner pipeline already does);
+    // the operator itself stays lazy.
     val a = alerts.select(col("alert_id").as("a_id"),
       col("actor").as("a_actor"), col("object").as("a_object"),
       col("action").as("a_action"), col("event_time_s").as("a_t"))
       .withColumn("__abk", floor(col("a_t") / W))
-      .hint("shuffle_hash")
     val p = alerts.select(col("alert_id").as("p_id"),
       col("actor").as("p_actor"), col("object").as("p_object"),
       col("action").as("p_action"), col("event_time_s").as("p_t"))

@@ -198,6 +198,16 @@ class PlanShapeSpec extends SparkSuite {
       .find(l => l.contains("Join") && l.contains("a_actor"))
     assert(joinLine.exists(l => l.contains("__abk") && l.contains("__pbk")),
       s"anchored parent join not keyed by time bucket:\n$plan")
+    // the argmax groups by (actor, bucket, a_id), which the join's
+    // output partitioning satisfies — no exchange may sit between the
+    // aggregate and the join (the round-17 AsOf exchange-removal,
+    // adopted here in round 18; the alert side enters the join once,
+    // the parent side carries the bucket duplication)
+    val joinIdx = plan.indexOf("Join [")
+    val aggIdx = plan.lastIndexOf("Aggregate", joinIdx)
+    assert(joinIdx >= 0 && aggIdx >= 0 &&
+      !plan.substring(aggIdx, joinIdx).contains("Exchange"),
+      s"anchored argmax re-shuffled the join output:\n$plan")
   }
 
   test("corpus ops broadcast their small sides and push their filters") {
