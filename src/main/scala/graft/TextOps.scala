@@ -296,28 +296,29 @@ object TextOps {
     //     the window form row_number()-sorted each source's ENTIRE
     //     vocab slice on a single task; the aggregate ships k structs
     //     per source per map partition and merges.
-    val byWord = t(s, dir, "documents")
+    val tf = t(s, dir, "documents")
       .select(col("source"),
         explode(graft.functions.hashes.wordCensus(col("text"))).as("wc"))
       .groupBy(col("source"), col("wc.word").as("word"))
       .agg(sum(col("wc.c")).as("tf"))
-      .groupBy(col("word"))
+    // n_src off the BOUNDED tf frame: every document contributes at
+    // least one census row (an empty text is the single empty-string
+    // word), so distinct sources in tf equal distinct sources in
+    // documents. tf has TWO consumers (this scalar and the word-keyed
+    // pass) and is NOT materialized, so the scan + census + (source,
+    // word) aggregate lineage executes twice per run — measured
+    // CHEAPER at ≤10× docs than the alternatives (a second source-only
+    // table scan: 0.70-0.73 vs 0.60-0.64; a checkpoint of the word-
+    // keyed frame feeding both consumers: ~0.8 vs ~0.65 same-JVM,
+    // round 18 — the checkpoint write plus its two extra sequential
+    // stages outweigh the ~0.25 s scan they save). The tradeoff
+    // inverts once the corpus scan dominates the |vocab|-bounded
+    // checkpoint — at a corpus scale well beyond these fixtures,
+    // re-materialize tf (Materialize.frame) and derive n_src from it.
+    val nSrc = tf.agg(countDistinct(col("source")).as("n_src"))
+    val weighted = tf.groupBy(col("word"))
       .agg(count(lit(1)).as("df"),
         collect_list(struct(col("source"), col("tf"))).as("by_src"))
-      // materialized because it has TWO consumers (n_src and the
-      // weighted frame): without this the corpus scan + census +
-      // (source, word) aggregate lineage would execute twice. The
-      // checkpoint is |vocab| rows with |sources|-bounded lists —
-      // corpus-independent by Heaps' law, so it stays cheap while the
-      // scan it saves grows with the data.
-      .transform(graft.Materialize.frame)
-    // n_src off the BOUNDED by_src lists, never a second corpus scan:
-    // every document contributes at least one census row (an empty
-    // text is the single empty-string word), so the union of sources
-    // across words equals distinct sources in documents.
-    val nSrc = byWord.select(explode(col("by_src")).as("st"))
-      .agg(countDistinct(col("st.source")).as("n_src"))
-    val weighted = byWord
       .crossJoin(broadcast(nSrc))
       .select(col("word"),
         log(col("n_src").cast("double") / col("df")).as("idf"),
