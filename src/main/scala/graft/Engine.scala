@@ -195,17 +195,18 @@ object Engine {
       // exactly two consumers — the per-actor profile (map-side partial
       // agg, tiny shuffle) and one broadcast left join on actor. The
       // pre-r11 shape selected the suppressed alert IDS first and then
-      // re-joined them back, which cost a third scan of the
-      // materialized frame AND broadcast O(alerts) ids; suppressOnKey
-      // broadcasts O(noisy actors) — bounded by |alerts|/threshold —
-      // the shape that survives 100 TB. PROJECT FIRST: a checkpoint is
-      // an optimizer barrier, so Catalyst cannot push the consumers'
-      // column pruning through it — without the explicit select the
-      // full alert schema (description, event_data json, ...) is
-      // serialized into block storage when the query touches two
-      // columns.
+      // re-joined them back, which cost a third scan AND broadcast
+      // O(alerts) ids; suppressOnKey broadcasts O(noisy actors) —
+      // bounded by |alerts|/threshold — the shape that survives 100 TB.
+      // The two consumers read the projected rule scan DIRECTLY: both
+      // scans run inside ONE job (the broadcast build and the probe
+      // side schedule in parallel), which round-18 A/B measured faster
+      // than checkpointing the projection (1.45 vs 1.69 s steady at
+      // events-100× — the checkpoint's write + sequential job cost more
+      // than the 211 MB column-pruned re-scan). A caller whose alert
+      // frame is expensive to recompute materializes it BEFORE this
+      // shape, as the composed Runner pipeline does.
       val a = alerts(s, dir).select("alert_id", "actor")
-        .transform(graft.Materialize.frame)
       val noisy = a.groupBy(col("actor"))
         .agg(count(lit(1)).as("n")).filter(col("n") >= 8)
         .select(col("actor"))
