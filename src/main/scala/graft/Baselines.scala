@@ -100,6 +100,13 @@ object Baselines {
     // (Tables.writePartitionedEvents) the day census is partition
     // METADATA — the listing, no data pass at all — so the flat-file
     // fallback deliberately keeps the same logical shape.
+    // Round-18 A/B at events-1000× (same-JVM, interleaved): a single
+    // user_id repartition serving BOTH aggregates (hashpartitioning
+    // (user_id) satisfies the census's (user, day) clustering too, so
+    // each would run exchange-free) measured SLOWER (6.0-6.9 vs
+    // 5.5-6.1 s steady) — the raw 100M-row pass loses the census's
+    // map-side combine, which outweighs the second (census-sized)
+    // shuffle it saves. The two-shuffle census shape stands on numbers.
     val perUserDay = t(s, dir, "events")
       .groupBy(col("user_id"), col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("n"))
