@@ -12,11 +12,19 @@ import org.apache.spark.sql.functions._
 object Baselines {
   import Tables.t
 
-  /** Hourly event counts per type — shared base for 9/10. */
+  /** Hourly event counts per type — shared base for 9/10. Groups on
+    * the LONG epoch-hour (integer division; identical to
+    * date_trunc("hour") under the UTC session — the timeSlice
+    * precedent): the per-row datetime truncation and the 8-byte
+    * timestamp group key never touch the event stream, and the
+    * ~|types × hours| output decorates back to epoch seconds after the
+    * aggregate. `h_s` is the hour-start in epoch seconds. */
   private def hourly(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy(col("event_type"),
+        expr("CAST(ts AS LONG) DIV 3600").as("hb"))
       .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), (col("hb") * 3600L).as("h_s"), col("n"))
 
   /** #9 percentile profile of hourly counts per group.
     * Ref: src/baselines/percentiles.py (p2.5..p97.5 profile). */
@@ -52,15 +60,15 @@ object Baselines {
     * this module maintains at scale in the reference design. */
   def baselineOutliers(s: SparkSession, dir: String): DataFrame = {
     val h = hourly(s, dir).transform(graft.Materialize.frame)
-    val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
-    val profile = h.filter(col("h") < cutoff)
+    val cutoffS = 1706140800L // 2024-01-25T00:00:00Z
+    val profile = h.filter(col("h_s") < cutoffS)
       .groupBy(col("event_type"))
       .agg(Num.r4(percentile(col("n"), lit(0.95))).as("p95"))
-    h.filter(col("h") >= cutoff)
+    h.filter(col("h_s") >= cutoffS)
       .join(broadcast(profile), Seq("event_type"))
       .withColumn("outlier", col("n") > col("p95"))
-      .select(col("event_type"), col("h").cast("long").as("h_s"),
-        col("n"), col("p95"), col("outlier"))
+      .select(col("event_type"), col("h_s"), col("n"), col("p95"),
+        col("outlier"))
       .orderBy(col("event_type"), col("h_s"))
   }
 
@@ -69,9 +77,16 @@ object Baselines {
     * weekday, and hour). dow follows Spark's dayofweek (Sunday=1).
     * Ref: baseline_modules/temporal_by_day/module.R. */
   def temporalByDay(s: SparkSession, dir: String): DataFrame =
+    // dow/hod as integer arithmetic on the LONG epoch (identical to
+    // dayofweek/hour under the UTC session for the non-negative
+    // timestamps this table carries: 1970-01-01 is a Thursday = Spark
+    // dayofweek 5, hence the +4 rotation) — the two per-row datetime
+    // field extractions never touch the event stream
     t(s, dir, "events")
-      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"),
-        hour(col("ts")).as("hod"))
+      .withColumn("__ts_s", col("ts").cast("long"))
+      .groupBy(col("event_type"),
+        (expr("(__ts_s DIV 86400 + 4) % 7 + 1")).cast("int").as("dow"),
+        (expr("(__ts_s % 86400) DIV 3600")).cast("int").as("hod"))
       .agg(
         count(lit(1)).as("n"),
         Num.r4(avg(col("value"))).as("value_avg"),
