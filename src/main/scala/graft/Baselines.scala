@@ -125,6 +125,16 @@ object Baselines {
     val perUserDay = t(s, dir, "events")
       .groupBy(col("user_id"), col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("n"))
+    // total observation days from its OWN column-pruned ts pass. A
+    // census-derived variant (totals = perUserDay.groupBy(day)...)
+    // was tried in round 18 hoping ReuseExchange would serve both
+    // consumers from one scan+shuffle — it does NOT fire (the two
+    // branches' aggregates canonicalize differently), so that shape
+    // recomputed the full (user, day) census shuffle for one scalar
+    // (10.8/35.9 s vs 6.9 s at events-1000×). The ts-only scan is
+    // map-side combined to ~36 partials before its shuffle — cheap at
+    // every scale; on the production date-partitioned layout it is
+    // partition METADATA (no data pass at all).
     val totals = t(s, dir, "events").agg(
       countDistinct(col("ts").cast("date")).as("total_days"))
     perUserDay.groupBy(col("user_id"))
