@@ -40,13 +40,29 @@ object CoreSql {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
     val l = t(s, dir, "lineitem")
+    // The customer side is broadcast ONLY while it is actually
+    // dim-sized. A hard-coded broadcast() hint was the measured 1000×
+    // anti-lesson: at 15M customer rows (252 MB parquet) the hint
+    // forces a ~1-2 GB hash build shipped to every task on every run —
+    // the worst absolute in the core-1000× ledger — while the
+    // shuffled join it suppresses is a bounded per-partition merge.
+    // The size check reads parquet FOOTER metadata (no data pass, no
+    // job): ≤64 MB on disk keeps the broadcast (the measured win at
+    // ≤100×); larger lets Catalyst/AQE plan the exchange join it
+    // would have chosen without the hint.
+    val cSize = try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/customer.parquet")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case _: Throwable => 0L }
+    val cSide = if (cSize <= 64L * 1024 * 1024) broadcast(c) else c
     val lAgg = l.groupBy(col("l_orderkey"))
       .agg(
         sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("rev"),
         count(lit(1)).as("nl"))
     lAgg.join(o, col("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(cSide, o("o_custkey") === c("c_custkey"))
       .groupBy(c("c_mktsegment"), o("o_orderpriority"))
       .agg(
         Num.r2(sum(col("rev"))).as("revenue"),
