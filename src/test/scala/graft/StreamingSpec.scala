@@ -138,6 +138,19 @@ class StreamingSpec extends SparkSuite {
       case e: EventTimeWatermark => e.eventTime.name
     }
     assert(preWms == Seq("event_time"), preWms.toString)
+    // MULTIPLE watermarks with event_time NOT topmost (ts applied
+    // after an upstream event_time watermark): the existing
+    // event_time watermark must be SEEN (collect, not collectFirst)
+    // and not re-declared — a redefinition is an analysis error under
+    // multiple-stateful-operator support
+    val stacked = StreamingAlerts.dedupStream(
+      base.withWatermark("event_time", "5 minutes")
+        .withWatermark("ts", "2 minutes"))
+    val stackedWms = stacked.queryExecution.logical.collect {
+      case e: EventTimeWatermark => e.eventTime.name
+    }
+    assert(stackedWms.count(_ == "event_time") == 1, stackedWms.toString)
+    assert(stackedWms.contains("ts"), stackedWms.toString)
   }
 
   test("suppressStream flags alerts against a static suppression set") {
