@@ -128,6 +128,23 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("landBucketed fails LOUDLY when a bucket lands as multiple files") {
+    // no repartition pre-shuffle: each of several input partitions
+    // writes its own file per bucket, so the one-file-per-bucket
+    // invariant — the soundness condition for the legacy
+    // outputOrdering flag — is violated and the landing must throw,
+    // not silently produce a table whose reported sort order is false
+    val ex = intercept[IllegalStateException] {
+      Layout.landBucketed(
+        Tables.t(spark, Sf, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .repartition(4), // round-robin: every partition hits every bucket
+        "li_bkt_bad", "l_orderkey", 8, path = Some(s"$wh/li_bad"))
+    }
+    assert(ex.getMessage.contains("files"), ex.getMessage)
+    spark.sql("DROP TABLE IF EXISTS li_bkt_bad")
+  }
+
   test("point lookup prunes to one bucket") {
     landed
     val someKey = spark.table("li_bkt").select(col("l_orderkey"))
