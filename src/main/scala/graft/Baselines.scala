@@ -78,15 +78,19 @@ object Baselines {
     * Ref: baseline_modules/temporal_by_day/module.R. */
   def temporalByDay(s: SparkSession, dir: String): DataFrame =
     // dow/hod as integer arithmetic on the LONG epoch (identical to
-    // dayofweek/hour under the UTC session for the non-negative
-    // timestamps this table carries: 1970-01-01 is a Thursday = Spark
-    // dayofweek 5, hence the +4 rotation) — the two per-row datetime
-    // field extractions never touch the event stream
+    // dayofweek/hour under the UTC session: 1970-01-01 is a Thursday =
+    // Spark dayofweek 5, hence the +4 rotation) — the two per-row
+    // datetime field extractions never touch the event stream. pmod +
+    // remainder-subtract gives exact FLOOR-division semantics, so the
+    // rewrite is total: pre-1970 (negative-epoch) timestamps land on
+    // the correct day/hour instead of silently shifting under
+    // truncate-toward-zero DIV/%.
     t(s, dir, "events")
       .withColumn("__ts_s", col("ts").cast("long"))
       .groupBy(col("event_type"),
-        (expr("(__ts_s DIV 86400 + 4) % 7 + 1")).cast("int").as("dow"),
-        (expr("(__ts_s % 86400) DIV 3600")).cast("int").as("hod"))
+        expr("(pmod((__ts_s - pmod(__ts_s, 86400)) DIV 86400 + 4, 7) + 1)")
+          .cast("int").as("dow"),
+        expr("pmod(__ts_s, 86400) DIV 3600").cast("int").as("hod"))
       .agg(
         count(lit(1)).as("n"),
         Num.r4(avg(col("value"))).as("value_avg"),

@@ -85,16 +85,20 @@ object Engine {
     val root = alertStoreFixture(s, dir)
     val h = new java.io.File(root).getName.stripPrefix("graft_alert_store_")
     val tbl = s"graft_alert_store_bkt_$h"
-    if (!s.catalog.tableExists(tbl))
-      s.sql(s"""CREATE TABLE $tbl (object STRING, description STRING,
-        | alert_id STRING, query_name STRING, query_id STRING,
-        | environment STRING, sources STRING, actor STRING, action STRING,
-        | title STRING, detector STRING, event_data STRING,
-        | severity STRING, counter BIGINT, alert_time_s BIGINT,
-        | event_time_s BIGINT) USING parquet
+    if (!s.catalog.tableExists(tbl)) {
+      // DDL columns derive from the LIVE mergeAlerts schema (plan-only,
+      // nothing executes) — a hand-written list would silently read
+      // NULLs for any renamed/added column under parquet by-name
+      // resolution, and the spec that pins the merge plan builds its
+      // DDL the same way so the drift would go unseen.
+      val cols = RuleEngine.mergeAlerts(
+        alertsIn(s, dir, From, Mid, StoreTimeS)).schema.fields
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      s.sql(s"""CREATE TABLE $tbl ($cols) USING parquet
         | CLUSTERED BY (object, description)
         | SORTED BY (object, description)
         | INTO $StoreBuckets BUCKETS LOCATION '$root/data'""".stripMargin)
+    }
     tbl
   }
 

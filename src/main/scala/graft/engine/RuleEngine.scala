@@ -187,12 +187,25 @@ object RuleEngine {
     * extracted as coalesce/isnull key EXPRESSIONS, which the bucketed
     * distribution on the raw columns cannot satisfy — the store would
     * silently re-shuffle. The store landing enforces non-null merge
-    * keys instead (assertNoNullKeys below fails the landing loudly),
-    * which the demo rule guarantees and a production rule should: a
-    * null object/description is a rule bug, not a mergeable identity. */
+    * keys (the fixture's loud require), and the BATCH side enforces the
+    * same contract in-plan below via a per-row assert_true (codegen'd
+    * null check, no extra job): a null object/description would
+    * silently insert a duplicate row instead of matching — diverging
+    * from the null-safe broadcast variant — so it must fail loudly.
+    * A null key is a rule bug, not a mergeable identity. */
   def mergeIntoStoreClustered(store: DataFrame, newAlerts: DataFrame)
       : DataFrame = {
-    val n = mergeAlerts(newAlerts)
+    // The guard rides alert_id (assert_true yields NULL when the keys
+    // are non-null, so the coalesce is identity) rather than a dropped
+    // helper column, which ColumnPruning would erase along with the
+    // check.
+    val guard = assert_true(
+      col("object").isNotNull && col("description").isNotNull,
+      lit("clustered merge: null merge key (object/description) in the " +
+        "batch — the plain-equality bucketed join would insert a " +
+        "duplicate row; fix the rule's target/description mapping"))
+    val n = mergeAlerts(newAlerts).withColumn("alert_id",
+      coalesce(guard.cast("string"), col("alert_id")))
     val carry = Seq("alert_id", "query_name", "query_id", "environment",
       "sources", "actor", "action", "title", "detector", "event_data",
       "severity", "alert_time_s", "event_time_s")

@@ -106,24 +106,33 @@ object Layout {
     val loc = path.getOrElse(
       df.sparkSession.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(name)).location.getPath)
+    // Walk with the Hadoop FileSystem API, not java.io.File: the guard
+    // must hold on ANY filesystem the table lands on (HDFS/S3A/local) —
+    // a local-only walk would silently find nothing remote and pass,
+    // leaving the outputOrdering flag's correctness contract unchecked
+    // exactly where it matters.
     val bucketId = java.util.regex.Pattern.compile("_(\\d{5})\\.")
-    def walk(d: java.io.File): Unit = {
-      val kids = Option(d.listFiles()).getOrElse(Array.empty)
-      kids.filter(_.isDirectory).foreach(walk)
-      val perBucket = kids.filter(f => f.isFile && f.getName.startsWith("part-"))
-        .groupBy { f =>
-          val m = bucketId.matcher(f.getName)
-          if (m.find()) m.group(1) else f.getName
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(loc)
+    val fs = root.getFileSystem(hconf)
+    def walk(d: org.apache.hadoop.fs.Path): Unit = {
+      val kids = fs.listStatus(d)
+      kids.filter(_.isDirectory).foreach(st => walk(st.getPath))
+      val perBucket = kids
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .groupBy { st =>
+          val m = bucketId.matcher(st.getPath.getName)
+          if (m.find()) m.group(1) else st.getPath.getName
         }
-      perBucket.collect { case (b, fs) if fs.length > 1 =>
+      perBucket.collect { case (b, fsts) if fsts.length > 1 =>
         throw new IllegalStateException(
-          s"landBucketed($name): bucket $b has ${fs.length} files in " +
-            s"${d.getPath} — repartition(buckets, col(key)) before landing " +
+          s"landBucketed($name): bucket $b has ${fsts.length} files in " +
+            s"$d — repartition(buckets, col(key)) before landing " +
             "or the reported in-bucket ordering is unsound")
       }
       ()
     }
-    walk(new java.io.File(loc))
+    walk(root)
   }
 
   /** The co-located equi-join of two tables landed with the SAME
