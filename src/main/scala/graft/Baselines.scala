@@ -141,6 +141,17 @@ object Baselines {
     // partition METADATA (no data pass at all).
     val totals = t(s, dir, "events").agg(
       countDistinct(col("ts").cast("date")).as("total_days"))
+    // Round-19 A/B at events-1000× (same-JVM, interleaved, steady
+    // runs): the output ORDER BY (user_id) was re-executing the
+    // per-user rollup reduce for its range sampling. Two candidates:
+    // (b) repartitionByRange(user_id) BEFORE the rollup so the
+    // aggregate exchange doubles as the sort distribution — 5.25-5.89 s
+    // (the range sampler re-runs the census reduce instead, bigger
+    // input, partial win); (c) MATERIALIZE the 1.5M rolled rows before
+    // the sort so the sampler reads the cached result — 4.99-5.48 s vs
+    // the plain shape's 5.93-5.97 s. (c) ships: ~15% off, and the
+    // pattern (tiny result, expensive lineage) is the same one the
+    // sars new-process sort uses.
     perUserDay.groupBy(col("user_id"))
       .agg(
         sum(col("n")).as("n_events"),
@@ -150,6 +161,7 @@ object Baselines {
         Num.r4(col("active_days") / col("total_days")))
       .withColumn("avg_per_active_day",
         Num.r4(col("n_events") / col("active_days")))
+      .transform(graft.Materialize.frame)
       .orderBy(col("user_id"))
   }
 

@@ -164,23 +164,45 @@ object SarsPack {
 
   /** newProcesses over the events-derived view — same fusion as
     * [[processBaselineFromEvents]]: one scan, one numeric-key shuffle,
-    * conditional window sums, display strings on the surviving rows. */
+    * conditional window sums, display strings on the surviving rows.
+    *
+    * Round-19 rework (A/B'd same-JVM at events-1000×, 100M rows):
+    *  - the group key packs (k%25, user_id) into ONE long
+    *    (k25·2³⁵ + user_id) and BOTH conditional sums pack into one
+    *    (hits·2³² + known) — one agg buffer per group and 24-byte
+    *    UnsafeRow shuffle rows instead of 40, over a ~10M-partial-row
+    *    exchange (steady 4.9-5.3 → 4.3-4.9 s);
+    *  - the 455k surviving rows MATERIALIZE before the output sort, so
+    *    the range partitioner's sampling job reads the cached result
+    *    instead of re-executing the 100M-row aggregate (the second
+    *    ~0.9 s final-agg stage the stage trace showed; 4.3-4.9 →
+    *    3.9-4.4 s). Combined ~20% off the committed 5.49 s row.
+    * Unpacks are shiftright/% (exact long bit ops — a `/` would plan
+    * double division). Pack bounds, loudly beyond any real density:
+    * user_id < 2³⁵, per-pair recent-day hits < 2³¹ and known-window
+    * hits < 2³² (≥4B events from ONE (process, instance) pair in 34
+    * days overflows the packed sum; the null-k rows group under one
+    * null key on either shape and carry hits=0, filtered identically). */
   def newProcessesFromEvents(events: DataFrame): DataFrame = {
     val ts = col("event_time")
     val isProc = col("k") % 2 === 0
     val inRecent = ts >= lit(DayAgo).cast("timestamp") &&
       ts < lit(To).cast("timestamp")
-    val inKnown = ts >= lit(From).cast("timestamp") &&
-      ts < lit(DayAgo).cast("timestamp")
+    val packedKey = (col("k") % 25) * lit(1L << 35) + col("user_id")
+    val packedVal = when(isProc,
+      when(inRecent, lit(1L << 32)).otherwise(lit(1L))).otherwise(lit(0L))
     rawProcessEvents(events)
       .filter(ts >= lit(From).cast("timestamp") &&
         ts < lit(To).cast("timestamp"))
-      .groupBy((col("k") % 25).as("__p"), col("user_id"))
-      .agg(sum(when(isProc && inRecent, 1L).otherwise(0L)).as("hits"),
-        sum(when(isProc && inKnown, 1L).otherwise(0L)).as("__known"))
-      .filter(col("hits") > 0L && col("__known") === 0L)
-      .select(processCol(col("__p")).as("process"),
-        instanceCol(col("user_id")).as("instance_id"), col("hits"))
+      .groupBy(packedKey.as("__g"))
+      .agg(sum(packedVal).as("__v"))
+      .filter(col("__v") >= lit(1L << 32) &&
+        col("__v") % lit(1L << 32) === 0L)
+      .select(
+        processCol(shiftright(col("__g"), 35)).as("process"),
+        instanceCol(col("__g") % lit(1L << 35)).as("instance_id"),
+        shiftright(col("__v"), 32).as("hits"))
+      .transform(graft.Materialize.frame)
       .orderBy(col("process"), col("instance_id"))
   }
 
