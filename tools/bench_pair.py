@@ -89,7 +89,7 @@ def main():
         oracle = "/tmp/bench_pair_v/oracle_sql.json"
 
     # 3. DuckDB suite, same boot (steal-sampled)
-    s2 = steal_jiffies()
+    s2, t2 = steal_jiffies(), time.time()
     duck_cmd = [sys.executable, os.path.join(REPO, "tools", "baseline.py"),
                 sf_dir, oracle]
     if only:
@@ -97,14 +97,19 @@ def main():
     duck_raw = subprocess.run(
         duck_cmd,
         cwd=REPO, check=True, capture_output=True, text=True).stdout
-    s3 = steal_jiffies()
+    s3, t3 = steal_jiffies(), time.time()
     duck = json.loads(duck_raw.strip().splitlines()[-1])
     with open(os.path.join(REPO, duck_out), "w") as fh:
         fh.write(json.dumps(duck) + "\n")
 
     hz = os.sysconf("SC_CLK_TCK")
+    # wall per side lets the calm gate judge steal PROPORTIONALLY
+    # (<x% of the run it actually brackets) — a fixed jiffy budget is
+    # provably too strict for 90-250 s runs and too lax for 10 s ones.
     steal = {"graft_s": round((s1 - s0) / hz, 2),
-             "duckdb_s": round((s3 - s2) / hz, 2)}
+             "duckdb_s": round((s3 - s2) / hz, 2),
+             "graft_wall_s": round(t1 - t0, 1),
+             "duckdb_wall_s": round(t3 - t2, 1)}
     g, d = bench["value"], duck["value"]
     ratio = round(g / d, 2)
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
