@@ -771,11 +771,27 @@ object Ann {
         Num.r4(col("n_overlap") / col("n_apx")).as("recall"))
   }
 
+  /** Scale knobs for the cell-blocked pairwise family (knn_graph,
+    * semdedup, diverse_sample): `cells` is the documented block-count
+    * dial (§2 #83a — at 100 TB the block count scales with the data so
+    * Σ|cell|² stays bounded) and `cap` the hot-cell hygiene bound.
+    * The env override exists so a SCALED bench run can exercise the
+    * production shape — both the Spark queries and [[oracle]]'s
+    * cellCte read the same values, so the two engines always compute
+    * identical re-seeded semantics; unset (the driver's correctness
+    * gate), they are the fixed sf0.01 constants 32/500. */
+  private def annCells: Int =
+    sys.env.get("SPARK_GRAFT_ANN_CELLS").map(_.toInt).getOrElse(32)
+  private def annCap: Int =
+    sys.env.get("SPARK_GRAFT_ANN_CAP").map(_.toInt).getOrElse(500)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_diverse_sample" -> ((s: SparkSession, dir: String) =>
-      diverseSample(s, dir)),
-    "q_knn_graph" -> ((s: SparkSession, dir: String) => knnGraph(s, dir)),
-    "q_semdedup" -> ((s: SparkSession, dir: String) => semDedup(s, dir)),
+      diverseSample(s, dir, cells = annCells, cap = annCap)),
+    "q_knn_graph" -> ((s: SparkSession, dir: String) =>
+      knnGraph(s, dir, cells = annCells, cap = annCap)),
+    "q_semdedup" -> ((s: SparkSession, dir: String) =>
+      semDedup(s, dir, cells = annCells, cap = annCap)),
     "q_ann_bruteforce" -> bruteForce _,
     "q_ann_lsh" -> lshAnn _,
     "q_ann_recall" -> lshRecall _,
@@ -933,7 +949,7 @@ object Ann {
 
   def oracle: Map[String, String] = Map(
     "q_diverse_sample" ->
-      s"""${cellCte(32, 500)}, dist AS (
+      s"""${cellCte(annCells, annCap)}, dist AS (
          |  SELECT ec.vec_id, ec.cell,
          |    round(sum((d.x - c.x) * (d.x - c.x)), 4) AS dist
          |  FROM ec
@@ -951,7 +967,7 @@ object Ann {
          |  vec_id AS rep_id, dist AS rep_dist
          |FROM ranked WHERE rn = 1 ORDER BY cell""".stripMargin,
     "q_knn_graph" ->
-      s"""${cellCte(32, 500)}, p AS (
+      s"""${cellCte(annCells, annCap)}, p AS (
          |  SELECT a.vec_id, b.vec_id AS nbr_id,
          |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
          |  FROM ec a JOIN ec b
@@ -966,7 +982,7 @@ object Ann {
          |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     "q_semdedup" ->
-      s"""${cellCte(32, 500)}, dropped AS (
+      s"""${cellCte(annCells, annCap)}, dropped AS (
          |  SELECT DISTINCT b.vec_id AS dropped_id
          |  FROM ec a JOIN ec b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id
