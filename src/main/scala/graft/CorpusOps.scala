@@ -282,30 +282,46 @@ object CorpusOps {
   /** #81c CCNet-style quality buckets: per-language head/middle/tail
     * terciles of the unigram-LM score of [[lmQuality]] (CCNet buckets
     * web text by LM perplexity and trains preferentially on the head).
-    * Buckets are RANK terciles — ntile(3) over (rounded score desc,
-    * doc_id) — because a rank is bit-exact across engines where an
-    * interpolated percentile cutoff is not; the tie-break makes re-runs
-    * byte-identical. The per-language window sort is the testable
-    * stand-in for the production shape (percentile cutoffs estimated on
-    * a sample, broadcast, bucketed by comparison — no global sort);
-    * the census output is identical either way. */
+    * Buckets are RANK terciles — the oracle states them as ntile(3)
+    * over (rounded score desc, doc_id) — because a rank is bit-exact
+    * across engines where an interpolated percentile cutoff is not.
+    *
+    * Round 20 ships the production shape WITHOUT giving up that
+    * bit-exactness: the output is a census aggregated to
+    * (lang, bucket), and a census is TIE-INVARIANT — within one
+    * (lang, score) group every doc is interchangeable, so the ntile
+    * census is a pure function of the per-(lang, score) count
+    * histogram, not of per-doc ranks. So instead of sorting every
+    * scored doc per language (the ntile window's
+    * superlinear-at-docs-1000× full-row sort — 5M rows through one
+    * sort per language), aggregate the histogram (map-side combined;
+    * bounded by |langs| × the 4dp score domain, never by |docs|),
+    * compute cumulative positions over THAT frame, and split each
+    * score's count across the tercile boundaries arithmetically
+    * (ntile over n rows: n DIV 3 per bucket, first n%3 buckets one
+    * extra). The only Window in the plan runs over histogram rows
+    * (plan-pinned in ScaleOpsSpec); the census is the ntile census
+    * exactly — not a sampled approximation — so the rank-form oracle
+    * verifies it unchanged. */
   def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
     // Token identity is an xxhash64 LONG (WordHashes kernel — one hash
-    // per word straight from the text bytes, no per-word string), and
-    // the checkpoint holds the per-DOC hash array (|docs| narrow rows,
-    // 8 B/token) with the explode replayed per consumer — the spanDedup
-    // shape. The previous form materialized the exploded token STRINGS
-    // (|tokens| rows of (doc_id, lang, word)) and shuffled strings into
-    // the vocabulary aggregate: 2.7 s vs DuckDB 0.9 s at 10×. Only
-    // counts and averages-over-counts reach the output, so any
-    // injective word key agrees with the string-keyed oracle.
-    // measured both ways at 10×: checkpointing the per-doc hash array
-    // wins (1.39 s vs 1.78 s) — the token stream is consumed twice and
-    // the array rows are narrow
+    // per word straight from the text bytes, no per-word string); the
+    // previous form materialized the exploded token STRINGS (|tokens|
+    // rows of (doc_id, lang, word)) and shuffled strings into the
+    // vocabulary aggregate: 2.7 s vs DuckDB 0.9 s at 10×. Only counts
+    // and averages-over-counts reach the output, so any injective word
+    // key agrees with the string-keyed oracle.
+    // Both consumers RECOMPUTE the kernel scan from lineage — the
+    // gramNovelty rule, re-measured here at docs-1000× (round 20,
+    // stage-timed): checkpointing the per-doc hash arrays wrote ~4 GB
+    // in an 11.3 s stage, 85% of the query's 12.7 s wall, while the
+    // two recompute scans cost ~2+3 s — recompute reads 5.8 s steady
+    // (2.2× faster). The opposite 10× reading (checkpoint 1.39 s vs
+    // recompute 1.78 s) was the fixed-cost regime; the shipped shape
+    // is the one that holds at scale.
     val docToks = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         graft.functions.hashes.wordHashes(col("text")).as("hs"))
-      .transform(graft.Materialize.frame)
     val toks = docToks.select(col("doc_id"), col("lang"),
       explode(col("hs")).as("h"))
     val freq = toks.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
@@ -315,15 +331,44 @@ object CorpusOps {
     val scored = toks.join(broadcast(lp), Seq("h"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(Num.r4(avg(col("logp"))).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
+    // (lang, score) histogram: the doc-level frame collapses map-side
+    // into at most |langs| × |4dp score domain| rows — the bounded
+    // frame every step below runs on.
+    val hist = scored.groupBy(col("lang"), col("score"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wTot = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
-      .orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("tercile", ntile(3).over(w))
-      .withColumn("bucket", element_at(
-        lit(Array("head", "middle", "tail")), col("tercile")))
-      .groupBy(col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        Num.r4(avg(col("score"))).as("avg_score"))
+    // positions covered by this score row: (lo, hi]; tercile bounds
+    // (0, n1] / (n1, n12] / (n12, n] with ntile's first-buckets-larger
+    // remainder rule
+    val cum = hist
+      .withColumn("hi", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wTot))
+      .withColumn("lo", col("hi") - col("cnt"))
+      .withColumn("n1", expr("n DIV 3 + if(n % 3 >= 1, 1, 0)"))
+      .withColumn("n12", expr("n1 + n DIV 3 + if(n % 3 >= 2, 1, 0)"))
+    val split = cum.select(col("lang"), col("score"), explode(array(
+        struct(lit("head").as("bucket"),
+          greatest(lit(0L),
+            least(col("hi"), col("n1")) - col("lo")).as("k")),
+        struct(lit("middle").as("bucket"),
+          greatest(lit(0L), least(col("hi"), col("n12")) -
+            greatest(col("lo"), col("n1"))).as("k")),
+        struct(lit("tail").as("bucket"),
+          greatest(lit(0L),
+            col("hi") - greatest(col("lo"), col("n12"))).as("k"))))
+        .as("b"))
+      .select(col("lang"), col("b.bucket").as("bucket"), col("score"),
+        col("b.k").as("k"))
+      .filter(col("k") > 0)
+    split.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("k")).as("n_docs"),
+        Num.r4(sum(col("score") * col("k")) / sum(col("k")))
+          .as("avg_score"))
       .orderBy(col("lang"), col("bucket"))
   }
 

@@ -269,6 +269,28 @@ class ScaleOpsSpec extends SparkSuite {
     assert(c.ingested > 0 && c.quality > 0 && c.deduped > 0)
   }
 
+  test("ccnet buckets: the only window runs over the score histogram, " +
+      "never doc rows") {
+    // the round-19 shipped shape sorted every scored doc per language
+    // (ntile window — superlinear at docs-1000×); the production shape
+    // derives the same census from the (lang, score) histogram, so the
+    // plan must contain no ntile and its Window input must be the
+    // histogram aggregate
+    val plan = CorpusOps.ccnetBuckets(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile"),
+      "per-doc ntile window back in the shipped path")
+    val win = plan.indexOf("Window")
+    assert(win >= 0, "expected a cumulative-count Window over the histogram")
+    // in the top-down plan string, the window's INPUT aggregate appears
+    // after it; that aggregate must key on the score histogram
+    val agg = plan.indexOf("HashAggregate", win)
+    assert(agg > win &&
+      plan.substring(agg, math.min(plan.length, agg + 400))
+        .contains("score"),
+      s"Window input is not the (lang, score) histogram:\n$plan")
+  }
+
   test("ccnet buckets: terciles are near-equal within each language") {
     val r = Materialize.frame(CorpusOps.ccnetBuckets(spark, Sf))
     assert(r.select("bucket").distinct().count() == 3)
