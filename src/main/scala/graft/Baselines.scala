@@ -99,69 +99,80 @@ object Baselines {
       .orderBy(col("event_type"), col("dow"), col("hod"))
 
   /** #12 per-entity activity stats. Ref: baseline_modules/login/module.R
-    * (num_logins, num_days, percent_of_days, average_per_day_when_active). */
+    * (num_logins, num_days, percent_of_days, average_per_day_when_active).
+    *
+    * Round-20 shape, from the events-1000× stage trace the r19 VERDICT
+    * asked for: the carried (user, day) census shape spent its steady
+    * 5.9 s wall on [census map 3.3 s (contended with the parallel
+    * ts-only totals scan) → 70M-census-row SECOND shuffle into the
+    * per-user rollup 1.6 s → tail 0.8 s] — two 100M-row scans and two
+    * wide exchanges for what is ONE per-user aggregate. Distinct-day
+    * counting doesn't need a day census at all when the observation
+    * window is bounded: active days ride the aggregate as a DAY
+    * BITMASK — two longs cover a 128-day window (the reference's
+    * baselines profile 30-90 days), bit_or-merged map-side like any
+    * plain long aggregate, active_days = bit_count. So the whole
+    * baseline is one scan → one (user) shuffle of 5-long buffers →
+    * 1.5M rolled rows, and total_days derives from bit_or OVER THE
+    * ROLLED ROWS (plus min/max day for the guard) — the second
+    * 100M-row scan disappears entirely.
+    * Guard: day offsets fold modulo 128, injective only while the
+    * global span is < 128 days — asserted loudly at runtime
+    * (raise_error inside the totals projection; negative spec in
+    * BaselinesSpec), the packed-key-guard discipline. Wider windows
+    * belong to the (user, day) census shape this replaced (kept in
+    * git history), or a third mask long.
+    * History the trace overturned: r18 rejected a shared user_id
+    * repartition (loses map-side combine) and a census-derived totals
+    * (ReuseExchange never fires); r19 shipped materialize-before-sort.
+    * All three were local optima of the census shape — the bitmask
+    * removes the census instead. Measured at events-1000×: 5.93 →
+    * 1.85 s steady (the scan+partial stage itself dropped 3.3 →
+    * 1.1 s: long-key/long-buffer aggregation, no per-row date
+    * decode, ~1M-entry maps instead of 3.1M), vs the DuckDB twin's
+    * 2.18 s — the row flips from 2.81× to a win. */
   def loginBaseline(s: SparkSession, dir: String): DataFrame = {
-    // One (user, day) census feeds the per-user stats. The direct
-    // per-user count + countDistinct mix plans an Expand (2 rows per
-    // input row); the census shape shuffles map-side-combined
-    // (user, day) partials and every downstream aggregate is a plain
-    // count/sum over |users x active-days| rows: active_days =
-    // count(*), n_events = sum(n).
-    //
-    // total observation days comes from its OWN pass over the ts
-    // column, not from a materialized census: at 100x events the
-    // census is ~0.7 x |rows| (per-actor density is a handful of
-    // events spread over the window, so (user, day) barely collapses)
-    // and checkpointing it costs a |census|-row storage round-trip —
-    // measurably slower than re-scanning the column-pruned stream
-    // (one timestamp column, ~36 groups, map-side combined to nothing
-    // before the shuffle). On the production date-partitioned layout
-    // (Tables.writePartitionedEvents) the day census is partition
-    // METADATA — the listing, no data pass at all — so the flat-file
-    // fallback deliberately keeps the same logical shape.
-    // Round-18 A/B at events-1000× (same-JVM, interleaved): a single
-    // user_id repartition serving BOTH aggregates (hashpartitioning
-    // (user_id) satisfies the census's (user, day) clustering too, so
-    // each would run exchange-free) measured SLOWER (6.0-6.9 vs
-    // 5.5-6.1 s steady) — the raw 100M-row pass loses the census's
-    // map-side combine, which outweighs the second (census-sized)
-    // shuffle it saves. The two-shuffle census shape stands on numbers.
-    val perUserDay = t(s, dir, "events")
-      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
-      .agg(count(lit(1)).as("n"))
-    // total observation days from its OWN column-pruned ts pass. A
-    // census-derived variant (totals = perUserDay.groupBy(day)...)
-    // was tried in round 18 hoping ReuseExchange would serve both
-    // consumers from one scan+shuffle — it does NOT fire (the two
-    // branches' aggregates canonicalize differently), so that shape
-    // recomputed the full (user, day) census shuffle for one scalar
-    // (10.8/35.9 s vs 6.9 s at events-1000×). The ts-only scan is
-    // map-side combined to ~36 partials before its shuffle — cheap at
-    // every scale; on the production date-partitioned layout it is
-    // partition METADATA (no data pass at all).
-    val totals = t(s, dir, "events").agg(
-      countDistinct(col("ts").cast("date")).as("total_days"))
-    // Round-19 A/B at events-1000× (same-JVM, interleaved, steady
-    // runs): the output ORDER BY (user_id) was re-executing the
-    // per-user rollup reduce for its range sampling. Two candidates:
-    // (b) repartitionByRange(user_id) BEFORE the rollup so the
-    // aggregate exchange doubles as the sort distribution — 5.25-5.89 s
-    // (the range sampler re-runs the census reduce instead, bigger
-    // input, partial win); (c) MATERIALIZE the 1.5M rolled rows before
-    // the sort so the sampler reads the cached result — 4.99-5.48 s vs
-    // the plain shape's 5.93-5.97 s. (c) ships: ~15% off, and the
-    // pattern (tiny result, expensive lineage) is the same one the
-    // sars new-process sort uses.
-    perUserDay.groupBy(col("user_id"))
+    // day number via total floor-division epoch arithmetic (the
+    // temporalByDay pmod idiom — no per-row datetime extraction)
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("long").as("__s"))
+      .select(col("user_id"),
+        expr("(__s - pmod(__s, 86400)) DIV 86400").as("__d"))
+      .withColumn("__h", expr("cast(pmod(__d, 128) as int)"))
+    // 1.5M rolled rows materialize once: the totals aggregate, the
+    // output projection AND the output sort's range sampler all read
+    // the 75 MB checkpoint instead of re-running the 100M-row rollup
+    val rolled = ev.groupBy(col("user_id"))
       .agg(
-        sum(col("n")).as("n_events"),
-        count(lit(1)).as("active_days"))
+        count(lit(1)).as("n_events"),
+        expr("bit_or(if(__h < 64, shiftleft(1L, __h), 0L))").as("__mlo"),
+        expr("bit_or(if(__h >= 64, shiftleft(1L, __h - 64), 0L))")
+          .as("__mhi"),
+        min(col("__d")).as("__dmin"),
+        max(col("__d")).as("__dmax"))
+      .transform(graft.Materialize.frame)
+    val totals = rolled
+      .agg(
+        expr("bit_count(bit_or(__mlo)) + bit_count(bit_or(__mhi))")
+          .as("__tdi"),
+        min(col("__dmin")).as("__gmin"),
+        max(col("__dmax")).as("__gmax"))
+      .select(expr(
+        """if(__gmax - __gmin < 128, cast(__tdi as bigint),
+          |  raise_error(concat('loginBaseline: observation span ',
+          |    cast(__gmax - __gmin + 1 as string),
+          |    ' days exceeds the 128-day day-bitmask window; widen ',
+          |    'the mask or revert to a (user, day) census shape')))"""
+          .stripMargin).as("total_days"))
+    rolled
+      .select(col("user_id"), col("n_events"),
+        expr("cast(bit_count(__mlo) + bit_count(__mhi) as bigint)")
+          .as("active_days"))
       .crossJoin(broadcast(totals))
       .withColumn("pct_days",
         Num.r4(col("active_days") / col("total_days")))
       .withColumn("avg_per_active_day",
         Num.r4(col("n_events") / col("active_days")))
-      .transform(graft.Materialize.frame)
       .orderBy(col("user_id"))
   }
 

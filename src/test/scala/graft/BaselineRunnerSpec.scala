@@ -47,6 +47,40 @@ class BaselineRunnerSpec extends SparkSuite {
     assert(u2.getAs[Double]("num_ids_avg_when_present") == 1.0)
   }
 
+  test("loginBaseline matches a census reference and guards its " +
+      "128-day bitmask window loudly") {
+    // positive: the day-bitmask shape agrees with a direct
+    // count-distinct census on real data
+    val got = Baselines.loginBaseline(spark, Sf)
+      .select("user_id", "n_events", "active_days", "total_days")
+    val ref = Tables.t(spark, Sf, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("ts").cast("date")).as("active_days"))
+    assert(got.join(ref, Seq("user_id", "n_events", "active_days"))
+      .count() == got.count())
+    val td = Tables.t(spark, Sf, "events")
+      .agg(countDistinct(col("ts").cast("date"))).head.getLong(0)
+    assert(got.select("total_days").distinct().head.getLong(0) == td)
+
+    // negative: a >128-day observation span must FAIL loudly, never
+    // fold two days onto one mask bit (the packed-key-guard discipline)
+    val wide = java.nio.file.Files
+      .createTempDirectory("login_guard").toString
+    Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-06-01 10:00:00"))
+      .toDF("user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .write.mode("overwrite").parquet(s"$wide/events.parquet")
+    val e = intercept[Exception] {
+      Baselines.loginBaseline(spark, wide).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("128-day day-bitmask window")),
+      s"expected the span guard, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("dailyProfile pivots by any expression (reuse across sources)") {
     // same runner over a different source shape: pivot = event_type
     val prof = Baselines.dailyProfile(
