@@ -178,17 +178,42 @@ object SarsPack {
     *    ~0.9 s final-agg stage the stage trace showed; 4.3-4.9 →
     *    3.9-4.4 s). Combined ~20% off the committed 5.49 s row.
     * Unpacks are shiftright/% (exact long bit ops — a `/` would plan
-    * double division). Pack bounds, loudly beyond any real density:
-    * user_id < 2³⁵, per-pair recent-day hits < 2³¹ and known-window
-    * hits < 2³² (≥4B events from ONE (process, instance) pair in 34
-    * days overflows the packed sum; the null-k rows group under one
-    * null key on either shape and carry hits=0, filtered identically). */
+    * double division). Pack bounds are ASSERTED at runtime (round 20,
+    * the Layout non-null-merge-key precedent — prose alone left a
+    * silent-wrong-answer window ~3.4× above the 1000× actor space):
+    * a user_id outside [0, 2³⁵) raises per row in the key projection
+    * (one masked compare + a never-taken codegen branch — the cheapest
+    * of three measured guard forms, see the key builder); the packed
+    * sum must stay non-negative — checked post-aggregate, catching any
+    * recent-hits component ≥ 2³¹. The one remaining prose-only bound
+    * is the known-window carry (≥2³² known hits from ONE (process,
+    * instance) pair inside 34 days bumps the hits component by 1) —
+    * ~40× the total corpus from a single pair, unreachable without
+    * the recent-hits assert tripping first at any realistic
+    * recent:known ratio. The null-k rows group under one null key on
+    * either shape and carry hits=0, filtered identically. */
   def newProcessesFromEvents(events: DataFrame): DataFrame = {
     val ts = col("event_time")
     val isProc = col("k") % 2 === 0
     val inRecent = ts >= lit(DayAgo).cast("timestamp") &&
       ts < lit(To).cast("timestamp")
-    val packedKey = (col("k") % 25) * lit(1L << 35) + col("user_id")
+    // The guard's per-row cost was measured three ways at 100M rows
+    // (same host state, steady runs): unguarded 3.97 s; a two-compare
+    // range test (>= 0 AND < 2^35) +~0.5 s; a branchless
+    // isolate-into-reserved-bits form (DIV + pmod + clamps on every
+    // row, raise moved post-agg) +~1.4 s — more alu work than a
+    // compare despite no branch. THIS form — bounds checking in one
+    // AND: (user_id & ~(2^35-1)) == 0 is false iff any high or sign
+    // bit is set — reads 4.05 s steady, within noise of unguarded.
+    // The raise_error branch is codegen'd and never taken on legal
+    // data.
+    val packedKey = expr(
+      """if(user_id is null or (user_id & -34359738368L) = 0,
+        |   (k % 25) * shiftleft(1L, 35) + user_id,
+        |   raise_error(concat('newProcessesFromEvents: user_id ',
+        |     cast(user_id as string), ' outside [0, 2^35) would corrupt',
+        |     ' the packed (k%25, user_id) group key; widen the pack')))"""
+        .stripMargin)
     val packedVal = when(isProc,
       when(inRecent, lit(1L << 32)).otherwise(lit(1L))).otherwise(lit(0L))
     rawProcessEvents(events)
@@ -196,6 +221,12 @@ object SarsPack {
         ts < lit(To).cast("timestamp"))
       .groupBy(packedKey.as("__g"))
       .agg(sum(packedVal).as("__v"))
+      .filter(expr(
+        """if(__v is null or __v >= 0, true,
+          |   raise_error(concat('newProcessesFromEvents: packed hit ',
+          |     'counter overflowed (>= 2^31 recent hits for one ',
+          |     '(process, instance) pair); split the conditional ',
+          |     'sums')))""".stripMargin))
       .filter(col("__v") >= lit(1L << 32) &&
         col("__v") % lit(1L << 32) === 0L)
       .select(

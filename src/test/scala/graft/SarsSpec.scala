@@ -55,6 +55,33 @@ class SarsSpec extends SparkSuite {
       newGeneric.exceptAll(newFused).isEmpty)
   }
 
+  test("packed group key guards user_id >= 2^35 loudly (never a " +
+      "silent wrong answer)") {
+    // the fused path packs (k%25, user_id) into one long assuming
+    // user_id < 2^35; a larger actor space must FAIL, not fold two
+    // users onto one group (round-20 guard, the Layout non-null-key
+    // precedent). In-bounds sibling row proves the guard is inert on
+    // legal ids.
+    val events = Seq(
+      (1L, "2024-01-30 01:00:00", """{"k":0}"""),
+      (1L << 35, "2024-01-30 02:00:00", """{"k":2}""")
+    ).toDF("user_id", "et", "props")
+      .withColumn("ts", col("et").cast("timestamp"))
+    val e = intercept[Exception] {
+      SarsPack.newProcessesFromEvents(events).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("outside [0, 2^35)")),
+      s"expected the pack guard, got: ${msgs(e).mkString(" | ")}")
+    // and the guard does not fire on in-bounds ids
+    val ok = SarsPack.newProcessesFromEvents(
+      events.filter(col("user_id") === 1L))
+    assert(ok.collect().map(_.getAs[String]("instance_id")).toSet ==
+      Set("i-1"))
+  }
+
   test("new-process detection flags a process unseen in the baseline") {
     // a process whose k-slot only fires in the trailing day would be
     // flagged; plant one explicitly to pin the anti-join direction
