@@ -466,6 +466,30 @@ class CorpusIrSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       s"shuffle numbering collapsed to one partition:\n$plan")
+    // the LIBRARY path (totalOrder = false, the default) must also plan
+    // no global range sort: production loaders read streams
+    // independently, so the only exchange is the stream hash partition
+    assert(!plan.contains("rangepartitioning"),
+      s"library path plans a global range sort:\n$plan")
+  }
+
+  test("corpusShuffle library path is per-stream ordered in place") {
+    // within every physical partition, each stream's rows appear in
+    // ascending pos order (the order a per-worker loader reads) — no
+    // total-order sort needed to consume the epoch
+    val bad = CorpusOps.corpusShuffle(spark, Sf)
+      .select(col("stream"), col("pos"))
+      .rdd.mapPartitions { it =>
+        val last = scala.collection.mutable.Map.empty[Long, Long]
+        var violations = 0L
+        it.foreach { r =>
+          val (s0, p) = (r.getLong(0), r.getLong(1))
+          if (last.getOrElse(s0, 0L) >= p) violations += 1
+          last(s0) = p
+        }
+        Iterator.single(violations)
+      }.collect().sum
+    assert(bad == 0L, s"$bad out-of-order rows inside stream runs")
   }
 
   // --- source overlap ------------------------------------------------
