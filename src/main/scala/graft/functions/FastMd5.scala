@@ -18,6 +18,16 @@ object Md5Util {
   }
   private val Hex = "0123456789abcdef".getBytes
 
+  // Rejected round-20 variant, for the record: a hand-rolled
+  // single-block MD5 compress (RFC 1321 in plain Java ALU ops, zero
+  // allocation) replacing JCE in the fingerprint gram loop measured
+  // SLOWER at docs-1000× — 53.9 s vs the JCE loop's 49.3 s — because
+  // HotSpot intrinsifies MessageDigest's MD5 compress (JDK-8250902);
+  // a Java reimplementation competes with vectorized intrinsic code
+  // and loses. The wins that DID ship live in minGramMd5's loop
+  // discipline: digest into reused buffers, raw-digest unsigned
+  // compare, hex once at the end (49.3 → 37.1 s, near parity with
+  // DuckDB's C md5 at 33.9 s).
   def md5Hex(bytes: Array[Byte]): UTF8String = {
     val md = digest.get()
     md.reset()
@@ -46,34 +56,58 @@ object Md5Util {
     val cps = str.codePoints().toArray
     val n = cps.length
     if (n < width) return null
+    // Hot-loop design, measured at docs-1000× (round 20): the digest
+    // itself stays on JCE — HotSpot intrinsifies the MD5 compress
+    // (JDK-8250902), so a hand-rolled Java single-block compress
+    // measured SLOWER here (53.9 vs 49.3 s; rejected — see the note
+    // above md5Hex). What this loop does avoid is the per-gram garbage
+    // the old form paid: digest lands in one of two REUSED 16-byte
+    // buffers (digest(buf, 0, 16) — no fresh array per call), the
+    // running minimum is the RAW digest compared unsigned (hex is
+    // nibble-monotone, so unsigned byte order IS hex-lexicographic
+    // order), and the winner is hex-encoded once at the end — no
+    // 32-byte hex buffer, encode, or compare per gram.
     val md = digest.get()
     val gram = new Array[Byte](width)
+    var cur = new Array[Byte](16)
     var min: Array[Byte] = null
     var i = 0
+    // all-ASCII document (bytes == code points — the overwhelming
+    // case): grams are byte slices of the UTF8String's own buffer, so
+    // the loop is update(bytes, i, width) with no per-gram copy and no
+    // codePoints round-trip
+    val asciiDoc = s.numBytes == n
+    val raw = if (asciiDoc) s.getBytes else null
     while (i + width <= n) {
-      var j = 0
-      var ascii = true
-      while (j < width && ascii) {
-        val cp = cps(i + j)
-        if (cp < 128) gram(j) = cp.toByte else ascii = false
-        j += 1
-      }
       md.reset()
-      val d =
-        if (ascii) md.digest(gram)
-        else md.digest(new String(cps, i, width)
+      if (asciiDoc) md.update(raw, i, width)
+      else {
+        var j = 0
+        var ascii = true
+        while (j < width && ascii) {
+          val cp = cps(i + j)
+          if (cp < 128) gram(j) = cp.toByte else ascii = false
+          j += 1
+        }
+        if (ascii) md.update(gram)
+        else md.update(new String(cps, i, width)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val out = new Array[Byte](32)
-      var k = 0
-      while (k < 16) {
-        out(2 * k) = Hex((d(k) >> 4) & 0xf)
-        out(2 * k + 1) = Hex(d(k) & 0xf)
-        k += 1
       }
-      if (min == null || java.util.Arrays.compare(out, min) < 0) min = out
+      md.digest(cur, 0, 16)
+      if (min == null) { min = cur; cur = new Array[Byte](16) }
+      else if (java.util.Arrays.compareUnsigned(cur, min) < 0) {
+        val t = min; min = cur; cur = t
+      }
       i += 1
     }
-    UTF8String.fromBytes(min)
+    val out = new Array[Byte](32)
+    var k = 0
+    while (k < 16) {
+      out(2 * k) = Hex((min(k) >> 4) & 0xf)
+      out(2 * k + 1) = Hex(min(k) & 0xf)
+      k += 1
+    }
+    UTF8String.fromBytes(out)
   }
 
   /** 8 slice-minima of md5 hex over 3-word shingles (see MinhashSlices

@@ -207,7 +207,13 @@ object LdapLog {
 /** Typed AWS VPC Flow Log connector (ref: src/connectors/aws_flow_log
   * .py LANDING_TABLE_COLUMNS, lines 48-63): the default
   * space-separated v2 flow-log format parsed into the landing shape,
-  * with '-' placeholders nulled like the reference's NULL_IF. */
+  * with '-' placeholders nulled like the reference's NULL_IF. The
+  * reference's connect() also lands `data.network_protocol_mapping`
+  * from protocol_table.csv next to the flow-log table (aws_flow_log
+  * .py:65-72, 109-111 — PROTOCOL_MAPPING_TABLE_COLUMNS) so rules can
+  * name protocols instead of IANA numbers; [[landProtocolMapping]] is
+  * that dimension lander and [[withProtocolNames]] the enrichment
+  * view (a ≤256-row dim — always broadcast). */
 object AwsFlowLog {
 
   private val FlowPattern =
@@ -236,6 +242,41 @@ object AwsFlowLog {
       col("action"),
       col("log_status"))
   }
+
+  /** The IANA protocol-number dimension (ref PROTOCOL_MAPPING_TABLE_
+    * COLUMNS: PROTOCOL_ID / PROTOCOL_KEYWORD / PROTOCOL_NAME /
+    * PROTOCOL_IPV6_EXTENSION_HEADER). The source CSV marks the ipv6
+    * flag Y/N (protocol_table.csv), which Snowflake's BOOLEAN ingest
+    * accepts but Spark's CSV reader does not — read it as a string
+    * and map {Y,N} explicitly; empty cells null like the reference's
+    * NULL_IF=(''). */
+  private val mappingRawSchema: StructType = StructType(Seq(
+    StructField("protocol_id", LongType),
+    StructField("protocol_keyword", StringType),
+    StructField("protocol_name", StringType),
+    StructField("ipv6_ext_raw", StringType)))
+
+  def landProtocolMapping(spark: SparkSession, path: String): DataFrame =
+    Connectors.csvInventory(spark, path, mappingRawSchema)
+      .select(
+        col("protocol_id"),
+        col("protocol_keyword"),
+        col("protocol_name"),
+        when(upper(col("ipv6_ext_raw")) === "Y", lit(true))
+          .when(upper(col("ipv6_ext_raw")) === "N", lit(false))
+          .otherwise(lit(null).cast("boolean"))
+          .as("protocol_ipv6_extension_header"))
+
+  /** Enrichment view: flow rows joined to the protocol dimension on
+    * PROTOCOL = PROTOCOL_ID. Left join (unknown/nulled protocol keeps
+    * the row) with the dimension broadcast — the mapping is the full
+    * 8-bit IANA space at most, never worth a shuffle at any scale. */
+  def withProtocolNames(flows: DataFrame, mapping: DataFrame): DataFrame =
+    flows.join(
+      broadcast(mapping),
+      flows("protocol") === mapping("protocol_id"),
+      "left")
+      .drop("protocol_id")
 }
 
 /** Typed Meraki device-snapshot connector (ref:

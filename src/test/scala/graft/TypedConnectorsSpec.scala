@@ -193,6 +193,47 @@ class TypedConnectorsSpec extends SparkSuite {
     assert(nodata.isNullAt(nodata.fieldIndex("bytes")))
   }
 
+  test("network protocol mapping lands the reference dimension and " +
+      "enriches flow rows") {
+    // ref aws_flow_log.py PROTOCOL_MAPPING_TABLE_COLUMNS + the
+    // protocol_table.csv Y/N boolean encoding and NULL_IF('')
+    val dim = tmpFile("protocols.csv",
+      """Decimal,Keyword,Protocol,IPv6 Extension Header
+        |1,ICMP,Internet Control Message,N
+        |6,TCP,Transmission Control,N
+        |43,IPv6-Route,Routing Header for IPv6,Y
+        |146,,,
+        |""".stripMargin)
+    val mapping = graft.sources.AwsFlowLog.landProtocolMapping(spark, dim)
+    assert(mapping.columns.toSeq == Seq("protocol_id", "protocol_keyword",
+      "protocol_name", "protocol_ipv6_extension_header"))
+    val tcp = mapping.filter(col("protocol_id") === 6L).head
+    assert(tcp.getAs[String]("protocol_keyword") == "TCP")
+    assert(!tcp.getAs[Boolean]("protocol_ipv6_extension_header"))
+    assert(mapping.filter(col("protocol_id") === 43L).head
+      .getAs[Boolean]("protocol_ipv6_extension_header"))
+    val blank = mapping.filter(col("protocol_id") === 146L).head
+    assert(blank.isNullAt(blank.fieldIndex("protocol_keyword")))
+    assert(blank.isNullAt(
+      blank.fieldIndex("protocol_ipv6_extension_header")))
+
+    // joined view: protocol numbers resolve to names; '-'-nulled rows
+    // survive the left join unresolved
+    val flows = tmpFile("flow2.log",
+      """2 111122223333 eni-abc123 10.0.0.1 10.0.0.2 443 49152 6 10 840 1704103200 1704103260 ACCEPT OK
+        |2 111122223333 eni-abc123 - - - - - - - 1704103200 1704103260 - NODATA
+        |""".stripMargin)
+    val joined = graft.sources.AwsFlowLog.withProtocolNames(
+      graft.sources.AwsFlowLog.land(spark, flows), mapping)
+    assert(joined.count() == 2)
+    assert(joined.filter(col("log_status") === "OK").head
+      .getAs[String]("protocol_keyword") == "TCP")
+    val un = joined.filter(col("log_status") === "NODATA").head
+    assert(un.isNullAt(un.fieldIndex("protocol_keyword")))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "the dimension must broadcast")
+  }
+
   test("meraki device snapshot lands typed landing columns") {
     val path = tmpFile("meraki.jsonl",
       """{"serial":"Q2XX-1","address":"HQ","name":"sw1","networkId":"N_1","model":"MS220","mac":"aa:bb","lanIp":"10.0.0.5","tags":"core","lng":-122.1,"lat":37.4}
