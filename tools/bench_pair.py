@@ -82,6 +82,30 @@ def main():
     with open(os.path.join(REPO, bench_out)) as fh:
         bench = json.load(fh)
 
+    # Early abort (opt-in via BENCH_PAIR_ABORT_STEAL_PCT): if the graft
+    # side ALREADY blew the calm budget, pair_when_calm.sh is going to
+    # reject the attempt no matter what the oracle side reads — skip
+    # the (long) DuckDB run and the artifact/MD writes, emit a summary
+    # the gate's grep can parse, and let the loop retry ~25 min sooner.
+    # A storm-wasted docs-1000x attempt costs the DuckDB side ~23 min;
+    # this turns that into zero.
+    abort_pct = os.environ.get("BENCH_PAIR_ABORT_STEAL_PCT")
+    if abort_pct:
+        hz = os.sysconf("SC_CLK_TCK")
+        gsteal = (s1 - s0) / hz
+        gwall = t1 - t0
+        if gsteal > float(abort_pct) / 100.0 * gwall:
+            summary = {"graft_s": bench["value"], "duckdb_s": None,
+                       "ratio": None, "aborted": "graft steal over budget",
+                       "steal": {"graft_s": round(gsteal, 2),
+                                 "graft_wall_s": round(gwall, 1)},
+                       "sf": sf_dir, "label": label}
+            print(json.dumps(summary))
+            print(f"[bench_pair] ABORT: graft steal {gsteal:.1f} s > "
+                  f"{abort_pct}% of {gwall:.1f} s wall — duckdb side "
+                  f"skipped", file=sys.stderr)
+            return
+
     # 2. oracle SQL dump (cheap, sf0.001) unless supplied
     if oracle is None:
         run(["sbt", "-batch",
