@@ -26,17 +26,27 @@ for i in $(seq 1 "$ATTEMPTS"); do
   echo "[calm-gate] attempt $i launching" >> "$LOG"
   python3 tools/bench_pair.py "$@" >> "$LOG" 2>&1
   line=$(grep '"graft_s"' "$LOG" | tail -1)
+  # BOTH sides must be calm: a storm that lands on the ORACLE side
+  # inflates the DuckDB column and fabricates a graft win the repo
+  # would then commit (observed round 20: a graft-clean headline
+  # attempt read 0.92x only because the oracle ate 49 s of steal on a
+  # 48 s wall). Proportional budgets apply per side, each against its
+  # own wall; an early-aborted attempt has no duckdb fields and fails
+  # the gate on the graft side alone.
   ok=$(echo "$line" | BUDGET="$BUDGET" python3 -c '
 import json, os, sys
 s = json.loads(sys.stdin.read())["steal"]
 b = os.environ["BUDGET"]
-if b.endswith("%"):
-    limit = float(b[:-1]) / 100.0 * s.get("graft_wall_s", 0)
-else:
-    limit = float(b)
-print(1 if s["graft_s"] <= limit else 0)')
-  gsteal=$(echo "$line" | python3 -c 'import json,sys; print(json.loads(sys.stdin.read())["steal"]["graft_s"])')
-  echo "[calm-gate] attempt $i graft_steal=$gsteal budget=$BUDGET ok=$ok" >> "$LOG"
+def lim(wall):
+    if b.endswith("%"):
+        return float(b[:-1]) / 100.0 * wall
+    return float(b)
+g_ok = s["graft_s"] <= lim(s.get("graft_wall_s", 0))
+d_ok = ("duckdb_s" not in s
+        or s["duckdb_s"] <= lim(s.get("duckdb_wall_s", 0)))
+print(1 if g_ok and d_ok else 0)')
+  gsteal=$(echo "$line" | python3 -c 'import json,sys; s=json.loads(sys.stdin.read())["steal"]; print(s["graft_s"], s.get("duckdb_s", "-"))')
+  echo "[calm-gate] attempt $i graft/duckdb_steal=$gsteal budget=$BUDGET ok=$ok" >> "$LOG"
   if [ "$ok" = "1" ]; then echo "CLEAN: $line"; exit 0; fi
 done
 echo "EXHAUSTED: $line"
