@@ -175,14 +175,39 @@ object Dedup {
     * id. Public so any pair source (simhash, embedding) composes. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val Seq(a, b) = pairs.columns.toSeq.take(2)
-    val edges = pairs.select(col(a), col(b))
-      .union(pairs.select(col(b), col(a)))
-      .toDF("src", "dst")
+    // symmetrize via a row-local explode, NOT a union of two selects:
+    // the union's two branches are two full instances of the upstream
+    // pair pipeline (lshPairs' candidate join + verify) in the ONE
+    // materialize action — Catalyst does not merge sibling subtrees,
+    // and AQE exchange reuse only dedups up to the last exchange, so
+    // the verify projection ran twice (r21 plan audit). One explode
+    // emits both directions from a single pass.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(a).as("src"), col(b).as("dst")),
+        struct(col(b).as("src"), col(a).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .transform(graft.Materialize.frame) // pairs pipeline runs once, not per round
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
-    var converged = false
-    var rounds = 0
+    // Round 1 FUSED: against the identity labeling the first propagation
+    // round's edge⋈labels join is a no-op (each neighbor's label IS its
+    // id), so labels-after-round-1 collapse to one aggregation —
+    // least(node, min(neighbor)) — and the init distinct + the first
+    // |edges| join (two exchanges of the edge set) never plan. Identical
+    // state and convergence count to the unfused round 1 by construction
+    // (every node has ≥1 neighbor in the symmetrized edge list, so the
+    // old left join was total).
+    val obs1 = org.apache.spark.sql.Observation(
+      s"cc_seed_${System.nanoTime()}")
+    var labels = graft.Materialize.frame(
+      edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("__nb"))
+        .select(col("src").as("doc_id"),
+          least(col("src"), col("__nb")).as("cluster"),
+          (col("__nb") < col("src")).as("__changed"))
+        .observe(obs1, count_if(col("__changed")).as("n")))
+    var converged = obs1.get("n").asInstanceOf[Long] == 0L
+    labels = labels.drop("__changed")
+    var rounds = 1
     val maxRounds = 20
     while (!converged && rounds < maxRounds) {
       val nbrMin = edges
@@ -278,21 +303,30 @@ object Dedup {
     * aggregate form exploded one row per token and evaluated 32
     * substr/instr trees per token. Output matches the explode
     * formulation bit-for-bit (spec-pinned). */
-  def simhash(s: SparkSession, dir: String): DataFrame =
+  /** The unsorted signature projection behind [[simhash]]/[[simhashPairs]]:
+    * the pair query must compose THIS, not the presentation-sorted
+    * [[simhash]] — EliminateSorts cannot see a Sort through the banding
+    * Generate, so the r20 plan range-shuffled + sorted the full
+    * signature table on BOTH self-join sides for an ordering nothing
+    * consumed (plan audit r21: 2 of q_simhash_pairs' 3
+    * rangepartitioning exchanges were this). */
+  private def simhashSig(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       // the aggregate form DROPPED null-text docs (explode of a null
       // array); keep that contract
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         graft.functions.hashes.simHash32(col("text")).as("simhash32"))
-      .orderBy(col("doc_id"))
+
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashSig(s, dir).orderBy(col("doc_id"))
 
   /** #30b SimHash near-dup PAIRS: band the 32-bit signature into 4×8-bit
     * keys (hamming ≤ 3 guarantees ≥1 identical band), bucket-join on
     * (band, key) — candidate pairs only — then exact hamming filter
     * bit_count(xor) ≤ 3. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhash(s, dir)
+    val sig = simhashSig(s, dir)
     val keyed = dropHotBuckets(sig
       .select(col("doc_id"), col("simhash32"),
         explode(expr("sequence(0, 3)")).as("band"))

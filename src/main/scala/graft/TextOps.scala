@@ -481,7 +481,12 @@ object TextOps {
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("f"))
       .select(col("source"), symString(col("word")).as("w"), col("f"))
       .transform(graft.Materialize.frame)
+    // materialize the GLOBAL vocab once (the bpeTrain precedent): left
+    // lazy, every one of the `merges` learn steps replays the census→
+    // vocab rollup — one redundant |census|-row exchange per merge
+    // (8 here, 32k in a production vocabulary build)
     val vocab = census.groupBy(col("w")).agg(sum(col("f")).as("f"))
+      .transform(graft.Materialize.frame)
     val learned = bpeLearnLoop(vocab, merges)._1
     val applied = learned.foldLeft(col("w")) { case (c, (_, a, b, _, _)) =>
       applyMerge(c, a, b)

@@ -71,15 +71,20 @@ def main():
     mark_end = f"<!-- bench-pair:{mark}:end -->" if mark else MARK_END
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
-    # 1. graft suite (steal-sampled)
+    # 1. graft suite (steal-sampled). The bench writes to a TEMP file;
+    # the committed bench_out is only replaced after the whole pair
+    # completes — an aborted or crashed attempt must never clobber the
+    # committed BENCH.json while BASELINE.md/duck_out keep the old pair
+    # (the structural cause of the round-20 artifact tear).
+    bench_tmp = bench_out + ".pairtmp"
     genv = {"SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32",
-            "SPARK_GRAFT_BENCH_OUT": bench_out}
+            "SPARK_GRAFT_BENCH_OUT": bench_tmp}
     if only:
         genv["SPARK_GRAFT_BENCH_ONLY"] = only
     s0, t0 = steal_jiffies(), time.time()
     run(["sbt", "-batch", "runMain graft.Bench"], env=genv)
     s1, t1 = steal_jiffies(), time.time()
-    with open(os.path.join(REPO, bench_out)) as fh:
+    with open(os.path.join(REPO, bench_tmp)) as fh:
         bench = json.load(fh)
 
     # Early abort (opt-in via BENCH_PAIR_ABORT_STEAL_PCT): if the graft
@@ -103,7 +108,8 @@ def main():
             print(json.dumps(summary))
             print(f"[bench_pair] ABORT: graft steal {gsteal:.1f} s > "
                   f"{abort_pct}% of {gwall:.1f} s wall — duckdb side "
-                  f"skipped", file=sys.stderr)
+                  f"skipped; {bench_out} left untouched", file=sys.stderr)
+            os.remove(os.path.join(REPO, bench_tmp))
             return
 
     # 2. oracle SQL dump (cheap, sf0.001) unless supplied
@@ -125,6 +131,9 @@ def main():
     duck = json.loads(duck_raw.strip().splitlines()[-1])
     with open(os.path.join(REPO, duck_out), "w") as fh:
         fh.write(json.dumps(duck) + "\n")
+    # both sides completed — promote the graft artifact atomically so
+    # bench_out and duck_out always describe the same pair
+    os.replace(os.path.join(REPO, bench_tmp), os.path.join(REPO, bench_out))
 
     hz = os.sysconf("SC_CLK_TCK")
     # wall per side lets the calm gate judge steal PROPORTIONALLY

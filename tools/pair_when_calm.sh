@@ -14,6 +14,7 @@ set -u
 ATTEMPTS=$1; BUDGET=$2; LOG=$3; shift 3
 [ "$1" = "--" ] && shift
 steal() { awk '/^cpu /{print $9}' /proc/stat; }
+line=""
 for i in $(seq 1 "$ATTEMPTS"); do
   # wait for 2 consecutive calm 30s windows (< 30 jiffies each)
   calm=0
@@ -24,26 +25,41 @@ for i in $(seq 1 "$ATTEMPTS"); do
     echo "[calm-gate] window steal=$d calm=$calm" >> "$LOG"
   done
   echo "[calm-gate] attempt $i launching" >> "$LOG"
-  python3 tools/bench_pair.py "$@" >> "$LOG" 2>&1
-  line=$(grep '"graft_s"' "$LOG" | tail -1)
+  # capture THIS attempt's stdout separately: grepping the cumulative
+  # log re-evaluates the PREVIOUS attempt's summary when the current
+  # bench_pair.py crashes before printing one
+  out=$(mktemp /tmp/pair_attempt.XXXXXX)
+  python3 tools/bench_pair.py "$@" > "$out" 2>> "$LOG"
+  cat "$out" >> "$LOG"
+  line=$(grep '"graft_s"' "$out" | tail -1)
+  rm -f "$out"
+  if [ -z "$line" ]; then
+    echo "[calm-gate] attempt $i crashed (no summary) — rejected" >> "$LOG"
+    continue
+  fi
   # BOTH sides must be calm: a storm that lands on the ORACLE side
   # inflates the DuckDB column and fabricates a graft win the repo
   # would then commit (observed round 20: a graft-clean headline
   # attempt read 0.92x only because the oracle ate 49 s of steal on a
   # 48 s wall). Proportional budgets apply per side, each against its
-  # own wall; an early-aborted attempt has no duckdb fields and fails
-  # the gate on the graft side alone.
+  # own wall. An ABORTED attempt (early graft-steal abort: no duckdb
+  # fields, nothing written) always fails the gate, independent of the
+  # thresholds — d_ok must never pass vacuously on a half pair.
   ok=$(echo "$line" | BUDGET="$BUDGET" python3 -c '
 import json, os, sys
-s = json.loads(sys.stdin.read())["steal"]
+j = json.loads(sys.stdin.read())
+if "aborted" in j:
+    print(0)
+    sys.exit()
+s = j["steal"]
 b = os.environ["BUDGET"]
 def lim(wall):
     if b.endswith("%"):
         return float(b[:-1]) / 100.0 * wall
     return float(b)
 g_ok = s["graft_s"] <= lim(s.get("graft_wall_s", 0))
-d_ok = ("duckdb_s" not in s
-        or s["duckdb_s"] <= lim(s.get("duckdb_wall_s", 0)))
+d_ok = (s.get("duckdb_s") is not None
+        and s["duckdb_s"] <= lim(s.get("duckdb_wall_s", 0)))
 print(1 if g_ok and d_ok else 0)')
   gsteal=$(echo "$line" | python3 -c 'import json,sys; s=json.loads(sys.stdin.read())["steal"]; print(s["graft_s"], s.get("duckdb_s", "-"))')
   echo "[calm-gate] attempt $i graft/duckdb_steal=$gsteal budget=$BUDGET ok=$ok" >> "$LOG"
