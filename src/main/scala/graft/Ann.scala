@@ -132,6 +132,12 @@ object Ann {
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine",
         Num.r4(graft.functions.vec.cosine(col("v"), col("pv"))))
+      // range-partition on the window key: the per-probe top-k window
+      // clusters on probe_id and the presentation sort (probe_id, rn)
+      // extends it, so one exchange serves both (guide §2.4; the
+      // q_running_window rework) — the candidate set is already
+      // bucket-pruned, so the range sampler's extra pass is trivial
+      .repartitionByRange(col("probe_id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("cosine").desc, col("vec_id"))))
@@ -150,15 +156,28 @@ object Ann {
   def ivfAnn(s: SparkSession, dir: String, probeId: Long = 0L,
       k: Int = 5): DataFrame = {
     val e = withV(t(s, dir, "embeddings"))
+    // per-label mean vector via ONE VectorSum aggregate (D-length
+    // buffer, map-side combined) — the same kernel as [[centroids]] and
+    // [[kmeans]]; the previous posexplode(v)→groupBy(label,pos) build
+    // multiplied every corpus row D× BEFORE its exchange (the shape
+    // §5 bans and VectorExpressions.scala documents) and then needed a
+    // second aggregate + sort_array to reassemble the vector. The per-
+    // dimension rounding is the Num.r4 half-away-from-zero floor form
+    // spelled into the lambda (SQL round() goes through BigDecimal and
+    // disagrees at half-way representations), so the assignment argmax
+    // is unchanged.
     val cents = broadcast(
-      e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos"))
-        .agg(Num.r4(avg(col("x"))).as("cr"))
+      e.filter(col("v").isNotNull)
         .groupBy(col("label"))
-        .agg(expr(
-          "transform(sort_array(collect_list(struct(pos, cr))), s -> s.cr)")
-          .as("cvec"))
-        .select(col("label").as("cell"), col("cvec")))
+        .agg(graft.functions.vec.vectorSum(col("v")).as("__vs"),
+          // count(v), not count(*): VectorSum skips null arrays, so
+          // the divisor must count the same rows the numerator summed
+          count(col("v")).as("__n"))
+        .select(col("label").as("cell"),
+          expr("""transform(__vs, x -> IF(x / __n < 0,
+            | -(floor((-x / __n) * 10000d + 0.5d) / 10000d),
+            | floor((x / __n) * 10000d + 0.5d) / 10000d))""".stripMargin)
+            .as("cvec")))
     // argmax via min_by aggregation (map-side combined), NOT a
     // row_number window: a window here would sort+shuffle every
     // (vector × centroid) row just to take one per vector — a real

@@ -94,6 +94,13 @@ object CoreSql {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      // range-partition on the window key up front: one exchange serves
+      // both the ranking window and the (o_custkey, rn)-prefixed
+      // presentation sort — the old plan re-range-exchanged the whole
+      // window output for the final orderBy (guide §2.4; the
+      // q_running_window rework, same shape)
+      .repartitionByRange(col("o_custkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
@@ -163,6 +170,14 @@ object CoreSql {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     t(s, dir, "events")
       .select(col("user_id"), col("event_id"), col("value"))
+      // range-partition on the window key BEFORE the window: range
+      // partitioning clusters equal keys like the hash exchange the
+      // window would otherwise insert, and the final presentation sort
+      // (user_id, event_id) is a prefix-compatible extension of it, so
+      // ONE exchange serves both window and orderBy (guide §2.4) — the
+      // old plan hash-exchanged for the window and then range-exchanged
+      // + fully re-sorted the whole output again for presentation
+      .repartitionByRange(col("user_id"))
       .withColumn("running_value",
         Num.r4(sum(col("value"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))

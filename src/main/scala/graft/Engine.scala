@@ -221,7 +221,13 @@ object Engine {
     }),
 
     "q_alert_correlate" -> ((s, dir) =>
-      RuleEngine.correlate(alerts(s, dir), gapMinutes = 60)
+      // range-partition on the window key up front: the correlate
+      // window clusters on actor and the presentation sort (actor,
+      // event_time_s, alert_id) is exactly the window's local sort, so
+      // ONE exchange serves both and the final global re-sort of the
+      // whole output never plans (guide §2.4; q_running_window rework)
+      RuleEngine.correlate(alerts(s, dir).repartitionByRange(col("actor")),
+          gapMinutes = 60)
         .select(col("alert_id"), col("actor"), col("action"),
           col("event_time_s"), col("chain_seq"), col("correlation_id"))
         .orderBy(col("actor"), col("event_time_s"), col("alert_id"))),
