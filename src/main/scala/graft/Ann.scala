@@ -153,31 +153,36 @@ object Ann {
     * counterpart of the hyperplane-LSH path. Centroids are broadcast;
     * the assignment pass is linear (n × K fused-cosine evals); the
     * rerank touches one cell. */
+  /** Per-label mean vectors for [[ivfAnn]] via ONE VectorSum aggregate
+    * (D-length buffer, map-side combined) — the same kernel as
+    * [[centroids]] and [[kmeans]]; the previous
+    * posexplode(v)→groupBy(label,pos) build multiplied every corpus row
+    * D× BEFORE its exchange (the shape §5 bans and
+    * VectorExpressions.scala documents) and then needed a second
+    * aggregate + sort_array to reassemble the vector. The per-dimension
+    * rounding is the Num.r4 half-away-from-zero floor form spelled into
+    * the lambda (SQL round() goes through BigDecimal and disagrees at
+    * half-way representations), so the assignment argmax is unchanged.
+    * Package-private so PlanShapeSpec pins the kernel on the stage
+    * where it runs — the final ivfAnn plan only shows the assignment
+    * checkpoint's `Scan ExistingRDD` (the spanDocGrams precedent). */
+  private[graft] def ivfCentroids(e: DataFrame): DataFrame =
+    e.filter(col("v").isNotNull)
+      .groupBy(col("label"))
+      .agg(graft.functions.vec.vectorSum(col("v")).as("__vs"),
+        // count(v), not count(*): VectorSum skips null arrays, so
+        // the divisor must count the same rows the numerator summed
+        count(col("v")).as("__n"))
+      .select(col("label").as("cell"),
+        expr("""transform(__vs, x -> IF(x / __n < 0,
+          | -(floor((-x / __n) * 10000d + 0.5d) / 10000d),
+          | floor((x / __n) * 10000d + 0.5d) / 10000d))""".stripMargin)
+          .as("cvec"))
+
   def ivfAnn(s: SparkSession, dir: String, probeId: Long = 0L,
       k: Int = 5): DataFrame = {
     val e = withV(t(s, dir, "embeddings"))
-    // per-label mean vector via ONE VectorSum aggregate (D-length
-    // buffer, map-side combined) — the same kernel as [[centroids]] and
-    // [[kmeans]]; the previous posexplode(v)→groupBy(label,pos) build
-    // multiplied every corpus row D× BEFORE its exchange (the shape
-    // §5 bans and VectorExpressions.scala documents) and then needed a
-    // second aggregate + sort_array to reassemble the vector. The per-
-    // dimension rounding is the Num.r4 half-away-from-zero floor form
-    // spelled into the lambda (SQL round() goes through BigDecimal and
-    // disagrees at half-way representations), so the assignment argmax
-    // is unchanged.
-    val cents = broadcast(
-      e.filter(col("v").isNotNull)
-        .groupBy(col("label"))
-        .agg(graft.functions.vec.vectorSum(col("v")).as("__vs"),
-          // count(v), not count(*): VectorSum skips null arrays, so
-          // the divisor must count the same rows the numerator summed
-          count(col("v")).as("__n"))
-        .select(col("label").as("cell"),
-          expr("""transform(__vs, x -> IF(x / __n < 0,
-            | -(floor((-x / __n) * 10000d + 0.5d) / 10000d),
-            | floor((x / __n) * 10000d + 0.5d) / 10000d))""".stripMargin)
-            .as("cvec")))
+    val cents = broadcast(ivfCentroids(e))
     // argmax via min_by aggregation (map-side combined), NOT a
     // row_number window: a window here would sort+shuffle every
     // (vector × centroid) row just to take one per vector — a real

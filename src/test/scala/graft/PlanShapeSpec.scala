@@ -296,4 +296,50 @@ class PlanShapeSpec extends SparkSuite {
     assert(!w.substring(1, math.min(w.length, 400)).contains("word#"),
       "ntile windows the token stream")
   }
+
+  test("simhash pairs never sort the signature table for presentation") {
+    // simhashPairs must compose the UNSORTED signature projection:
+    // composing the presentation-sorted simhash() leaves a Sort that
+    // EliminateSorts cannot see through the banding Generate, range-
+    // shuffling the full signature table on both self-join sides (r21
+    // plan audit: 3 rangepartitioning exchanges, 2 of them this). Only
+    // the final orderBy(doc_a, doc_b) may range-partition.
+    val plan = planOf("q_simhash_pairs")
+    val ranges = "rangepartitioning".r.findAllIn(plan).size
+    assert(ranges == 1, s"q_simhash_pairs has $ranges range exchanges:\n$plan")
+  }
+
+  test("window queries share one exchange with their presentation sort") {
+    // the window clusters on K and the output is presented ordered by a
+    // K-prefixed key, so ONE range exchange on K serves both (guide
+    // §2.4); a second exchange means the repartitionByRange rewrite was
+    // dropped and the whole window output is re-shuffled for the sort
+    for (q <- Seq("q_running_window", "q_topk_window", "q_alert_correlate",
+        "q_ann_batch")) {
+      val plan = planOf(q)
+      // tree text lists parents before children: anything ABOVE the
+      // topmost Window (= before it in the string) must be exchange-free
+      val aboveWindow = plan.substring(0, plan.indexOf("Window"))
+      assert(!aboveWindow.contains("Exchange"),
+        s"$q re-exchanges above its window:\n$plan")
+      val ranges = "rangepartitioning".r.findAllIn(plan).size
+      assert(ranges <= 1, s"$q has $ranges range exchanges")
+    }
+  }
+
+  test("IVF centroids aggregate vectors, never posexplode the corpus") {
+    // the per-label mean must be ONE VectorSum aggregate (D-length
+    // buffer, map-side combined); posexplode(v) before the aggregation
+    // multiplies every corpus row by the vector width ahead of its
+    // exchange (the r9 3.4x lesson). Pinned on the centroid STAGE — the
+    // final q_ann_ivf plan hides it behind the assignment checkpoint.
+    val e = Tables.t(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val plan = Ann.ivfCentroids(e).queryExecution.executedPlan.toString
+    assert(plan.contains("vector_sum"),
+      "ivfCentroids lost the VectorSum kernel")
+    assert(!plan.contains("posexplode") && !plan.contains("Generate"),
+      "ivfCentroids regressed to the posexplode build")
+  }
 }
