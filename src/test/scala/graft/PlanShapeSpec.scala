@@ -317,6 +317,9 @@ class PlanShapeSpec extends SparkSuite {
     for (q <- Seq("q_running_window", "q_topk_window", "q_alert_correlate",
         "q_ann_batch")) {
       val plan = planOf(q)
+      // a refactor that drops the Window node entirely must fail READABLY,
+      // not as substring(0, -1) throwing StringIndexOutOfBounds
+      assert(plan.contains("Window"), s"$q has no Window node:\n$plan")
       // tree text lists parents before children: anything ABOVE the
       // topmost Window (= before it in the string) must be exchange-free
       val aboveWindow = plan.substring(0, plan.indexOf("Window"))
@@ -341,5 +344,30 @@ class PlanShapeSpec extends SparkSuite {
       "ivfCentroids lost the VectorSum kernel")
     assert(!plan.contains("posexplode") && !plan.contains("Generate"),
       "ivfCentroids regressed to the posexplode build")
+  }
+
+  test("ivfCentroids rounding lambda equals Num.r4 at half-way boundaries") {
+    // the half-away-from-zero floor form is spelled into the transform
+    // lambda as a SQL string (a Column-level Num.r4 can't run inside a
+    // higher-order function); this pin ties the two together so a future
+    // Num.r4 change cannot silently drift the centroid surface. The
+    // values are the exact IEEE half-way representations where
+    // BigDecimal-based round() disagrees.
+    import spark.implicits._
+    val xs = Seq(0.53575, -0.53575, 0.00005, -0.00005,
+      1.00005, -1.00005, 0.12345, -0.12345, 2.5e-5, 0.0)
+    // one single-element vector per label: the per-label mean is x itself,
+    // so cvec(0) is exactly the lambda applied to x
+    val e = xs.zipWithIndex
+      .map { case (x, i) => (i.toLong, i.toLong, Seq(x)) }
+      .toDF("vec_id", "label", "v")
+    val got = Ann.ivfCentroids(e)
+      .select(col("cell"), col("cvec").getItem(0).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = xs.zipWithIndex.map { case (x, i) =>
+      i.toLong -> Seq(x).toDF("x").select(Num.r4(col("x"))).head.getDouble(0)
+    }.toMap
+    assert(got == want,
+      s"ivfCentroids lambda drifted from Num.r4:\ngot  $got\nwant $want")
   }
 }

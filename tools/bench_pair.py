@@ -129,11 +129,14 @@ def main():
         cwd=REPO, check=True, capture_output=True, text=True).stdout
     s3, t3 = steal_jiffies(), time.time()
     duck = json.loads(duck_raw.strip().splitlines()[-1])
-    with open(os.path.join(REPO, duck_out), "w") as fh:
+    # duck side ALSO goes to a temp file: writing it to its final path
+    # here would reopen the tear window this tool exists to close (a
+    # crash before the graft promotion would pair a NEW duck_out with
+    # the OLD bench_out). Both artifacts are promoted together after
+    # the BASELINE.md block update at the end.
+    duck_tmp = duck_out + ".pairtmp"
+    with open(os.path.join(REPO, duck_tmp), "w") as fh:
         fh.write(json.dumps(duck) + "\n")
-    # both sides completed — promote the graft artifact atomically so
-    # bench_out and duck_out always describe the same pair
-    os.replace(os.path.join(REPO, bench_tmp), os.path.join(REPO, bench_out))
 
     hz = os.sysconf("SC_CLK_TCK")
     # wall per side lets the calm gate judge steal PROPORTIONALLY
@@ -189,6 +192,13 @@ def main():
     else:
         print(f"[bench_pair] markers not found in {md} (or --dry) — "
               f"block:\n{block}", file=sys.stderr)
+
+    # promote both JSON artifacts back to back, last: bench_out,
+    # duck_out and the MD block now always describe ONE pair, with the
+    # crash window reduced to the instant between the two renames.
+    os.replace(os.path.join(REPO, bench_tmp), os.path.join(REPO, bench_out))
+    os.replace(os.path.join(REPO, duck_tmp), os.path.join(REPO, duck_out))
+    print(f"[bench_pair] promoted {bench_out} + {duck_out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
