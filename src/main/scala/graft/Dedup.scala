@@ -128,15 +128,34 @@ object Dedup {
     // hash set + the intersection array per candidate pair for a count
     // (candidates outnumber docs ~6x on a near-dup-heavy corpus;
     // measured 1.9 -> 1.2 s on the 10x verify stage).
+    lshPairsFrom(
+      docShFrame(t(s, dir, "documents")).transform(graft.Materialize.frame))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The per-doc signature state behind [[lshPairs]] (8-slice minhash +
+    * sorted shingle-hash set + count), as a plain projection over a
+    * documents frame — the caller materializes it (three consumers). */
+  private[graft] def docShFrame(docs: DataFrame): DataFrame = {
     val arr = graft.functions.hashes.minhashSlices(col("text"))
-    val docSh = t(s, dir, "documents")
+    docs
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id") +:
         ((0 until NumHashes).map(i => element_at(arr, i + 1).as(s"mh$i")) :+
           sort_array(graft.functions.hashes.distinctWordGramHashes(
             col("text"), 3, "xxhash64")).as("shs")): _*)
       .withColumn("nsh", size(col("shs")).cast("long"))
-      .transform(graft.Materialize.frame)
+  }
+
+  /** Candidate join + exact-Jaccard verify over a (materialized)
+    * [[docShFrame]] — UNSORTED. Composing consumers (cluster edge build,
+    * fuzzy decontamination) must use THIS: the presentation
+    * orderBy(doc_a, doc_b) in [[lshPairs]] survives below a downstream
+    * Generate (EliminateSorts cannot see through it — the r21
+    * simhash-pairs lesson), which range-shuffled + sorted the whole
+    * verified pair table inside the connected-components edge job for
+    * an ordering nothing consumed. */
+  private[graft] def lshPairsFrom(docSh: DataFrame): DataFrame = {
     val cand = lshCandidates(docSh)
     cand
       .join(docSh.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
@@ -151,7 +170,6 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
         col("nb"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** #28b near-dup CLUSTERS: connected components over the LSH
@@ -167,7 +185,10 @@ object Dedup {
     * collect. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     connectedComponents(
-      lshPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      lshPairsFrom(
+        docShFrame(t(s, dir, "documents"))
+          .transform(graft.Materialize.frame))
+        .select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
 
   /** Min-label propagation over an undirected (doc_a, doc_b) edge list:
@@ -387,10 +408,39 @@ object Dedup {
     * cluster's canonical (minimum-id) member. What survives is the
     * training corpus. */
   def corpusCuration(s: SparkSession, dir: String): DataFrame = {
-    val scored = TextOps.qualityScore(s, dir).select(col("doc_id"), col("score"))
-    val clusters = dedupClusters(s, dir)
-    scored
+    // ONE pass over the corpus text (guide §1.2): the quality score and
+    // the minhash/shingle signature state are computed in the same scan
+    // projection and checkpointed together, then BOTH branches — the
+    // score filter and the near-dup clustering — read the checkpoint.
+    // Before the fuse the query scanned documents.parquet twice (score
+    // branch + signature build) and, because the score filter was pushed
+    // below its projection, evaluated the full score formula twice per
+    // row. The signature kernels run under a clusterability guard (the
+    // same >= 3-token filter lshPairs applies BEFORE its kernels), and
+    // the raw 8-slice array is stored whole — band extraction is a
+    // trivial element_at over the checkpointed array per consumer, which
+    // also keeps the kernel out of repeated-CASE-WHEN codegen.
+    val cl = size(split(col("text"), " ")) >= 3
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.scoreCol(col("text")).as("score"),
+        cl.as("__cl"),
+        when(cl, graft.functions.hashes.minhashSlices(col("text")))
+          .as("__mh"),
+        when(cl, sort_array(graft.functions.hashes.distinctWordGramHashes(
+          col("text"), 3, "xxhash64"))).as("shs"))
+      .transform(graft.Materialize.frame)
+    val docSh = base.filter(col("__cl"))
+      .select(col("doc_id") +:
+        ((0 until NumHashes).map(i =>
+          element_at(col("__mh"), i + 1).as(s"mh$i")) :+
+          col("shs")): _*)
+      .withColumn("nsh", size(col("shs")).cast("long"))
+    val clusters = connectedComponents(
+      lshPairsFrom(docSh).select(col("doc_a"), col("doc_b")))
+    base
       .filter(col("score") >= 0.6)
+      .select(col("doc_id"), col("score"))
       .join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
       .select(col("doc_id"), col("score"))
@@ -408,7 +458,8 @@ object Dedup {
     * (train_doc, eval_doc). */
   def fuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val evalA = col("doc_a") % 50 === 0
-    lshPairs(s, dir)
+    lshPairsFrom(
+      docShFrame(t(s, dir, "documents")).transform(graft.Materialize.frame))
       .filter(evalA =!= (col("doc_b") % 50 === 0))
       .select(
         when(evalA, col("doc_b")).otherwise(col("doc_a")).as("train_doc"),

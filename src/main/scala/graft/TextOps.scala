@@ -35,6 +35,28 @@ object TextOps {
     * higher-order filter lambda evaluates interpreted and knocks the
     * whole fused projection out of whole-stage codegen, and the regex
     * digit strip pays a per-row regex engine. */
+  /** The [0,1] quality-score arithmetic over its input counts — ONE
+    * definition shared by [[qualityScore]] (which feeds it the columns
+    * it already computes, so the kernels run once and the plan is
+    * unchanged) and the corpus-curation fuse (which inlines the kernels
+    * into its single-scan projection); the two surfaces cannot drift. */
+  private[graft] def scoreExpr(nStop: Column, nTok: Column,
+      nDigit: Column, textLen: Column): Column =
+    Num.r4(
+      lit(0.4) * (nStop / nTok) +
+        lit(0.3) * (least(nTok, lit(100L)) / 100.0) +
+        lit(0.3) * (lit(1.0) - nDigit / textLen))
+
+  /** [[scoreExpr]] over raw text, for single-consumer call sites (the
+    * curation fuse) where no sibling column already carries the counts. */
+  private[graft] def scoreCol(text: Column): Column =
+    scoreExpr(
+      graft.functions.text.tokenInListCount(
+        text, Seq("the", "a", "of", "and")),
+      size(split(text, " ")).cast("long"),
+      graft.functions.text.digitCount(text),
+      length(text))
+
   def qualityScore(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
@@ -46,10 +68,8 @@ object TextOps {
       .withColumn("stop_ratio", Num.r4(col("n_stop") / col("n_tok")))
       .withColumn("digit_ratio",
         Num.r4(col("n_digit") / length(col("text"))))
-      .withColumn("score", Num.r4(
-        lit(0.4) * (col("n_stop") / col("n_tok")) +
-          lit(0.3) * (least(col("n_tok"), lit(100L)) / 100.0) +
-          lit(0.3) * (lit(1.0) - col("n_digit") / length(col("text")))))
+      .withColumn("score", scoreExpr(col("n_stop"), col("n_tok"),
+        col("n_digit"), length(col("text"))))
       .select(col("doc_id"), col("n_tok"), col("mean_tok_len"),
         col("stop_ratio"), col("digit_ratio"), col("score"))
       .orderBy(col("doc_id"))
