@@ -175,6 +175,13 @@ object CorpusOps {
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"),
         (conv(hashPrefix("pack", col("doc_id"), 6), 16, 10)
           .cast("long") % streams).as("stream"))
+      // one range exchange on the window key serves the cumulative
+      // window, the (stream, bin) aggregate (clustering on a superset
+      // of the partition key needs no new exchange — same as the hash
+      // exchange it replaces) AND the (stream, bin) presentation sort
+      // (guide §2.4; r21 q_running_window shape). Sampler input is the
+      // 3-column scan projection — cheap, per the r21 rejection rule.
+      .repartitionByRange(col("stream"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("bin", floor((col("cum") - col("n_tok")) / budget))
       .groupBy(col("stream"), col("bin"))
@@ -393,6 +400,14 @@ object CorpusOps {
       .partitionBy(col("source")).orderBy(capOrder, col("doc_id"))
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"))
+      // range-partition on the window key up front: one exchange serves
+      // both the ranking window and the (source, rk)-prefixed
+      // presentation sort — rk is monotone in the window order within
+      // each source, so the final sort is a within-partition extension
+      // (guide §2.4; the r21 q_topk_window shape). The range sampler
+      // only re-reads a 2-column scan projection, so the r21 rejection
+      // rule (no sampler above an expensive subtree) is respected.
+      .repartitionByRange(col("source"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= cap)
       .orderBy(col("source"), col("rk"))

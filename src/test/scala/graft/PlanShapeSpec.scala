@@ -315,7 +315,7 @@ class PlanShapeSpec extends SparkSuite {
     // §2.4); a second exchange means the repartitionByRange rewrite was
     // dropped and the whole window output is re-shuffled for the sort
     for (q <- Seq("q_running_window", "q_topk_window", "q_alert_correlate",
-        "q_ann_batch")) {
+        "q_ann_batch", "q_domain_cap", "q_seq_pack")) {
       val plan = planOf(q)
       // a refactor that drops the Window node entirely must fail READABLY,
       // not as substring(0, -1) throwing StringIndexOutOfBounds
