@@ -144,9 +144,17 @@ object Bench {
               s: org.apache.spark.scheduler.SparkListenerStageCompleted)
               : Unit = {
             val i = s.stageInfo
+            val m = i.taskMetrics
+            // spill + shuffle volumes ride the trace line so a scale run
+            // can check §5 spill hygiene without the UI (trace mode only;
+            // the timed path and the JSON contract are untouched)
             System.err.println(s"[stage] ${i.stageId} " +
               s"${i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)} ms " +
-              s"tasks=${i.numTasks} ${i.name.split("\n")(0).take(60)}")
+              s"tasks=${i.numTasks} " +
+              s"spillM=${m.memoryBytesSpilled} spillD=${m.diskBytesSpilled} " +
+              s"shW=${m.shuffleWriteMetrics.bytesWritten} " +
+              s"shR=${m.shuffleReadMetrics.totalBytesRead} " +
+              s"${i.name.split("\n")(0).take(60)}")
           }
         })
 

@@ -84,11 +84,20 @@ object Dedup {
     * bucket) keys — docs colliding in ≥1 band — never on raw content;
     * hot buckets above MaxBucket are dropped before the join. */
   def lshCandidates(sig: DataFrame): DataFrame = {
+    // Band keys are xxhash64 LONGS over (band-index, slice, slice) — the
+    // bucket is a pure grouping key that never reaches any output (the
+    // downstream self-join emits verified doc pairs only), so any
+    // injective keying agrees with the oracle's md5-string buckets; the
+    // same invariance argument the shingle sets already rely on, where a
+    // collision would even reach the output counts. 8-byte keys halve
+    // the banding exchange — the dedup family's single largest shuffle
+    // (docs-1000x trace: 2.2 GB per pass, zero spill) — and drop four
+    // md5 string kernels per doc (guide §2.3 "narrower types").
     val bands = sig.select(col("doc_id"), explode(array(
-      md5(concat_ws("", lit("0:"), col("mh0"), col("mh1"))),
-      md5(concat_ws("", lit("1:"), col("mh2"), col("mh3"))),
-      md5(concat_ws("", lit("2:"), col("mh4"), col("mh5"))),
-      md5(concat_ws("", lit("3:"), col("mh6"), col("mh7"))))).as("bucket"))
+      xxhash64(lit(0), col("mh0"), col("mh1")),
+      xxhash64(lit(1), col("mh2"), col("mh3")),
+      xxhash64(lit(2), col("mh4"), col("mh5")),
+      xxhash64(lit(3), col("mh6"), col("mh7")))).as("bucket"))
     val sized = dropHotBuckets(bands, Seq("bucket"))
     sized.as("ba")
       .join(sized.as("bb"),
@@ -128,8 +137,9 @@ object Dedup {
     // hash set + the intersection array per candidate pair for a count
     // (candidates outnumber docs ~6x on a near-dup-heavy corpus;
     // measured 1.9 -> 1.2 s on the 10x verify stage).
+    val docs = t(s, dir, "documents")
     lshPairsFrom(
-      docShFrame(t(s, dir, "documents")).transform(graft.Materialize.frame))
+      docShFrame(docs).transform(graft.Materialize.frame), pruneGate(docs))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -147,6 +157,28 @@ object Dedup {
       .withColumn("nsh", size(col("shs")).cast("long"))
   }
 
+  /** Conf key + gate for the candidate-member prune in [[lshPairsFrom]]:
+    * prune when the documents input (leaf parquet stats, i.e. file
+    * bytes) is at least this large. The prune costs one extra action
+    * (the candidate checkpoint — exchange reuse does NOT dedupe the
+    * banding pipeline across the spine and the member aggregate;
+    * measured r22: the no-checkpoint variant re-ran banding and read
+    * ~0.2 s/query slower at sf0.1) and saves the verify joins' shingle
+    * exchange. At sf0.1 (≈30 MB input, ≈2 MB exchange) the extra
+    * dispatch-floor job costs more than the exchange; at docs-1000×
+    * (557 MB input) the prune cut the family's largest shuffle 2.2 GB →
+    * 35 MB (1.37% candidate membership). 256 MB input sits between the
+    * two regimes on the measured overhead (~0.1-0.15 s/job) vs savings
+    * (~GB/pass) curves; production tunes it like any CBO threshold. */
+  private[graft] val PruneMinInputBytes =
+    "spark.graft.dedup.pruneMinInputBytes"
+
+  private[graft] def pruneGate(docs: DataFrame): Boolean = {
+    val thresh = docs.sparkSession.conf
+      .get(PruneMinInputBytes, (256L << 20).toString).toLong
+    docs.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(thresh)
+  }
+
   /** Candidate join + exact-Jaccard verify over a (materialized)
     * [[docShFrame]] — UNSORTED. Composing consumers (cluster edge build,
     * fuzzy decontamination) must use THIS: the presentation
@@ -155,12 +187,38 @@ object Dedup {
     * simhash-pairs lesson), which range-shuffled + sorted the whole
     * verified pair table inside the connected-components edge job for
     * an ordering nothing consumed. */
-  private[graft] def lshPairsFrom(docSh: DataFrame): DataFrame = {
-    val cand = lshCandidates(docSh)
+  private[graft] def lshPairsFrom(docSh: DataFrame,
+      prune: Boolean): DataFrame = {
+    // With the prune on, candidates are CHECKPOINTED: they feed the
+    // join spine AND the member aggregate, and exchange reuse does not
+    // dedupe the banding pipeline across those two consumers (verified
+    // r22: the executed plan shows no ReusedExchange and the banding
+    // stages run twice without the checkpoint).
+    val cand =
+      if (prune) graft.Materialize.frame(lshCandidates(docSh))
+      else lshCandidates(docSh)
+    // Prune the shingle-array table to candidate MEMBERS before its
+    // exchange (guide §3.2/§8: decide with small rows, move heavy rows
+    // once). The verify joins are equi-joins on doc ids, yet without
+    // the prune the planner exchanges EVERY >=3-token doc's shingle
+    // array — the checkpoint leaf carries no usable size estimate, so
+    // the join never broadcasts at scale and AQE materializes the full
+    // exchange before it can intervene. The docs-1000x trace read
+    // 2.2 GB shuffled for 1.37% candidate membership (68.6k of 5M
+    // docs); the semi join cuts it to 35 MB. The member list is a
+    // distinct-id aggregate over the checkpointed candidates — its
+    // shuffle gives AQE a real size, so the semi join broadcasts while
+    // members fit and falls back to a shuffled semi join (ids only,
+    // never arrays) beyond that; a Bloom probe (BloomDedupGate's
+    // kernel) is the production fallback if members ever outgrow
+    // broadcast.
+    val vSh =
+      if (prune) docSh.join(candidateDocs(cand), Seq("doc_id"), "left_semi")
+      else docSh
     cand
-      .join(docSh.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
+      .join(vSh.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
         col("nsh").as("na")), Seq("doc_a"))
-      .join(docSh.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
+      .join(vSh.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
         col("nsh").as("nb")), Seq("doc_b"))
       .withColumn("inter",
         graft.functions.hashes.sortedLongIntersectCount(
@@ -183,13 +241,15 @@ object Dedup {
     * clusters are tiny cliques, so 1-2 rounds in practice). The
     * convergence check is a scalar count per round — not a data
     * collect. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
     connectedComponents(
       lshPairsFrom(
-        docShFrame(t(s, dir, "documents"))
-          .transform(graft.Materialize.frame))
+        docShFrame(docs).transform(graft.Materialize.frame),
+        pruneGate(docs))
         .select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
+  }
 
   /** Min-label propagation over an undirected (doc_a, doc_b) edge list:
     * returns (doc_id, cluster) with cluster = the component's minimum
@@ -421,7 +481,8 @@ object Dedup {
     // trivial element_at over the checkpointed array per consumer, which
     // also keeps the kernel out of repeated-CASE-WHEN codegen.
     val cl = size(split(col("text"), " ")) >= 3
-    val base = t(s, dir, "documents")
+    val docs = t(s, dir, "documents")
+    val base = docs
       .select(col("doc_id"),
         TextOps.scoreCol(col("text")).as("score"),
         cl.as("__cl"),
@@ -437,7 +498,8 @@ object Dedup {
           col("shs")): _*)
       .withColumn("nsh", size(col("shs")).cast("long"))
     val clusters = connectedComponents(
-      lshPairsFrom(docSh).select(col("doc_a"), col("doc_b")))
+      lshPairsFrom(docSh, pruneGate(docs))
+        .select(col("doc_a"), col("doc_b")))
     base
       .filter(col("score") >= 0.6)
       .select(col("doc_id"), col("score"))
@@ -458,8 +520,9 @@ object Dedup {
     * (train_doc, eval_doc). */
   def fuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val evalA = col("doc_a") % 50 === 0
+    val docs = t(s, dir, "documents")
     lshPairsFrom(
-      docShFrame(t(s, dir, "documents")).transform(graft.Materialize.frame))
+      docShFrame(docs).transform(graft.Materialize.frame), pruneGate(docs))
       .filter(evalA =!= (col("doc_b") % 50 === 0))
       .select(
         when(evalA, col("doc_b")).otherwise(col("doc_a")).as("train_doc"),

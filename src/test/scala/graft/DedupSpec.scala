@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSuite {
   import spark.implicits._
 
+  test("candidate-member prune leaves lshPairs rows identical") {
+    // the pruned verify path (candidate checkpoint + semi join on the
+    // member ids) must emit exactly the unpruned rows — the prune is a
+    // pure exchange-volume optimization gated on input size, so force
+    // both paths at sf0.001 via the conf and compare
+    val key = Dedup.PruneMinInputBytes
+    def rows(thresh: String): Seq[(Long, Long, Long, Long, Long, Double)] = {
+      spark.conf.set(key, thresh)
+      try Dedup.lshPairs(spark, Sf).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+      finally spark.conf.unset(key)
+    }
+    val unpruned = rows(Long.MaxValue.toString)
+    val pruned = rows("0")
+    assert(pruned.nonEmpty, "vacuous: no candidate pairs at sf0.001")
+    assert(pruned == unpruned)
+  }
+
   test("connectedComponents labels a multi-hop chain with its min id") {
     // chain 10-20-30-40 (diameter 3 → needs >1 propagation round),
     // separate pair 100-200, isolated-by-absence docs don't appear
